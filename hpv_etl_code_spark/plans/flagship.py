@@ -1,0 +1,58 @@
+"""Flagship query: pricing-summary rollup on ``lineitem``.
+
+This is the reference pipeline's core semantic (grouped SUM rollup,
+``/root/reference/src/main.py:87-119``) re-expressed on the driver's
+TPC-H-ish corpus: a TPC-H Q1-shaped aggregation. One scan, one shuffle
+(partial/final hash agg around a single exchange), AQE-coalesced output.
+
+All sums go through exact decimals (functions/numeric.py) so results are
+order-independent — required for the DuckDB differential gate and for
+run-to-run stability on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import avg6, dsum
+from ..sources.registry import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (returnflag, linestatus): quantity/price sums, averages, count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            avg6("l_quantity").alias("avg_qty"),
+            avg6("l_extendedprice").alias("avg_price"),
+            avg6("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,11 @@
+"""Registration hub for all non-flagship catalog entries.
+
+Grows as operators land (SURVEY.md §7 milestones). Each section imports
+an operator module and registers its queries + oracles.
+"""
+
+from __future__ import annotations
+
+
+def populate(register) -> None:  # noqa: ANN001 — see catalog.register
+    pass

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference (``/root/reference/src/main.py``) has no session concept —
+it is a single-process pandas script. Here every job runs through one
+factory so AQE, timezone, Arrow, and shuffle sizing are uniform.
+
+Defaults are chosen for the 100-TB design target (AQE on, skew-join
+handling on, partition coalescing on); tests/local runs override
+parallelism via ``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "hpv_etl_code_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    - AQE enabled: runtime shuffle-partition coalescing, skew-join
+      splitting, and dynamic join-strategy switching — the mechanisms
+      that keep plans healthy at 1000-executor scale.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      DuckDB oracle and are cluster-location independent.
+    - Arrow enabled for the (few) pandas-UDF paths.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep parquet scan splits reasonable on local runs; on a real
+        # cluster this is the default 128m anyway.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

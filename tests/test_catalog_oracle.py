@@ -1,0 +1,26 @@
+"""The differential gate, in-repo: every catalog entry with an oracle is
+run against DuckDB at sf0.001 (fast) — mirroring what the driver does at
+sf0.01. Entries without an oracle are checked for executability + rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hpv_etl_code_spark import catalog
+from tests.oracle_util import compare
+
+
+def _entry_names():
+    return sorted(catalog.entries())
+
+
+@pytest.mark.parametrize("name", _entry_names())
+def test_catalog_entry_matches_oracle(spark, sf_dir, name):
+    e = catalog.entries()[name]
+    df = e.fn(spark, sf_dir)
+    if e.oracle is None:
+        # rows-only: plan executes and yields a stable, non-erroring result
+        assert df.count() >= 0
+    else:
+        compare(df, e.oracle, sf_dir)
