@@ -8,4 +8,6 @@ from __future__ import annotations
 
 
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
-    pass
+    from . import parity_queries
+
+    parity_queries.register_entries(register)

@@ -45,6 +45,10 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp —
+        # read as long and convert in sources.registry (µs truncation, same
+        # as DuckDB's ns→µs behavior so the oracle agrees).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep parquet scan splits reasonable on local runs; on a real
         # cluster this is the default 128m anyway.

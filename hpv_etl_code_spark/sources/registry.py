@@ -34,10 +34,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one registered table."""
+    """Lazy parquet scan for one registered table.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a µs
+    timestamp here via integer division (truncation — identical to
+    DuckDB's ns→µs conversion, keeping the oracle bit-exact).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
