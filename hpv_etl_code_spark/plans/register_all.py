@@ -8,6 +8,7 @@ from __future__ import annotations
 
 
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
-    from . import parity_queries
+    from . import parity_queries, relational_queries
 
     parity_queries.register_entries(register)
+    relational_queries.register_entries(register)

@@ -1,0 +1,392 @@
+"""M3 catalog entries: the full relational surface (SURVEY §2.6-§2.8 +
+§2.4 extension functions) — joins, windows, set ops, sort/limit,
+JSON/date/string functions, as-of join.
+
+Scale notes per entry are in each docstring; the common themes:
+- dimension joins are explicitly ``broadcast()`` (no shuffle of the fact),
+- fact-fact joins shuffle once on the join key and AQE handles skew,
+- window queries shuffle once on the partition key,
+- every aggregate is decimal-exact so results are order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..operators.asof import asof_join_backward
+from ..sources.registry import load_table
+
+
+# ---------------------------------------------------------------- joins
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with broadcast dims: the fact table
+    never shuffles — both dimension sides ship to every executor."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem: both sides large → one shuffle on l_orderkey
+    (sort-merge or AQE-chosen); revenue rollup by priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+JOIN_FACT_FACT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
+       AS DECIMAL(38,8)) AS revenue,
+  COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer with its order count (0 for none)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+JOIN_LEFT_OUTER_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one order — no right columns,
+    no duplicate multiplication, early-out probe."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders since 2000 (the filter keeps
+    the result non-empty at every scale factor, and Catalyst pushes it
+    below the join into the orders scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+# -------------------------------------------------------------- windows
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer: one shuffle on the partition
+    key; deterministic tiebreak on o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-to-order price delta via lag()."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - prev, 2).alias("price_delta"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+  ROUND(o_totalprice - LAG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2)
+    AS price_delta
+FROM orders
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (decimal-exact running sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(20,8)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        run.cast("decimal(38,8)").alias("cum_spend"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,8))
+    AS cum_spend
+FROM orders
+"""
+
+
+# -------------------------------------------------------------- set ops
+
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of nation keys referenced by customers/suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+SETOP_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys having BOTH customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): customers all of whose orders
+    are still open-less — i.e. custkeys with orders minus custkeys with
+    an 'O'-status order. Non-empty at every scale factor."""
+    o = load_table(spark, sf_dir, "orders")
+    all_cust = o.select(F.col("o_custkey").alias("custkey"))
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_cust.subtract(open_cust)
+
+
+SETOP_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ------------------------------------------------------- sort/limit/misc
+
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price: Spark's orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a tiny driver merge,
+    never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props → typed column via from_json with an explicit schema
+    (never schema-inferred per row)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select("event_id", parsed.getField("k").alias("k"))
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
+def date_trunc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order rollup (date_trunc + decimal-exact sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+DATE_TRUNC_SQL = """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (F1-F7 analogs): trim/initcap-equivalent,
+    regexp_extract, split, substring, concat, length, case mapping."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap(F.trim(F.col("p_type"))).alias("type_title"),
+        F.nullif(F.regexp_extract("p_name", r"(\d+)", 1), F.lit("")).alias(
+            "first_digits"
+        ),
+        F.element_at(F.split(F.col("p_type"), " "), -1).alias("type_last_word"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.lower(F.col("p_type")).contains("steel"), F.lit("metal"))
+        .otherwise(F.lit("other"))
+        .alias("material_class"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+  array_to_string(list_transform(string_split(trim(p_type), ' '),
+                  w -> upper(w[1:1]) || lower(w[2:])), ' ') AS type_title,
+  NULLIF(regexp_extract(p_name, '(\\d+)', 1), '') AS first_digits,
+  string_split(p_type, ' ')[-1] AS type_last_word,
+  length(p_name) AS name_len,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  CASE WHEN contains(lower(p_type), 'steel') THEN 'metal' ELSE 'other' END
+    AS material_class
+FROM part
+"""
+
+
+def asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event attached to the user's most recent signup
+    at-or-before it (operators/asof.py — one shuffle, no range blow-up)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join_backward(
+        ev,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["ts"],
+    ).select("event_id", "user_id", "ts", F.col("ts_asof").alias("signup_ts"))
+
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("join_broadcast_dims", join_broadcast_dims, JOIN_BROADCAST_SQL, headline=True)
+    register("join_fact_fact", join_fact_fact, JOIN_FACT_FACT_SQL, headline=True)
+    register("join_left_outer", join_left_outer, JOIN_LEFT_OUTER_SQL)
+    register("join_semi", join_semi, JOIN_SEMI_SQL)
+    register("join_anti", join_anti, JOIN_ANTI_SQL)
+    register("window_topk_per_group", window_topk_per_group, WINDOW_TOPK_SQL, headline=True)
+    register("window_lag_delta", window_lag_delta, WINDOW_LAG_SQL)
+    register("window_running_sum", window_running_sum, WINDOW_RUNNING_SUM_SQL)
+    register("setop_union_distinct", setop_union_distinct, SETOP_UNION_SQL)
+    register("setop_intersect", setop_intersect, SETOP_INTERSECT_SQL)
+    register("setop_except", setop_except, SETOP_EXCEPT_SQL)
+    register("sort_limit_top_orders", sort_limit_top_orders, SORT_LIMIT_SQL)
+    register("json_extract_events", json_extract_events, JSON_EXTRACT_SQL)
+    register("date_trunc_orders", date_trunc_orders, DATE_TRUNC_SQL)
+    register("string_funcs_part", string_funcs_part, STRING_FUNCS_SQL)
+    register("asof_join_signup", asof_join_signup, ASOF_JOIN_SQL, headline=True)

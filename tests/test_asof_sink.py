@@ -1,0 +1,50 @@
+"""Unit tests: as-of join semantics on a hand-built fixture; sink
+overwrite round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.asof import asof_join_backward
+from hpv_etl_code_spark.sources.sinks import overwrite_parquet
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "e1"),   # before any state → NULL
+            (1, _ts("2024-01-01T12:00:00"), "e2"),   # exactly at state s1 → s1 (inclusive)
+            (1, _ts("2024-01-01T15:00:00"), "e3"),   # after s2 → s2
+            (2, _ts("2024-01-01T09:00:00"), "e4"),   # key with no right rows → NULL
+        ],
+        ["k", "ts", "name"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T12:00:00"), "s1"),
+            (1, _ts("2024-01-01T14:00:00"), "s2"),
+        ],
+        ["k", "ts", "state"],
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["ts", "state"]
+    )
+    got = {r.name: r.state_asof for r in out.collect()}
+    assert got == {"e1": None, "e2": "s1", "e3": "s2", "e4": None}
+    assert out.count() == left.count()  # left-join cardinality preserved
+
+
+def test_overwrite_parquet_truncate_reload(spark, tmp_path):
+    path = str(tmp_path / "sink")
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    assert overwrite_parquet(df1, path) == 100
+    # second overwrite replaces, never appends (truncate-reload parity)
+    df2 = spark.range(10)
+    assert overwrite_parquet(df2, path) == 10
+    assert spark.read.parquet(path).count() == 10
