@@ -1,0 +1,128 @@
+"""Text-analysis operators over the ``documents`` table — all native
+Column expressions (zero Python UDFs): the entire battery runs inside
+whole-stage codegen and scales as a narrow, shuffle-free projection.
+
+These are the LLM-training-pipeline operators mandated by the north star
+(BASELINE.json): token statistics, quality scoring, language ID, and
+document fingerprinting. The reference has no text operators beyond
+trim/title-case (``/root/reference/src/main.py:36-37``); this extends
+that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-overlap
+#: language heuristic. Deliberately minimal and deterministic — real
+#: deployments would swap in fuller lists; the operator shape (set
+#: intersection over token arrays) is what scales.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "les", "et", "des", "du", "une", "est"),
+}
+#: Priority order for deterministic argmax tie-breaking.
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+
+def tokens(col: Column | str, pattern: str = " ") -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(col, pattern)
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def alpha_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count: runs of letters (subword-style units)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[a-z]+"), 0))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length — array aggregate, no explode, no shuffle."""
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total * 1.0 / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """|distinct tokens ∩ stopwords| / |distinct tokens| (set semantics)."""
+    toks = distinct_tokens(col)
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]]))
+    )
+    return hits * 1.0 / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality ∈ [0,1]:
+    0.5·stopword-ratio + 0.3·min(n_tokens/50, 1) + 0.2·lexical-diversity.
+
+    All terms derive from integer counts, so the double arithmetic is
+    deterministic across engines.
+    """
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    diversity = F.size(F.array_distinct(toks)) * 1.0 / n
+    length_term = F.least(F.size(toks) / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.5 * stopword_ratio(col) + 0.3 * length_term + 0.2 * diversity, 6
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap scores."""
+    toks = distinct_tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        * 1.0
+        / n
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic argmax over language scores, priority-ordered
+    tie-break (LANG_PRIORITY): the first language whose score equals the
+    max wins. A score of 0 across the board → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(scores[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx == 0, F.lit("und")).otherwise(expr)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact-dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup
+    join key (md5 is identical across engines, unlike xxhash64)."""
+    return F.md5(normalize_text(col))
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Word-level 2-gram shingles (for n-gram Jaccard / MinHash input)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )

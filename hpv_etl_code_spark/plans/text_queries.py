@@ -1,0 +1,224 @@
+"""M4 catalog entries: text analysis + dedup on ``documents``.
+
+Oracle-checked where the computation is hash-portable (token stats,
+quality, lang-ID, md5 fingerprints, exact dedup, n-gram Jaccard);
+rows-only for MinHash-LSH and SimHash (xxhash64 has no DuckDB twin) —
+those carry invariant/recall pytest coverage instead
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textops
+from ..operators.dedup import (
+    dedup_exact,
+    exact_dedup_keepers,
+    jaccard,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from ..sources.registry import load_table
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in textops.LANG_STOPWORDS.items()
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.alpha_token_count("text").alias("n_alpha_tokens"),
+        F.size(textops.distinct_tokens("text")).alias("n_distinct_tokens"),
+        textops.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  ROUND(list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1.0
+        / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textops.stopword_ratio("text"), 6).alias("stop_ratio"),
+        textops.quality_score("text").alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS toks,
+    list_distinct(string_split(text, ' ')) AS dtoks
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(len(list_intersect(dtoks, {_STOP_SQL['en']})) * 1.0
+        / greatest(len(dtoks), 1), 6) AS stop_ratio,
+  ROUND(0.5 * (len(list_intersect(dtoks, {_STOP_SQL['en']})) * 1.0
+               / greatest(len(dtoks), 1))
+      + 0.3 * least(len(toks) / 50.0, 1.0)
+      + 0.2 * (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)),
+      6) AS quality
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        textops.lang_id("text").alias("lang_pred"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        f"len(list_intersect(dtoks, {_STOP_SQL[lang]})) * 1.0 / greatest(len(dtoks), 1)"
+    )
+    for lang in textops.LANG_PRIORITY
+}
+TEXT_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dtoks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {_LANG_SCORE_SQL['en']} AS s_en,
+    {_LANG_SCORE_SQL['de']} AS s_de,
+    {_LANG_SCORE_SQL['es']} AS s_es,
+    {_LANG_SCORE_SQL['fr']} AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.fingerprint_md5("text").alias("fingerprint"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content fingerprint (deterministic min-id keeper)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_keepers(d, "text", "doc_id")
+
+
+DEDUP_EXACT_CONTENT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_exact_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column subset (lang, source) — the collapsing
+    variant (many rows per group)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, ["lang", "source"], "doc_id")
+
+
+DEDUP_EXACT_SUBSET_SQL = """
+SELECT lang, source, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents GROUP BY lang, source
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard between consecutive doc ids — the exact
+    n-gram-similarity kernel, oracle-checked (the LSH entries reuse this
+    kernel over LSH-generated candidates instead of a linear pairing)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.array_distinct(textops.word_bigrams("text")).alias("grams")
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("g_a"), F.col("g_b")), 6).alias("bigram_jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(
+        generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        i -> CASE WHEN i < len(string_split(text,' '))
+                  THEN string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1]
+                  ELSE string_split(text,' ')[i] END)
+    ) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+        greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+        6) AS bigram_jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures)."""
+    d = load_table(spark, sf_dir, "documents")
+    # the synthetic corpus is pathologically dense (small shared vocab →
+    # most pairs are similar) — raise the hot-bucket cap that would
+    # protect a real 100 TB run so the fixture isn't silently dropped
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8, max_bucket=10_000)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 (rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+    register("text_quality", text_quality, TEXT_QUALITY_SQL)
+    register("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL)
+    register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
+    register("dedup_exact_content", dedup_exact_content, DEDUP_EXACT_CONTENT_SQL)
+    register("dedup_exact_subset", dedup_exact_subset, DEDUP_EXACT_SUBSET_SQL)
+    register("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL)
+    register("dedup_minhash_lsh", dedup_minhash_lsh, None, headline=True)
+    register("dedup_simhash", dedup_simhash, None)

@@ -1,0 +1,90 @@
+"""Invariant/recall tests for the non-oracle dedup operators (MinHash
+LSH, SimHash) plus exact-dedup determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.dedup import (
+    exact_dedup_keepers,
+    jaccard,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from hpv_etl_code_spark.operators.textops import distinct_tokens
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_exact_dedup_normalizes_and_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The  Quick Fox"),
+            (2, "the quick fox"),   # same after normalization
+            (3, "another doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.keeper_id: r.n_dups for r in exact_dedup_keepers(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def _truth_pairs(spark, sf_dir, threshold):
+    """Brute-force ground truth: all pairs with unigram-set Jaccard ≥ t."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", distinct_tokens("text").alias("toks")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("t_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("t_a"), F.col("t_b")))
+        .filter(F.col("j") >= threshold)
+    )
+    return {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    truth = _truth_pairs(spark, sf_dir, 0.8)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            threshold=0.8,
+            max_bucket=10_000,
+        ).collect()
+    }
+    assert got, "LSH should find near-duplicates in the dense corpus"
+    # precision is exact by construction (candidates verified with true Jaccard)
+    assert got <= truth
+    # banding recall at j≥0.8 with k=16,b=4,r=4 is ≈0.88 in expectation
+    assert len(got) / max(len(truth), 1) >= 0.5
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window group"),
+            (2, "spark shuffle join window group"),       # identical
+            (3, "completely different words entirely here unrelated"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r.id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs_unique_and_bounded(spark, sf_dir):
+    out = simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+    rows = out.collect()
+    keys = [(r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys))  # deduped pairs
+    assert all(r.id_a < r.id_b and r.hamming <= 3 for r in rows)
