@@ -1,0 +1,90 @@
+"""M5 catalog entries: similarity search over ``embeddings``.
+
+The exact entries (stats, brute-force k-NN, near-dup pairs) are
+oracle-checked — the sequential-fold dot product is bit-exact against
+DuckDB's list_dot_product on DOUBLE[]. The ANN entry is rows-only
+(recall is covered by a clustered-fixture test in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import l2_norm, to_double_array
+from ..operators.similarity import ann_topk, brute_force_topk, neardup_pairs_exact
+from ..sources.registry import load_table
+
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+    )
+
+
+VECTOR_STATS_SQL = """
+SELECT vec_id, label, len(embedding) AS dim,
+  ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=5)
+
+
+KNN_BRUTE_FORCE_SQL = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, rk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+        b.vec_id ASC) AS rk
+  FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+)
+WHERE rk <= 5
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold pairs (θ=0.4 — the synthetic corpus is
+    near-orthogonal noise; realistic θ=0.95 would be vacuously empty)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_exact(e, threshold=0.4)
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (rows-only; recall covered by
+    the clustered-fixture test)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_topk(e, q, k=5, nbits=6, ntables=2)
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("vector_stats", vector_stats, VECTOR_STATS_SQL)
+    register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
+    register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)
+    register("ann_lsh_topk", ann_lsh_topk, None)

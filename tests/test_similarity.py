@@ -1,0 +1,74 @@
+"""Similarity-search tests: ANN recall on a clustered fixture (the real
+corpus is orthogonal noise, so recall there is meaningless), plus
+structural checks on the catalog entries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hpv_etl_code_spark.operators.similarity import ann_topk, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """100 vectors in 5 tight clusters (seeded) — real neighborhoods."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 16) * 3
+    rows = []
+    for i in range(100):
+        c = i % 5
+        v = centers[c] + rng.randn(16) * 0.1
+        rows.append((i, [float(x) for x in v], c))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_brute_force_finds_cluster_neighbors(clustered):
+    q = clustered.filter(F.col("vec_id") < 5)  # one query per cluster
+    out = brute_force_topk(clustered, q, k=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    # top-5 of each query must come from the same cluster (labels = id%5)
+    for r in rows:
+        assert r.neighbor_id % 5 == r.query_id % 5
+        assert r.cosine > 0.9
+
+
+def test_ann_recall_on_clustered_data(clustered):
+    q = clustered.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk(clustered, q, k=5, nbits=6, ntables=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"ANN recall {recall:.2f} too low on clustered data"
+
+
+def test_ann_subset_of_bruteforce_scores(clustered):
+    """ANN scores can never exceed the true k-th best (it only prunes)."""
+    q = clustered.filter(F.col("vec_id") == 0)
+    bf = brute_force_topk(clustered, q, k=100).collect()
+    truth_scores = {r.neighbor_id: r.cosine for r in bf}
+    for r in ann_topk(clustered, q, k=5, nbits=6, ntables=4).collect():
+        assert r.neighbor_id in truth_scores
+        assert abs(r.cosine - truth_scores[r.neighbor_id]) < 1e-9
