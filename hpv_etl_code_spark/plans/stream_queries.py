@@ -1,0 +1,112 @@
+"""M6 catalog entries: window semantics on ``events`` (batch-evaluated —
+identical expressions power the streaming path, tests/test_streaming.py
+proves it) and multimodal binary plumbing.
+
+Oracles: tumbling = time_bucket; sliding = the two shifted time_buckets
+unioned; session = gaps-and-islands (lag + cumulative flag sum) — the
+classic SQL equivalent of session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary_payload, byte_histogram, decode_image_meta
+from ..sources.registry import load_table
+from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"), duration="1 hour")
+
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), duration="1 day", slide="12 hours"
+    )
+
+
+SLIDING_SQL = """
+WITH b AS (SELECT time_bucket(INTERVAL '12 hours', ts) AS bk, event_type, value FROM events),
+assigned AS (
+  SELECT bk AS window_start, event_type, value FROM b
+  UNION ALL
+  SELECT bk - INTERVAL '12 hours' AS window_start, event_type, value FROM b
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load_table(spark, sf_dir, "events"), gap="4 hours")
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL '4 hours'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+FROM flagged GROUP BY user_id, session_id
+"""
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + content digest —
+    pure Column expressions over a binary payload."""
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+
+
+MULTIMODAL_BINARY_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+FROM documents
+"""
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage (STUB dims; real Arrow plumbing) —
+    rows-only."""
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_image_meta(d)
+
+
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf featurizer: 16-bin byte histogram per payload —
+    rows-only (float32 feature vectors)."""
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", byte_histogram("payload").alias("features"))
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)
+    register("stream_sliding_counts", stream_sliding_counts, SLIDING_SQL)
+    register("stream_session_windows", stream_session_windows, SESSION_SQL, headline=True)
+    register("multimodal_binary_stats", multimodal_binary_stats, MULTIMODAL_BINARY_SQL)
+    register("multimodal_decode_meta", multimodal_decode_meta, None)
+    register("multimodal_byte_histogram", multimodal_byte_histogram, None)

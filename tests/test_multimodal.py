@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: binary payloads, mapInPandas decode (real
+PNG header parse + stub fallback), pandas_udf feature extraction."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from hpv_etl_code_spark.operators.multimodal import (
+    attach_binary_payload,
+    byte_histogram,
+    decode_image_meta,
+    sample_frames,
+)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x00" * 8
+
+
+def test_decode_parses_real_png_header(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame(
+        [(1, _png_bytes(640, 480)), (2, b"not an image payload")], schema
+    )
+    out = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+    assert out[2].format == "stub"  # deterministic fake dims
+    assert out[2].n_bytes == len(b"not an image payload")
+
+
+def test_byte_histogram_is_normalized_16d(spark, sf_dir):
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents")).limit(20)
+    rows = d.select("doc_id", byte_histogram("payload").alias("f")).collect()
+    for r in rows:
+        assert len(r.f) == 16
+        assert abs(sum(r.f) - 1.0) < 1e-3
+
+
+def test_sample_frames_is_gated_stub(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame([(1, b"fake video bytes")], schema)
+    with pytest.raises(NotImplementedError, match="frame sampling"):
+        sample_frames(df)

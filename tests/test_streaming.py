@@ -1,0 +1,86 @@
+"""Real Structured Streaming tests: the same window functions that pass
+the batch oracle are run as incremental streams (file source →
+availableNow → memory sink) and must produce identical results; plus the
+streaming-only operators (watermark dedup, applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.sources.registry import load_table
+from hpv_etl_code_spark.streaming.stream import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory_sink,
+    running_user_counts,
+)
+from hpv_etl_code_spark.streaming.windows import tumbling_counts
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events parquet as a stream-source directory, re-written
+    through the registry so the ns→µs ts conversion is baked in."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def _stream(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    return read_events_stream(spark, events_stream_dir, schema)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
+    stream = _stream(spark, events_stream_dir)
+    windowed = tumbling_counts(stream, duration="1 hour", watermark="2 hours")
+    run_to_memory_sink(windowed, "tumbling_test", output_mode="complete")
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = tumbling_counts(spark.read.parquet(events_stream_dir), duration="1 hour")
+    want = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir):
+    stream = _stream(spark, events_stream_dir)
+    deduped = dedup_within_watermark(stream, ["user_id", "event_type"], watermark="30 days")
+    run_to_memory_sink(deduped, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0].n
+    want = (
+        spark.read.parquet(events_stream_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_apply_in_pandas_with_state(spark, events_stream_dir):
+    stream = _stream(spark, events_stream_dir)
+    counts = running_user_counts(stream)
+    run_to_memory_sink(counts, "state_test", output_mode="update")
+    # final update per user must equal the batch per-user count
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            """SELECT user_id, max(n_events) AS n_events
+               FROM state_test GROUP BY user_id"""
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
