@@ -45,6 +45,24 @@ def _truth_pairs(spark, sf_dir, threshold):
     return {(r.id_a, r.id_b) for r in pairs.collect()}
 
 
+def test_minhash_signatures_not_degenerate(spark, sf_dir):
+    """k minhash positions must be (near-)independent hashes — guards the
+    pyspark transform (element, index) lambda trap that once collapsed
+    every position to one value."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        minhash_signature(
+            F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t)), 16
+        ).alias("sig")
+    )
+    nd = sig.select(F.avg(F.size(F.array_distinct("sig"))).alias("m")).collect()[0].m
+    assert nd > 12, f"signature positions look correlated (avg distinct {nd})"
+
+
 def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     truth = _truth_pairs(spark, sf_dir, 0.8)
     got = {
