@@ -86,11 +86,26 @@ def normalize_wide_sheet(df: DataFrame, id_col: str = ID_COL) -> DataFrame:
     )
 
 
+PIVOT_KEYS = (
+    "Borough_Name",
+    "Year_Group_Number",
+    "Gender_Name",
+    "Academic_Year_End_Date",
+    "Academic_Year_Text",
+    "Date_Extract",
+)
+
+
 def pivot_measures(long_df: DataFrame) -> DataFrame:
-    """Metric → two measure columns (reference main.py:53). Keys are unique
-    by construction (one wide cell per key); ``first`` is exact."""
+    """Metric → two measure columns (reference main.py:53), ONE pivot over
+    the union of all files (the per-file metadata columns are in the key,
+    so files never collide unless they share identical metadata — in
+    which case their cells merge; the reference would instead keep
+    duplicate output rows, a latent bug we do not reproduce).
+
+    Keys are unique per wide cell by construction; ``first`` is exact."""
     return (
-        long_df.groupBy("Borough_Name", "Year_Group_Number", "Gender_Name")
+        long_df.groupBy(*PIVOT_KEYS)
         .pivot("Metric", ["Number", "Number_Vaccinated"])
         .agg(F.first("Value"))
         .withColumnsRenamed(
@@ -118,10 +133,12 @@ def process_wide_file(
     extract_date: dt.date,
     id_col: str = ID_COL,
 ) -> DataFrame:
-    """Normalize one wide sheet and attach its per-file metadata."""
+    """Normalize one wide sheet to LONG form with its per-file metadata
+    attached — entirely narrow (no shuffle); the single shared pivot
+    happens after the union."""
     year_end, year_text = academic_year_meta(a1_text)
     return (
-        pivot_measures(normalize_wide_sheet(df, id_col))
+        normalize_wide_sheet(df, id_col)
         .withColumn("Academic_Year_End_Date", year_end)
         .withColumn("Academic_Year_Text", year_text)
         .withColumn("Date_Extract", F.lit(extract_date).cast("date"))
@@ -177,6 +194,13 @@ def run_pipeline(
     files: Sequence[tuple[DataFrame, str | None]],
     extract_date: dt.date,
 ) -> DataFrame:
-    """The whole reference ETL as one lazy plan over N wide sheets."""
+    """The whole reference ETL as one lazy plan over N wide sheets.
+
+    Shuffle topology is file-count independent: N × (narrow melt) →
+    union → ONE pivot exchange → ONE grouping-sets exchange. The
+    reference executes 2 + 3N pandas materializations for the same
+    result."""
     per_file = [process_wide_file(df, a1, extract_date) for df, a1 in files]
-    return finalize(rollup_cube(clean_measures(combine_files(per_file))))
+    return finalize(
+        rollup_cube(clean_measures(pivot_measures(combine_files(per_file))))
+    )
