@@ -13,6 +13,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         relational_queries,
         stream_queries,
         text_queries,
+        tpch_queries,
         vector_queries,
     )
 
@@ -21,3 +22,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     text_queries.register_entries(register)
     vector_queries.register_entries(register)
     stream_queries.register_entries(register)
+    tpch_queries.register_entries(register)

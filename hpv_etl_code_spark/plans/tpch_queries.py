@@ -1,0 +1,136 @@
+"""TPC-H-shaped multi-join analytics on the test corpus (Q3/Q5 analogs;
+Q1 is plans/flagship.py). These are the headline join-heavy benchmarks:
+dimension sides broadcast, fact-fact joins shuffle once, aggregates are
+decimal-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.registry import load_table
+
+def _revenue():
+    # built lazily — Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analog: top-10 BUILDING-segment orders by open revenue.
+
+    Filters reach the scans (PushedFilters); the two fact joins shuffle
+    on o_orderkey; the top-10 compiles to TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
+       AS DECIMAL(38,8)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 analog: revenue by nation for ASIA where supplier and customer
+    share a nation. Five-table join; region/nation/supplier broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
+       AS DECIMAL(38,8)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL frontend surface: the same labeled-rollup semantics through
+    ``spark.sql`` over registered views — proving the engine speaks both
+    DataFrame and ANSI SQL (GROUPING SETS parsed by Spark's parser)."""
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+               ELSE o_orderpriority END AS priority,
+          CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+               ELSE o_orderstatus END AS status,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8))
+            AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_SQL = """
+SELECT
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+       ELSE o_orderpriority END AS priority,
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("q3_shipping_priority", q3_shipping_priority, Q3_SQL, headline=True)
+    register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL, headline=True)
+    register("sql_grouping_sets", sql_grouping_sets, SQL_GROUPING_SETS_SQL)

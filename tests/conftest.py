@@ -24,3 +24,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    """Alias fixture for hypothesis tests (function-scoped @given bodies
+    reusing the session-scoped SparkSession)."""
+    return spark

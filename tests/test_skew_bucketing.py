@@ -1,0 +1,47 @@
+"""Salted-join equivalence + bucketed-write exchange elimination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.skew import salted_join, write_bucketed
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", num_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8)
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8)
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should be exchange-free"
+        # and it still computes the right thing
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
