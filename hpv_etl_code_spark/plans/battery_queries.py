@@ -1,0 +1,160 @@
+"""Function/aggregate battery entries — wide but shallow coverage of the
+remaining free Spark surface (SURVEY §2.4 'not present' list + §2.5
+extensions), each with a DuckDB twin.
+
+Determinism notes: stddev/variance are computed from exact decimal sums
+(sqrt of exact rational → same double both engines) rather than the
+built-in streaming estimators, whose accumulation order is engine- and
+partition-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import proximity_self_join
+from ..sources.registry import load_table
+
+
+def agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count-distinct/avg + deterministic sample stddev per
+    order status (stddev from exact decimal moments)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(20,8)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum((dec * dec).cast("decimal(38,8)")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+    )
+
+
+AGG_BATTERY_SQL = """
+SELECT o_orderstatus,
+  COUNT(*) AS n,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  ROUND(sqrt(
+    (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,8)) * CAST(o_totalprice AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS DOUBLE)
+     - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+       * CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*))
+    / (COUNT(*) - 1)), 4) AS stddev_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def date_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery: year/month/day extraction, date_add,
+    datediff against a fixed anchor, day-of-week."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+  EXTRACT(year FROM o_orderdate)::INT AS y,
+  EXTRACT(month FROM o_orderdate)::INT AS m,
+  EXTRACT(day FROM o_orderdate)::INT AS d,
+  (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS due_date,
+  datediff('day', o_orderdate::DATE, DATE '2000-01-01')::INT AS days_to_y2k,
+  dayofweek(o_orderdate)::INT + 1 AS dow
+FROM orders
+"""
+
+
+def null_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: coalesce/nullif/greatest/least/CASE over a
+    column with injected NULLs (acctbal < 0 treated as missing)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(bal, F.lit(0.0)).alias("bal_or_zero"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.greatest(bal, F.lit(100.0)).alias("bal_floor100"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5000"),
+        F.when(bal.isNull(), F.lit("missing"))
+        .when(bal > 5000, F.lit("high"))
+        .otherwise(F.lit("normal"))
+        .alias("bal_class"),
+    )
+
+
+NULL_FUNCS_SQL = """
+SELECT c_custkey,
+  COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS bal_or_zero,
+  NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+  GREATEST(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 100.0) AS bal_floor100,
+  LEAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 5000.0) AS bal_cap5000,
+  CASE WHEN c_acctbal < 0 THEN 'missing'
+       WHEN c_acctbal > 5000 THEN 'high' ELSE 'normal' END AS bal_class
+FROM customer
+"""
+
+
+def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: contains/position/sort/slice/explode-count over
+    tokenized documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_position(toks, "spark").alias("spark_pos"),
+        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.size(toks).alias("n"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+SELECT doc_id,
+  list_contains(string_split(text, ' '), 'data') AS has_data,
+  COALESCE(list_position(string_split(text, ' '), 'spark'), 0)::BIGINT AS spark_pos,
+  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted,
+  len(string_split(text, ' ')) AS n
+FROM documents
+"""
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded proximity self-join: same-user event pairs within 10
+    minutes (operators/rangejoin.py — equi-join + ≤3× expansion, never a
+    nested-loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    return proximity_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", max_gap_seconds=600
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  abs(floor(epoch(a.ts))::BIGINT - floor(epoch(b.ts))::BIGINT) AS gap_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(floor(epoch(a.ts))::BIGINT - floor(epoch(b.ts))::BIGINT) <= 600
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("agg_battery", agg_battery, AGG_BATTERY_SQL)
+    register("date_funcs_battery", date_funcs_battery, DATE_FUNCS_SQL)
+    register("null_funcs_battery", null_funcs_battery, NULL_FUNCS_SQL)
+    register("array_funcs_battery", array_funcs_battery, ARRAY_FUNCS_SQL)
+    register("range_join_events", range_join_events, RANGE_JOIN_SQL, headline=True)

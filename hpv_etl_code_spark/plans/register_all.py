@@ -9,6 +9,7 @@ from __future__ import annotations
 
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     from . import (
+        battery_queries,
         parity_queries,
         relational_queries,
         stream_queries,
@@ -23,3 +24,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     vector_queries.register_entries(register)
     stream_queries.register_entries(register)
     tpch_queries.register_entries(register)
+    battery_queries.register_entries(register)
