@@ -67,23 +67,46 @@ def drop_columns_by_name(df: DataFrame, *needles: str) -> DataFrame:
     return df.drop(*doomed)
 
 
+def derive_dimensions(
+    long_df: DataFrame,
+    borough_col: str = ID_COL,
+    category_col: str = "Category",
+    value_col: str = "Value",
+) -> DataFrame:
+    """Melted rows → dimension columns (reference main.py:36-50): borough
+    trim/initcap, year-group digits, gender/metric containment mapping.
+    Category-name predicates (% / 2 doses) are applied here as row
+    filters so melted sources (e.g. the CSV sheet reader, which emits
+    long form directly) share the exact same semantics as the wide path."""
+    cat = F.col(category_col)
+    return (
+        long_df.filter(~cat.contains("%") & ~cat.contains("2 doses"))
+        .select(
+            initcap_trim(borough_col).alias("Borough_Name"),
+            regexp_extract_null(cat, r"(\d+)").alias("Year_Group_Number"),
+            F.when(cat.contains("females"), F.lit("Female"))
+            .otherwise(F.lit("Male"))
+            .alias("Gender_Name"),
+            F.when(F.lower(cat).contains("vaccinated"), F.lit("Number_Vaccinated"))
+            .otherwise(F.lit("Number"))
+            .alias("Metric"),
+            F.col(value_col).alias("Value"),
+            *[c for c in long_df.columns if c in ("Academic_Year_End_Date",
+                                                   "Academic_Year_Text",
+                                                   "Date_Extract", "__a1_text")],
+        )
+    )
+
+
 def normalize_wide_sheet(df: DataFrame, id_col: str = ID_COL) -> DataFrame:
-    """One wide sheet → long (Borough, Year_Group, Gender, Metric, Value)."""
-    df = df.withColumn(id_col, initcap_trim(id_col))
+    """One wide sheet → long (Borough, Year_Group, Gender, Metric, Value).
+
+    Column drops by NAME (main.py:40-42) happen schema-side here; the
+    equivalent category-name filter in derive_dimensions is a no-op on
+    what remains (same predicate, same result)."""
     df = drop_columns_by_name(df, "%", "2 doses")
     long_df = unpivot(df, [id_col], None, "Category", "Value")
-    cat = F.col("Category")
-    return long_df.select(
-        F.col(id_col).alias("Borough_Name"),
-        regexp_extract_null(cat, r"(\d+)").alias("Year_Group_Number"),
-        F.when(cat.contains("females"), F.lit("Female"))
-        .otherwise(F.lit("Male"))
-        .alias("Gender_Name"),
-        F.when(F.lower(cat).contains("vaccinated"), F.lit("Number_Vaccinated"))
-        .otherwise(F.lit("Number"))
-        .alias("Metric"),
-        F.col("Value"),
-    )
+    return derive_dimensions(long_df, borough_col=id_col)
 
 
 PIVOT_KEYS = (
@@ -114,14 +137,16 @@ def pivot_measures(long_df: DataFrame) -> DataFrame:
     )
 
 
-def academic_year_meta(a1_text: str | None) -> tuple[Column, Column]:
+def academic_year_meta(a1_text: str | None | Column) -> tuple[Column, Column]:
     """A1 header text → (end-year int, academic-year text) as Columns.
 
     The reference does this driver-side on the collected cell value
-    (main.py:60-67); the same expressions work on a literal here.
-    No-match → NULLs (total semantics vs the reference's missing column).
+    (main.py:60-67); the same expressions work on a literal — or on a
+    per-row Column when the source carries the A1 text as a column (the
+    distributed CSV sheet reader). No-match → NULLs (total semantics vs
+    the reference's missing column).
     """
-    lit = F.lit(a1_text)
+    lit = a1_text if isinstance(a1_text, Column) else F.lit(a1_text)
     year_end = F.try_element_at(F.split(F.trim(lit), " "), F.lit(-1)).try_cast("int")
     year_text = regexp_extract_null(lit, ACADEMIC_YEAR_RE)
     return year_end, year_text
