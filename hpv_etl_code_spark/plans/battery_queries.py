@@ -152,7 +152,41 @@ FROM events a JOIN events b
 """
 
 
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont — same continuous-interpolation semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS median_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — HyperLogLog++ count-distinct and KLL-style
+    approximate percentile. Rows-only (sketch internals are engine
+    specific); the exact twins above are the correctness anchor, these
+    are the 100 TB path (bounded memory, one pass, mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("percentile_battery", percentile_battery, PERCENTILE_SQL)
+    register("approx_sketches", approx_sketches, None)
     register("agg_battery", agg_battery, AGG_BATTERY_SQL)
     register("date_funcs_battery", date_funcs_battery, DATE_FUNCS_SQL)
     register("null_funcs_battery", null_funcs_battery, NULL_FUNCS_SQL)
