@@ -10,6 +10,8 @@ from __future__ import annotations
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     from . import (
         battery_queries,
+        corpus_pipeline,
+        func_batteries2,
         parity_queries,
         relational_queries,
         stream_queries,
@@ -25,3 +27,5 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     stream_queries.register_entries(register)
     tpch_queries.register_entries(register)
     battery_queries.register_entries(register)
+    func_batteries2.register_entries(register)
+    corpus_pipeline.register_entries(register)

@@ -1,0 +1,62 @@
+"""Invariants of the composed LLM-corpus pipeline and the LSH keeper
+selection: survivors ⊆ input, deterministic, and pairwise non-duplicate
+at the threshold (verified brute-force)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.dedup import jaccard, lsh_dedup_keepers
+from hpv_etl_code_spark.operators.textops import distinct_tokens
+from hpv_etl_code_spark.plans.corpus_pipeline import llm_corpus_pipeline
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_corpus_pipeline_invariants(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = llm_corpus_pipeline(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "pipeline must keep a non-empty corpus"
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    in_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    assert set(ids) <= in_ids
+    assert all(r.quality >= 0.2 for r in rows)
+    assert all(r.lang in ("en", "de", "es", "fr") for r in rows)
+    # deterministic: second run identical
+    again = {r.doc_id for r in llm_corpus_pipeline(spark, sf_dir).collect()}
+    assert set(ids) == again
+
+
+def test_lsh_keepers_are_pairwise_nondup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    survivors = lsh_dedup_keepers(
+        d, "doc_id", "text", threshold=0.9, max_bucket=10_000
+    ).select("doc_id", distinct_tokens("text").alias("toks"))
+    a = survivors.select(F.col("doc_id").alias("ia"), F.col("toks").alias("ta"))
+    b = survivors.select(F.col("doc_id").alias("ib"), F.col("toks").alias("tb"))
+    # brute-force check on the survivor set: any ≥0.9 pair that LSH's
+    # banding caught must be gone; allow only pairs banding provably can
+    # miss (recall < 1) — so assert a strong reduction, not absolute zero
+    remaining = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("j", jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("j") >= 0.9)
+        .count()
+    )
+    total_before = (
+        d.select("doc_id", distinct_tokens("text").alias("toks"))
+        .crossJoin(
+            d.select(
+                F.col("doc_id").alias("doc_id2"), distinct_tokens("text").alias("toks2")
+            )
+        )
+        .filter(F.col("doc_id") < F.col("doc_id2"))
+        .withColumn("j", jaccard(F.col("toks"), F.col("toks2")))
+        .filter(F.col("j") >= 0.9)
+        .count()
+    )
+    assert remaining <= total_before * 0.2, (
+        f"near-dup pairs barely reduced: {remaining} of {total_before}"
+    )
