@@ -50,6 +50,46 @@ def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
     assert got == want
 
 
+def test_streaming_sliding_equals_batch(spark, events_stream_dir):
+    from hpv_etl_code_spark.streaming.windows import sliding_counts
+
+    stream = _stream(spark, events_stream_dir)
+    windowed = sliding_counts(
+        stream, duration="1 day", slide="12 hours", watermark="1 day"
+    )
+    run_to_memory_sink(windowed, "sliding_test", output_mode="complete")
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in sliding_counts(
+            spark.read.parquet(events_stream_dir), duration="1 day", slide="12 hours"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_windows_equals_batch(spark, events_stream_dir):
+    from hpv_etl_code_spark.streaming.windows import session_windows
+
+    stream = _stream(spark, events_stream_dir)
+    sessions = session_windows(stream, gap="4 hours", watermark="2 days")
+    run_to_memory_sink(sessions, "session_test", output_mode="complete")
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    want = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value)
+        for r in session_windows(
+            spark.read.parquet(events_stream_dir), gap="4 hours"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     stream = _stream(spark, events_stream_dir)
     deduped = dedup_within_watermark(stream, ["user_id", "event_type"], watermark="30 days")
