@@ -130,7 +130,69 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 analog: pure filter + aggregate — every predicate lands in
+    PushedFilters; the scan prunes to 4 columns; no shuffle at all
+    beyond the final single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,8))) AS DECIMAL(38,8))
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation salted join (operators/skew.py), oracle-checked
+    against plain join semantics: customer segment revenue via orders,
+    with orders scattered across 8 salt partitions."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return (
+        salted_join(o, c, "o_custkey", num_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, headline=True)
+    register("salted_fact_join", salted_fact_join, SALTED_JOIN_SQL)
     register("q3_shipping_priority", q3_shipping_priority, Q3_SQL, headline=True)
     register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL, headline=True)
     register("sql_grouping_sets", sql_grouping_sets, SQL_GROUPING_SETS_SQL)
