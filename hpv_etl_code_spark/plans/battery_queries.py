@@ -127,7 +127,7 @@ SELECT doc_id,
   list_contains(string_split(text, ' '), 'data') AS has_data,
   COALESCE(list_position(string_split(text, ' '), 'spark'), 0)::BIGINT AS spark_pos,
   list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted,
-  len(string_split(text, ' ')) AS n
+  len(string_split(text, ' '))::INT AS n
 FROM documents
 """
 

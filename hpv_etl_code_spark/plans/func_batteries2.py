@@ -60,7 +60,7 @@ def regex_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGEX_FUNCS_SQL = """
 SELECT doc_id,
   regexp_replace(text, '\\bdata\\b', 'DATA', 'g') AS replaced,
-  len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+  len(regexp_extract_all(text, '[aeiou]'))::INT AS n_vowels,
   regexp_matches(text, 'join.*filter') AS has_join_then_filter,
   lang LIKE 'e%' AS lang_starts_e,
   regexp_extract_all(text, '\\b(s\\w+)\\b', 1) AS s_words

@@ -144,15 +144,15 @@ cleaned AS (
   WHERE students_total IS NOT NULL AND students_vaccinated IS NOT NULL
 )
 SELECT
-  borough_name AS borough_name,
+  borough_name AS "BOROUGH_NAME",
   CASE WHEN GROUPING(year_group_number) = 1 THEN 'All'
-       ELSE year_group_number END AS year_group_number,
-  CASE WHEN GROUPING(gender_name) = 1 THEN 'Both' ELSE gender_name END AS gender_name,
-  SUM(students_total) AS students_total,
-  SUM(students_vaccinated) AS students_vaccinated,
-  academic_year_end_date AS academic_year_end_date,
-  academic_year_text AS academic_year_text,
-  date_extract AS date_extract
+       ELSE year_group_number END AS "YEAR_GROUP_NUMBER",
+  CASE WHEN GROUPING(gender_name) = 1 THEN 'Both' ELSE gender_name END AS "GENDER_NAME",
+  CAST(SUM(students_total) AS BIGINT) AS "STUDENTS_TOTAL",
+  CAST(SUM(students_vaccinated) AS BIGINT) AS "STUDENTS_VACCINATED",
+  academic_year_end_date AS "ACADEMIC_YEAR_END_DATE",
+  academic_year_text AS "ACADEMIC_YEAR_TEXT",
+  date_extract AS "DATE_EXTRACT"
 FROM cleaned
 GROUP BY GROUPING SETS (
   (borough_name, academic_year_end_date, academic_year_text, date_extract,

@@ -149,7 +149,7 @@ WINDOW_TOPK_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
     ROW_NUMBER() OVER (PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rk
   FROM orders
 ) WHERE rk <= 3
 """
@@ -342,7 +342,7 @@ SELECT p_partkey,
                   w -> upper(w[1:1]) || lower(w[2:])), ' ') AS type_title,
   NULLIF(regexp_extract(p_name, '(\\d+)', 1), '') AS first_digits,
   string_split(p_type, ' ')[-1] AS type_last_word,
-  length(p_name) AS name_len,
+  length(p_name)::INT AS name_len,
   concat_ws('|', p_brand, p_type) AS brand_type,
   CASE WHEN contains(lower(p_type), 'steel') THEN 'metal' ELSE 'other' END
     AS material_class

@@ -84,7 +84,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_BINARY_SQL = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+SELECT doc_id, octet_length(encode(text))::INT AS n_bytes, md5(text) AS digest
 FROM documents
 """
 

@@ -41,9 +41,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_STATS_SQL = """
 SELECT doc_id,
-  len(string_split(text, ' ')) AS n_tokens,
-  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
-  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  len(string_split(text, ' '))::INT AS n_tokens,
+  len(regexp_extract_all(text, '[a-z]+'))::INT AS n_alpha_tokens,
+  len(list_distinct(string_split(text, ' ')))::INT AS n_distinct_tokens,
   ROUND(list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1.0
         / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len
 FROM documents

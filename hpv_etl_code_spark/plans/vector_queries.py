@@ -27,7 +27,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VECTOR_STATS_SQL = """
-SELECT vec_id, label, len(embedding) AS dim,
+SELECT vec_id, label, len(embedding)::INT AS dim,
   ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
 FROM embeddings
 """
@@ -50,7 +50,7 @@ SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, rk FROM (
       PARTITION BY a.vec_id
       ORDER BY list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
-        b.vec_id ASC) AS rk
+        b.vec_id ASC)::INT AS rk
   FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id != a.vec_id
 )
 WHERE rk <= 5
