@@ -1,0 +1,142 @@
+"""Window analytics (first/last/nth value), map functions, and
+multi-aggregate pivot — remaining §2.8/§2.4/§2.3 surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.registry import load_table
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value/rank/dense_rank/ntile over each
+    customer's order history (frame = whole partition for the value
+    functions, running for rank)."""
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    full_w = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(full_w).alias("first_price"),
+        F.last_value("o_totalprice").over(full_w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full_w).alias("second_price"),
+        F.rank().over(order_w).alias("rnk"),
+        F.dense_rank().over(order_w).alias("drnk"),
+        F.ntile(4).over(order_w).alias("quartile"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(o_totalprice) OVER w_full AS first_price,
+  LAST_VALUE(o_totalprice) OVER w_full AS last_price,
+  NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price,
+  (RANK() OVER w_ord)::INT AS rnk,
+  (DENSE_RANK() OVER w_ord)::INT AS drnk,
+  (NTILE(4) OVER w_ord)::INT AS quartile
+FROM orders
+WINDOW
+  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access: build a map from JSON props, read
+    through it, enumerate keys. Maps are compared via sorted entry
+    strings (engine map ordering differs)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("type").alias("type_via_map"),
+        F.map_keys(m).alias("keys_sorted"),  # literal key order — stable
+        F.size(m).alias("n_keys"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT event_id,
+  MAP(['type','uid'], [event_type, user_id::VARCHAR])['type'][1] AS type_via_map,
+  ['type','uid'] AS keys_sorted,
+  2::INT AS n_keys
+FROM events
+"""
+
+
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (sum + count per
+    linestatus) — column naming follows Spark's `{value}_{alias}`
+    convention, reproduced explicitly in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+PIVOT_MULTI_AGG_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
+       AS DECIMAL(38,8)) AS F_qty,
+  COUNT(*) FILTER (l_linestatus='F') AS F_cnt,
+  CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
+       AS DECIMAL(38,8)) AS O_qty,
+  COUNT(*) FILTER (l_linestatus='O') AS O_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (operators/merge.py): an updates batch (every 7th
+    order repriced, plus brand-new keys) upserted into orders."""
+    from ..operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    repriced = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    new_rows = o.filter(F.col("o_orderkey") % 1000 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    updates = repriced.unionByName(new_rows)
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+MERGE_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 3
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_SQL)
+    register("window_analytics", window_analytics, WINDOW_ANALYTICS_SQL)
+    register("map_funcs_battery", map_funcs_battery, MAP_FUNCS_SQL)
+    register("pivot_multi_agg", pivot_multi_agg, PIVOT_MULTI_AGG_SQL)

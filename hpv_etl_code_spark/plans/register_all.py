@@ -9,6 +9,7 @@ from __future__ import annotations
 
 def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     from . import (
+        analytics_queries,
         battery_queries,
         corpus_pipeline,
         func_batteries2,
@@ -29,3 +30,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     battery_queries.register_entries(register)
     func_batteries2.register_entries(register)
     corpus_pipeline.register_entries(register)
+    analytics_queries.register_entries(register)
