@@ -109,8 +109,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.merge import merge_upsert
 
     o = load_table(spark, sf_dir, "orders")
+    # ×2 is exact in IEEE (exponent bump) — a ×1.1-then-round reprice hits
+    # half-way rounding ties where engines disagree
     repriced = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        "o_totalprice", F.col("o_totalprice") * 2
     )
     new_rows = o.filter(F.col("o_orderkey") % 1000 == 3).withColumn(
         "o_orderkey", F.col("o_orderkey") + 10_000_000
@@ -122,7 +124,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MERGE_UPSERT_SQL = """
 WITH updates AS (
-  SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
   FROM orders WHERE o_orderkey % 7 = 0
   UNION ALL
   SELECT o_orderkey + 10000000, o_custkey, o_totalprice
