@@ -83,7 +83,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, k=5, nbits=6, ntables=2)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + probe) approximate top-5 — rows-only; recall
+    covered by the clustered-fixture test."""
+    from ..operators.ivf import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_cells=8, nprobe=2)
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("ann_ivf_topk", ann_ivf_topk, None)
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
     register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)

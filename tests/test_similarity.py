@@ -64,6 +64,30 @@ def test_ann_recall_on_clustered_data(clustered):
     assert recall >= 0.8, f"ANN recall {recall:.2f} too low on clustered data"
 
 
+def test_ivf_recall_on_clustered_data(clustered):
+    from hpv_etl_code_spark.operators.ivf import ivf_topk
+
+    q = clustered.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(clustered, q, k=5, n_cells=5, nprobe=2, iterations=3).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low on clustered data"
+
+
+def test_ivf_kmeans_is_deterministic(clustered):
+    from hpv_etl_code_spark.operators.ivf import kmeans_fit
+
+    c1 = kmeans_fit(clustered, "vec_id", "embedding", k=5, iterations=3)
+    c2 = kmeans_fit(clustered, "vec_id", "embedding", k=5, iterations=3)
+    assert c1 == c2
+
+
 def test_ann_subset_of_bruteforce_scores(clustered):
     """ANN scores can never exceed the true k-th best (it only prunes)."""
     q = clustered.filter(F.col("vec_id") == 0)

@@ -104,6 +104,47 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     assert got == want
 
 
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart fault tolerance: a checkpointed file-source →
+    parquet-sink stream processes the initial files, stops, new files
+    arrive, the SAME checkpoint resumes — output must contain every row
+    exactly once (no reprocessing of the first batch)."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+    first_half.write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first_half.count()
+
+    second_half.write.mode("append").parquet(str(src))
+    run_once()  # resume from the same checkpoint
+
+    got_ids = [r.event_id for r in spark.read.parquet(out).select("event_id").collect()]
+    assert len(got_ids) == ev.count(), "restart must process ONLY the new files"
+    assert len(set(got_ids)) == len(got_ids), "no row may be duplicated"
+
+
 def test_apply_in_pandas_with_state(spark, events_stream_dir):
     stream = _stream(spark, events_stream_dir)
     counts = running_user_counts(stream)
