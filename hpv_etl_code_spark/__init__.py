@@ -22,3 +22,26 @@ tiny driver-side metadata reads.
 """
 
 __version__ = "0.1.0"
+
+# Public API — a reference user's entry points, importable flat:
+#   from hpv_etl_code_spark import get_spark, run_hpv_job, JobConfig
+from .session import get_spark  # noqa: E402
+
+
+def __getattr__(name):  # lazy — operator modules need an active JVM only at use
+    import importlib
+
+    surface = {
+        "JobConfig": ("hpv_etl_code_spark.plans.job", "JobConfig"),
+        "run_hpv_job": ("hpv_etl_code_spark.plans.job", "run_hpv_job"),
+        "run_pipeline": ("hpv_etl_code_spark.plans.hpv_pipeline", "run_pipeline"),
+        "catalog": ("hpv_etl_code_spark.catalog", None),
+        "load_table": ("hpv_etl_code_spark.sources.registry", "load_table"),
+        "register_views": ("hpv_etl_code_spark.sources.registry", "register_views"),
+        "overwrite_parquet": ("hpv_etl_code_spark.sources.sinks", "overwrite_parquet"),
+    }
+    if name in surface:
+        mod, attr = surface[name]
+        m = importlib.import_module(mod)
+        return m if attr is None else getattr(m, attr)
+    raise AttributeError(name)

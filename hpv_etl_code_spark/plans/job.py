@@ -38,6 +38,10 @@ class JobConfig:
     data_glob: str
     output_path: str
     extract_date: dt.date
+    #: partition the sink by academic year and overwrite only the years
+    #: present in the batch — the incremental alternative to the
+    #: reference's truncate-everything (README.md:57)
+    incremental_by_year: bool = False
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "JobConfig":
@@ -51,6 +55,7 @@ class JobConfig:
             extract_date=(
                 dt.date.fromisoformat(date_s) if date_s else dt.date.today()
             ),
+            incremental_by_year=e.get("HPV_INCREMENTAL", "") == "1",
         )
 
 
@@ -74,4 +79,11 @@ def run_hpv_job(spark: SparkSession, config: JobConfig) -> int:
     reference prints this count, database_util.py:54)."""
     melted = read_sheets_csv(spark, config.data_glob)
     final = melted_to_final(melted, config.extract_date)
+    if config.incremental_by_year:
+        return overwrite_parquet(
+            final,
+            config.output_path,
+            partition_by=("ACADEMIC_YEAR_END_DATE",),
+            dynamic=True,
+        )
     return overwrite_parquet(final, config.output_path)

@@ -54,6 +54,41 @@ def test_csv_job_equals_inmemory_pipeline(spark, sheet_dir, tmp_path):
     assert got == want
 
 
+def test_incremental_job_overwrites_only_present_years(spark, tmp_path):
+    """A batch containing only the 2024 file must replace the 2024
+    partition and leave 2023 untouched."""
+    full_dir, inc_dir = tmp_path / "full", tmp_path / "inc"
+    full_dir.mkdir(), inc_dir.mkdir()
+    for i, (cols, rows, a1) in enumerate(hpv_fixture.FILES[:2], 1):
+        _write_sheet(full_dir / f"f{i}.csv", cols, rows, a1)
+    # the incremental batch: 2024 data again, but camden numbers doubled
+    cols, rows, a1 = hpv_fixture.FILES[0]
+    new_rows = [("camden", "200", "160", "180", "140", "240", "192", "80%", "60")]
+    _write_sheet(inc_dir / "f1.csv", cols, new_rows, a1)
+
+    out = str(tmp_path / "out")
+    run_hpv_job(
+        spark,
+        JobConfig(str(full_dir / "*.csv"), out, hpv_fixture.EXTRACT_DATE, True),
+    )
+    base = spark.read.parquet(out)
+    n_2023 = base.filter("ACADEMIC_YEAR_END_DATE = 2023").count()
+    assert n_2023 > 0
+
+    run_hpv_job(
+        spark,
+        JobConfig(str(inc_dir / "*.csv"), out, hpv_fixture.EXTRACT_DATE, True),
+    )
+    after = spark.read.parquet(out)
+    # 2023 partition untouched; 2024 replaced with the doubled batch
+    assert after.filter("ACADEMIC_YEAR_END_DATE = 2023").count() == n_2023
+    camden = after.filter(
+        "ACADEMIC_YEAR_END_DATE = 2024 AND BOROUGH_NAME = 'Camden' "
+        "AND YEAR_GROUP_NUMBER = '8' AND GENDER_NAME = 'Female'"
+    ).collect()
+    assert [r.STUDENTS_TOTAL for r in camden] == [200]
+
+
 def test_job_config_from_env():
     cfg = JobConfig.from_env(
         {
