@@ -14,6 +14,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         corpus_pipeline,
         func_batteries2,
         parity_queries,
+        profiling_queries,
         relational_queries,
         stream_queries,
         text_queries,
@@ -31,3 +32,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     func_batteries2.register_entries(register)
     corpus_pipeline.register_entries(register)
     analytics_queries.register_entries(register)
+    profiling_queries.register_entries(register)
