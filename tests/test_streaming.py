@@ -104,6 +104,79 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     assert got == want
 
 
+def test_stream_static_enrichment(spark, sf_dir, events_stream_dir):
+    """Stream⋈static: enrich the event stream with the customer
+    dimension (broadcast on the stream side — no stateful join needed)."""
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    stream = _stream(spark, events_stream_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream.join(F.broadcast(customers), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory_sink(enriched, "enrich_test", output_mode="complete")
+    got = {
+        r.c_mktsegment: r.n for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        r.c_mktsegment: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_stream_stream_join_with_watermarks(spark, events_stream_dir):
+    """Stream⋈stream: purchases joined to the same user's signups within
+    a bounded interval — both sides watermarked so join state is evicted
+    (the unbounded-state trap this API exists to avoid)."""
+    stream = _stream(spark, events_stream_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 days")
+    )
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "2 days")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("p_id", "user_id", "p_ts", "s_ts")
+    run_to_memory_sink(joined, "ss_join_test", output_mode="append")
+    got = {
+        (r.p_id, str(r.s_ts)) for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    ev = spark.read.parquet(events_stream_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    want = {
+        (r.p_id, str(r.s_ts))
+        for r in p.join(
+            s,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     """Kill-and-restart fault tolerance: a checkpointed file-source →
     parquet-sink stream processes the initial files, stops, new files
