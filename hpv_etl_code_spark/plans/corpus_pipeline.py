@@ -48,7 +48,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_deduped = gated.join(keepers, "doc_id", "left_semi")
     # near-dup removal last, on the smallest set
     return lsh_dedup_keepers(
-        exact_deduped, "doc_id", "text", threshold=0.9, max_bucket=10_000
+        exact_deduped, "doc_id", "text", threshold=0.9, max_bucket=100_000
     ).select("doc_id", "lang", "source", "quality", "n_tokens", "fingerprint")
 
 

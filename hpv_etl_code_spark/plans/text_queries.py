@@ -201,9 +201,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures)."""
     d = load_table(spark, sf_dir, "documents")
     # the synthetic corpus is pathologically dense (small shared vocab →
-    # most pairs are similar) — raise the hot-bucket cap that would
-    # protect a real 100 TB run so the fixture isn't silently dropped
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8, max_bucket=10_000)
+    # most pairs are similar); hot buckets are chunk-split across tasks
+    # (hot_bucket_mode="chunk") so output stays complete without a
+    # single-task pair explosion
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8, max_bucket=100_000)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

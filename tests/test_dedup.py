@@ -82,6 +82,36 @@ def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     assert len(got) / max(len(truth), 1) >= 0.5
 
 
+def test_chunked_hot_buckets_equal_unlimited(spark, sf_dir):
+    """Chunk-splitting hot buckets redistributes work WITHOUT changing
+    the result: output must equal a run where no bucket is hot."""
+    d = load_table(spark, sf_dir, "documents")
+    chunked = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", 0.8, max_bucket=50, hot_bucket_mode="chunk"
+        ).collect()
+    }
+    unlimited = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", 0.8, max_bucket=10_000_000, hot_bucket_mode="chunk"
+        ).collect()
+    }
+    assert chunked == unlimited and chunked
+
+
+def test_drop_mode_discards_hot_buckets(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    dropped = minhash_lsh_pairs(
+        d, "doc_id", "text", 0.8, max_bucket=5, hot_bucket_mode="drop"
+    ).count()
+    chunked = minhash_lsh_pairs(
+        d, "doc_id", "text", 0.8, max_bucket=5, hot_bucket_mode="chunk"
+    ).count()
+    assert dropped < chunked  # dense corpus → most buckets are hot
+
+
 def test_simhash_identical_texts_collide(spark):
     df = spark.createDataFrame(
         [
