@@ -373,7 +373,49 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 """
 
 
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers above the global average balance.
+    The average is computed once (broadcast scalar), decimal-exact so the
+    threshold comparison is engine-identical."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(20,8)")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
+  FROM customer)
+"""
+
+
+def in_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery shape (compiles to left-semi): customers holding at
+    least one top-decile-priced order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("scalar_subquery_above_avg", scalar_subquery_above_avg, SCALAR_SUBQUERY_SQL)
+    register("in_subquery_big_spenders", in_subquery_big_spenders, IN_SUBQUERY_SQL)
     register("join_broadcast_dims", join_broadcast_dims, JOIN_BROADCAST_SQL, headline=True)
     register("join_fact_fact", join_fact_fact, JOIN_FACT_FACT_SQL, headline=True)
     register("join_left_outer", join_left_outer, JOIN_LEFT_OUTER_SQL)
