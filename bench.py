@@ -32,10 +32,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in catalog.headline_queries().items():
-        fn(spark, sf_dir).count()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).count()  # warm-up
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the line
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(timings.values()), 4)
     print(
