@@ -13,6 +13,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         battery_queries,
         corpus_pipeline,
         func_batteries2,
+        func_batteries3,
         parity_queries,
         profiling_queries,
         relational_queries,
@@ -30,6 +31,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     tpch_queries.register_entries(register)
     battery_queries.register_entries(register)
     func_batteries2.register_entries(register)
+    func_batteries3.register_entries(register)
     corpus_pipeline.register_entries(register)
     analytics_queries.register_entries(register)
     profiling_queries.register_entries(register)
