@@ -22,6 +22,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row at-or-after each left row
+    (``right_ts >= left_ts``, ties match). Same union+window idiom as
+    backward, with a descending scan: right rows sort after left rows at
+    equal timestamps and the running ``last`` looks from the future side.
+    """
+    on = list(on)
+    pay_cols = [right_ts, *[p for p in payload if p != right_ts]]
+
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for p in pay_cols:
+        l_tagged = l_tagged.withColumn(f"__pay_{p}", F.lit(None))
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(p).alias(f"__pay_{p}") for p in pay_cols],
+    )
+    r_schema = dict(r_tagged.dtypes)
+    for p in pay_cols:
+        l_tagged = l_tagged.withColumn(
+            f"__pay_{p}", F.col(f"__pay_{p}").cast(r_schema[f"__pay_{p}"])
+        )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for p in pay_cols:
+        filled = filled.withColumn(
+            f"__pay_{p}", F.last(f"__pay_{p}", ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    for p in pay_cols:
+        out = out.withColumnRenamed(f"__pay_{p}", f"{p}{suffix}")
+    return out
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

@@ -413,9 +413,60 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event's NEXT purchase by the same user (the
+    conversion-attribution shape)."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join_forward(
+        ev, purchases, on=["user_id"], left_ts="ts", right_ts="ts", payload=["ts"]
+    ).select("event_id", "user_id", "ts", F.col("ts_asof").alias("next_purchase_ts"))
+
+
+ASOF_FORWARD_SQL = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing-7-day spend per
+    customer — rangeBetween on epoch seconds (value-based frame, not
+    row-count), the core trailing-metric idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(20,8)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        run.cast("decimal(38,8)").alias("trailing_7d_spend"),
+    )
+
+
+WINDOW_TRAILING_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+    PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))::BIGINT
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(38,8))
+    AS trailing_7d_spend
+FROM orders
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("scalar_subquery_above_avg", scalar_subquery_above_avg, SCALAR_SUBQUERY_SQL)
     register("in_subquery_big_spenders", in_subquery_big_spenders, IN_SUBQUERY_SQL)
+    register("asof_join_next_purchase", asof_join_next_purchase, ASOF_FORWARD_SQL)
+    register("window_trailing_range", window_trailing_range, WINDOW_TRAILING_RANGE_SQL)
     register("join_broadcast_dims", join_broadcast_dims, JOIN_BROADCAST_SQL, headline=True)
     register("join_fact_fact", join_fact_fact, JOIN_FACT_FACT_SQL, headline=True)
     register("join_left_outer", join_left_outer, JOIN_LEFT_OUTER_SQL)
