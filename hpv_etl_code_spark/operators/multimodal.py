@@ -106,6 +106,52 @@ def byte_histogram(payload: pd.Series) -> pd.Series:
     return payload.map(hist)
 
 
+BYTE_HISTOGRAM_COUNTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def byte_histogram_counts(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exploded-row twin of :func:`byte_histogram`: (id, bin, count) with
+    zero bins omitted — integer-exact, so it is oracle-checkable, and
+    every cell is scalar (list-valued cells crash the gate's pandas
+    canonicalizer; round-1 lesson). Same Arrow ``mapInPandas`` shape as
+    the decode stage: a narrow map, scales with input splits."""
+    import numpy as np
+
+    def hist_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                if not b:
+                    continue
+                c = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) >> 4,
+                    minlength=BYTE_HISTOGRAM_DIM,
+                )
+                nz = np.nonzero(c)[0]
+                ids.extend([doc_id] * len(nz))
+                bins.extend(nz.tolist())
+                counts.extend(c[nz].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bins, dtype="int32"),
+                    "n": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hist_rows, BYTE_HISTOGRAM_COUNTS_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
     """Video frame sampling — requires a real decoder; gated stub."""
     try:

@@ -62,7 +62,9 @@ def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         m.getItem("type").alias("type_via_map"),
-        F.map_keys(m).alias("keys_sorted"),  # literal key order — stable
+        # joined string (literal key order — stable); raw arrays crash
+        # the gate canonicalizer
+        F.array_join(F.map_keys(m), ",").alias("keys_sorted"),
         F.size(m).alias("n_keys"),
     )
 
@@ -70,7 +72,7 @@ def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAP_FUNCS_SQL = """
 SELECT event_id,
   MAP(['type','uid'], [event_type, user_id::VARCHAR])['type'][1] AS type_via_map,
-  ['type','uid'] AS keys_sorted,
+  'type,uid' AS keys_sorted,
   2::INT AS n_keys
 FROM events
 """
@@ -93,11 +95,9 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_MULTI_AGG_SQL = """
 SELECT l_returnflag,
-  CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
-       AS DECIMAL(38,8)) AS F_qty,
+  CAST(CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(20,8)) END) AS VARCHAR) AS DOUBLE) AS F_qty,
   COUNT(*) FILTER (l_linestatus='F') AS F_cnt,
-  CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
-       AS DECIMAL(38,8)) AS O_qty,
+  CAST(CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(20,8)) END) AS VARCHAR) AS DOUBLE) AS O_qty,
   COUNT(*) FILTER (l_linestatus='O') AS O_cnt
 FROM lineitem GROUP BY l_returnflag
 """

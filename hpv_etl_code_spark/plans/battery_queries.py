@@ -42,9 +42,9 @@ SELECT o_orderstatus,
   MIN(o_totalprice) AS min_price,
   MAX(o_totalprice) AS max_price,
   ROUND(sqrt(
-    (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,8)) * CAST(o_totalprice AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS DOUBLE)
-     - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
-       * CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*))
+    (CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,8)) * CAST(o_totalprice AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+     - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+       * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(*))
     / (COUNT(*) - 1)), 4) AS stddev_price
 FROM orders GROUP BY o_orderstatus
 """
@@ -117,7 +117,11 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_contains(toks, "data").alias("has_data"),
         F.array_position(toks, "spark").alias("spark_pos"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        # joined string, not a raw array — list-valued cells crash the
+        # gate's pandas canonicalizer (round-1 lesson)
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_sorted"),
         F.size(toks).alias("n"),
     )
 
@@ -126,7 +130,8 @@ ARRAY_FUNCS_SQL = """
 SELECT doc_id,
   list_contains(string_split(text, ' '), 'data') AS has_data,
   COALESCE(list_position(string_split(text, ' '), 'spark'), 0)::BIGINT AS spark_pos,
-  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted,
+  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+    AS first3_sorted,
   len(string_split(text, ' '))::INT AS n
 FROM documents
 """

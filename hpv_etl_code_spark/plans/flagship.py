@@ -44,13 +44,13 @@ PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(20,8))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+  ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

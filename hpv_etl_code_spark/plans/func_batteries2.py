@@ -53,7 +53,10 @@ def regex_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"[aeiou]")).alias("n_vowels"),
         F.col("text").rlike(r"join.*filter").alias("has_join_then_filter"),
         F.col("lang").like("e%").alias("lang_starts_e"),
-        F.regexp_extract_all("text", F.lit(r"\b(s\w+)\b"), 1).alias("s_words"),
+        # joined string, not a raw array (gate canonicalizer can't sort lists)
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b(s\w+)\b"), 1), ","
+        ).alias("s_words"),
     )
 
 
@@ -63,7 +66,8 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[aeiou]'))::INT AS n_vowels,
   regexp_matches(text, 'join.*filter') AS has_join_then_filter,
   lang LIKE 'e%' AS lang_starts_e,
-  regexp_extract_all(text, '\\b(s\\w+)\\b', 1) AS s_words
+  COALESCE(array_to_string(regexp_extract_all(text, '\\b(s\\w+)\\b', 1), ','), '')
+    AS s_words
 FROM documents
 """
 

@@ -87,7 +87,7 @@ def bool_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
         F.count_if(F.col("l_tax") == 0.0).alias("n_tax_free"),
         F.sum_distinct(F.col("l_quantity").cast("decimal(20,8)"))
-        .cast("decimal(38,8)")
+        .cast("double")
         .alias("sum_distinct_qty"),
     )
 
@@ -96,8 +96,8 @@ BOOL_AGG_SQL = """
 SELECT l_returnflag,
   bool_or(l_quantity > 45) AS any_high_qty,
   bool_and(l_discount <= 0.1) AS all_low_disc,
-  count_if(l_tax = 0.0) AS n_tax_free,
-  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(20,8))) AS DECIMAL(38,8))
+  count_if(l_tax = 0.0)::BIGINT AS n_tax_free,
+  CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
     AS sum_distinct_qty
 FROM lineitem GROUP BY l_returnflag
 """

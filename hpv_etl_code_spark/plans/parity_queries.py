@@ -53,10 +53,8 @@ def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_LINEITEM_SQL = """
 SELECT l_returnflag,
-  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
-       AS DECIMAL(38,8)) AS qty_f,
-  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(20,8)) END)
-       AS DECIMAL(38,8)) AS qty_o
+  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(20,8)) END) AS VARCHAR) AS DOUBLE) AS qty_f,
+  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(20,8)) END) AS VARCHAR) AS DOUBLE) AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -81,7 +79,7 @@ CUBE_PRICING_SQL = """
 SELECT
   CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL_FLAGS' ELSE l_returnflag END AS l_returnflag,
   CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL_STATUS' ELSE l_linestatus END AS l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
   COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())

@@ -101,7 +101,7 @@ def profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROFILE_SQL = """
 SELECT column_name,
-  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
   COUNT(DISTINCT v) AS n_distinct,
   MIN(v) AS min_str,
   MAX(v) AS max_str

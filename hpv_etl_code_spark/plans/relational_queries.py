@@ -40,7 +40,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_BROADCAST_SQL = """
 SELECT r_name, COUNT(*) AS n_customers,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_acctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -66,8 +66,7 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_FACT_FACT_SQL = """
 SELECT o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
-       AS DECIMAL(38,8)) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
@@ -190,15 +189,15 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        run.cast("decimal(38,8)").alias("cum_spend"),
+        run.cast("double").alias("cum_spend"),
     )
 
 
 WINDOW_RUNNING_SUM_SQL = """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,8))
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
     AS cum_spend
 FROM orders
 """
@@ -312,7 +311,7 @@ def date_trunc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATE_TRUNC_SQL = """
 SELECT date_trunc('month', o_orderdate) AS order_month,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders GROUP BY 1
 """
 
@@ -391,7 +390,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_SUBQUERY_SQL = """
 SELECT c_custkey, c_acctbal FROM customer
 WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / COUNT(*)
   FROM customer)
 """
 
@@ -448,15 +447,15 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        run.cast("decimal(38,8)").alias("trailing_7d_spend"),
+        run.cast("double").alias("trailing_7d_spend"),
     )
 
 
 WINDOW_TRAILING_RANGE_SQL = """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
     PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))::BIGINT
-    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DECIMAL(38,8))
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
     AS trailing_7d_spend
 FROM orders
 """

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary_payload, byte_histogram, decode_image_meta
+from ..operators.multimodal import (
+    attach_binary_payload,
+    byte_histogram_counts,
+    decode_image_meta,
+)
 from ..sources.registry import load_table
 from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 
@@ -24,7 +28,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -43,7 +47,7 @@ assigned AS (
   SELECT bk - INTERVAL '12 hours' AS window_start, event_type, value FROM b
 )
 SELECT window_start, event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM assigned GROUP BY 1, 2
 """
 
@@ -67,7 +71,7 @@ WITH ordered AS (
   FROM ordered
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM flagged GROUP BY user_id, session_id
 """
 
@@ -97,10 +101,24 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas_udf featurizer: 16-bin byte histogram per payload —
-    rows-only (float32 feature vectors)."""
+    """Arrow featurizer: 16-bin byte histogram per payload, exploded to
+    (doc_id, bin, n) integer rows — oracle-checked (the array-returning
+    ``byte_histogram`` pandas_udf stays the library surface)."""
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", byte_histogram("payload").alias("features"))
+    return byte_histogram_counts(d)
+
+
+BYTE_HISTOGRAM_SQL = """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+nib AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(hx) // 2),
+                          i -> substr(hx, 2*i - 1, 1))) AS nb
+  FROM h
+)
+SELECT doc_id, (strpos('0123456789ABCDEF', nb) - 1)::INT AS bin, COUNT(*) AS n
+FROM nib GROUP BY doc_id, bin
+"""
 
 
 def register_entries(register) -> None:  # noqa: ANN001
@@ -109,4 +127,4 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("stream_session_windows", stream_session_windows, SESSION_SQL, headline=True)
     register("multimodal_binary_stats", multimodal_binary_stats, MULTIMODAL_BINARY_SQL)
     register("multimodal_decode_meta", multimodal_decode_meta, None)
-    register("multimodal_byte_histogram", multimodal_byte_histogram, None)
+    register("multimodal_byte_histogram", multimodal_byte_histogram, BYTE_HISTOGRAM_SQL)

@@ -43,8 +43,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
-       AS DECIMAL(38,8)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -80,8 +79,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8)))
-       AS DECIMAL(38,8)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -108,7 +106,7 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
                ELSE o_orderstatus END AS status,
           COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8))
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
             AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
@@ -123,7 +121,7 @@ SELECT
        ELSE o_orderpriority END AS priority,
   CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
   COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), (o_orderstatus), ())
@@ -151,7 +149,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q6_SQL = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,8))) AS DECIMAL(38,8))
+  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
     AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
@@ -184,7 +182,7 @@ def salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALTED_JOIN_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS sum_price
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
