@@ -12,6 +12,13 @@ Cost: a single hash exchange on the key + per-partition sort — linear,
 skew-tolerant under AQE, and immune to the O(|L|·|R|) blow-up a naive
 non-equi join would produce at 100 TB. Right-side rows sort before left
 rows at equal timestamps, which yields the inclusive (>=) match.
+
+The whole right payload travels as ONE struct through the window fill:
+``last(struct, ignoreNulls)`` — the struct row is non-null even when
+individual fields are NULL, so the matched right row arrives intact.
+(Filling each payload column independently would tear rows: a NULL
+field in the matched row would be papered over with the value from an
+OLDER right row.)
 """
 
 from __future__ import annotations
@@ -20,6 +27,50 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    suffix: str,
+    forward: bool,
+) -> DataFrame:
+    on = list(on)
+    pay_cols = [right_ts, *[p for p in payload if p != right_ts]]
+
+    # the right row travels as one struct so matched fields never mix
+    # across different right rows (torn-row hazard)
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(p).alias(p) for p in pay_cols]).alias("__pay"),
+    )
+    pay_type = r_tagged.schema["__pay"].dataType
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__pay", F.lit(None).cast(pay_type))
+    )
+
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    order = F.col("__ts").desc() if forward else F.col("__ts").asc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__pay", F.last("__pay", ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__side") == 1)
+    for p in pay_cols:
+        out = out.withColumn(f"{p}{suffix}", F.col("__pay").getField(p))
+    return out.drop("__ts", "__side", "__pay")
 
 
 def asof_join_forward(
@@ -36,38 +87,9 @@ def asof_join_forward(
     backward, with a descending scan: right rows sort after left rows at
     equal timestamps and the running ``last`` looks from the future side.
     """
-    on = list(on)
-    pay_cols = [right_ts, *[p for p in payload if p != right_ts]]
-
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for p in pay_cols:
-        l_tagged = l_tagged.withColumn(f"__pay_{p}", F.lit(None))
-    r_tagged = right.select(
-        *on,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__pay_{p}") for p in pay_cols],
+    return _asof_join(
+        left, right, on, left_ts, right_ts, payload, suffix, forward=True
     )
-    r_schema = dict(r_tagged.dtypes)
-    for p in pay_cols:
-        l_tagged = l_tagged.withColumn(
-            f"__pay_{p}", F.col(f"__pay_{p}").cast(r_schema[f"__pay_{p}"])
-        )
-    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned
-    for p in pay_cols:
-        filled = filled.withColumn(
-            f"__pay_{p}", F.last(f"__pay_{p}", ignorenulls=True).over(w)
-        )
-    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
-    for p in pay_cols:
-        out = out.withColumnRenamed(f"__pay_{p}", f"{p}{suffix}")
-    return out
 
 
 def asof_join_backward(
@@ -84,42 +106,6 @@ def asof_join_backward(
     ``payload``: right-side columns to attach (each renamed ``{col}{suffix}``).
     The right timestamp itself is attached as ``{right_ts}{suffix}``.
     """
-    on = list(on)
-    pay_cols = [right_ts, *[p for p in payload if p != right_ts]]
-
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__side", F.lit(1)
+    return _asof_join(
+        left, right, on, left_ts, right_ts, payload, suffix, forward=False
     )
-    for p in pay_cols:
-        l_tagged = l_tagged.withColumn(f"__pay_{p}", F.lit(None))
-
-    r_tagged = right.select(
-        *on,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__pay_{p}") for p in pay_cols],
-    )
-    # cast right payload placeholders on the left to the right's types
-    r_schema = dict(r_tagged.dtypes)
-    for p in pay_cols:
-        l_tagged = l_tagged.withColumn(
-            f"__pay_{p}", F.col(f"__pay_{p}").cast(r_schema[f"__pay_{p}"])
-        )
-
-    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned
-    for p in pay_cols:
-        filled = filled.withColumn(
-            f"__pay_{p}", F.last(f"__pay_{p}", ignorenulls=True).over(w)
-        )
-
-    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
-    for p in pay_cols:
-        out = out.withColumnRenamed(f"__pay_{p}", f"{p}{suffix}")
-    return out

@@ -32,8 +32,16 @@ def salted_join(
 
     big rows get a random-ish deterministic salt (hash of all columns
     mod R — NOT rand(), so retries/speculative tasks see stable values);
-    small rows are replicated R times. Output equals the plain join.
+    small rows are replicated R times. Output equals the plain join for
+    ``how`` in {'inner', 'left'} — the only supported types: with
+    right/full outer, every unmatched small-side replica would surface
+    as its own output row (R copies), diverging from the plain join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(outer variants would emit unmatched small-side rows once per salt)"
+        )
     salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     b = big.withColumn("__salt", salt_b)
     s = small.withColumn(

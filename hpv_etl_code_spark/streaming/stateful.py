@@ -119,16 +119,39 @@ def _make_sessionizer(gap_seconds: int):
     return sessionize
 
 
+_GAP_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _parse_gap(gap: str) -> int:
+    """'30 minutes' → 1800 (same grammar subset as Spark intervals)."""
+    parts = gap.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _GAP_UNITS:
+        raise ValueError(f"unparseable session gap {gap!r}; use e.g. '30 minutes'")
+    return int(parts[0]) * _GAP_UNITS[parts[1].lower()]
+
+
 def sessionize_stream(
     stream_df: DataFrame,
     gap: str = "4 hours",
-    gap_seconds: int = 4 * 3600,
+    gap_seconds: int | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Emit CLOSED sessions (user, start, end, n, sum) as they expire.
 
     Input must carry ``user_id``, ``ts`` (event time), ``value``.
+    ``gap`` is parsed into seconds unless ``gap_seconds`` overrides it.
     """
+    if gap_seconds is None:
+        gap_seconds = _parse_gap(gap)
     return (
         stream_df.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -40,6 +40,55 @@ def test_asof_backward_semantics(spark):
     assert out.count() == left.count()  # left-join cardinality preserved
 
 
+def test_asof_matched_row_travels_whole(spark):
+    """Torn-row regression: when the matched right row has NULL in one
+    payload column, the output must carry that NULL — never borrow the
+    field from an OLDER right row."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T15:00:00"), "e1")], ["k", "ts", "name"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "old-label", 1.0),
+            (1, _ts("2024-01-01T14:00:00"), None, 2.0),  # matched row, NULL label
+        ],
+        ["k", "ts", "label", "score"],
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload=["ts", "label", "score"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.ts_asof == _ts("2024-01-01T14:00:00")
+    assert row.score_asof == 2.0
+    assert row.label_asof is None  # NOT 'old-label'
+
+
+def test_asof_forward_matched_row_travels_whole(spark):
+    from hpv_etl_code_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "e1")], ["k", "ts", "name"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), None, 2.0),  # matched row, NULL label
+            (1, _ts("2024-01-01T14:00:00"), "later-label", 1.0),
+        ],
+        ["k", "ts", "label", "score"],
+    )
+    out = asof_join_forward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload=["ts", "label", "score"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.ts_asof == _ts("2024-01-01T10:00:00")
+    assert row.score_asof == 2.0
+    assert row.label_asof is None  # NOT 'later-label'
+
+
 def test_overwrite_parquet_truncate_reload(spark, tmp_path):
     path = str(tmp_path / "sink")
     df1 = spark.range(100).withColumn("v", F.col("id") * 2)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hpv_etl_code_spark.operators.skew import salted_join, write_bucketed
@@ -45,3 +46,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(big, small, on="k", how="full")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(big, small, on="k", how="right")
+
+
+def test_salted_left_join_matches_plain(spark):
+    big = spark.range(20).withColumnRenamed("id", "k")
+    small = (
+        spark.range(5).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 10)
+    )
+    got = salted_join(big, small, on="k", num_salts=4, how="left")
+    want = big.join(small, "k", "left")
+    assert sorted(got.collect()) == sorted(want.collect())

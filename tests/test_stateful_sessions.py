@@ -77,3 +77,15 @@ def test_sessionizer_matches_batch_session_window(spark, ordered_stream_dir):
     # and the stream must have closed the overwhelming majority (only
     # sessions still open at the final watermark may be missing)
     assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_gap_string_parses_to_seconds():
+    from hpv_etl_code_spark.streaming.stateful import _parse_gap
+
+    assert _parse_gap("30 minutes") == 1800
+    assert _parse_gap("4 hours") == 4 * 3600
+    assert _parse_gap("1 day") == 86400
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_gap("4h")
