@@ -59,10 +59,81 @@ def headline_queries() -> dict[str, QueryFn]:
 
 _POPULATED = False
 
+# The driver's correctness gate checks a bounded number of entries (~50
+# in round 1) in REGISTRATION order. This list pins the first slots so
+# every operator family gets at least one oracle-checked row: flagships
+# and e2e parity first, then one representative per family (merged
+# battery entries stand in for their granular siblings), rows-only scale
+# paths, and finally the long tail of siblings already covered by an
+# in-window representative + pytest.
+_PRIORITY: tuple[str, ...] = (
+    # flagship / end-to-end / showcase
+    "pricing_summary",
+    "hpv_pipeline_e2e",
+    "llm_corpus_pipeline",
+    # high-value single-family operators
+    "range_join_events",
+    "merge_upsert_orders",
+    "sql_grouping_sets",
+    "window_analytics",
+    "nullsafe_join_segments",
+    "latest_per_key",
+    "pivot_multi_agg",
+    "deterministic_sample",
+    "histogram_prices",
+    "profile_customers",
+    # reference-parity reshaping / rollup
+    "unpivot_part",
+    "pivot_lineitem_status",
+    "cube_pricing_rollup",
+    # subqueries + as-of
+    "scalar_subquery_above_avg",
+    "asof_join_signup",
+    # windows
+    "window_frames",
+    "window_topk_per_group",
+    # joins
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "join_left_outer",
+    "join_semi_anti",
+    "salted_fact_join",
+    # set ops / function batteries
+    "setop_union_distinct",
+    "part_funcs_battery",
+    "doc_funcs_battery",
+    "event_funcs_battery",
+    "date_funcs_battery",
+    "null_funcs_battery",
+    "agg_battery",
+    "percentile_battery",
+    "approx_sketches",
+    # TPC-H headline shapes
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    # text + dedup
+    "text_metrics",
+    "dedup_exact_content",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # vectors / similarity
+    "vector_stats",
+    "knn_brute_force",
+    "embedding_neardup_blocked",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # streaming + multimodal
+    "stream_windows",
+    "multimodal_binary_stats",
+    "multimodal_byte_histogram",
+)
+
 
 def _ensure_populated() -> None:
     """Import operator modules for their registration side effects."""
-    global _POPULATED
+    global _POPULATED, _ENTRIES
     if _POPULATED:
         return
     from .plans import flagship
@@ -77,4 +148,11 @@ def _ensure_populated() -> None:
     from .plans import register_all  # noqa: F401  (registers the rest)
 
     register_all.populate(register)
+
+    missing = [n for n in _PRIORITY if n not in _ENTRIES]
+    if missing:
+        raise ValueError(f"priority entries not registered: {missing}")
+    ordered = {n: _ENTRIES[n] for n in _PRIORITY}
+    ordered.update({n: e for n, e in _ENTRIES.items() if n not in ordered})
+    _ENTRIES = ordered
     _POPULATED = True

@@ -167,3 +167,118 @@ def neardup_pairs_exact(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def neardup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine-threshold pairs via block-pair partitioning — the
+    scale-shaped EXACT plan (same output as :func:`neardup_pairs_exact`).
+
+    Exact all-pairs is inherently O(n²) compute; what kills the naive
+    crossJoin at 100 TB is *memory and placement*, not FLOPs: one side
+    must broadcast, or a single cartesian task sees the whole table.
+    Here ids are hashed into ``n_blocks`` blocks and every UNORDERED
+    block pair (p ≤ q) becomes one join group: each side replicates its
+    rows to the block pairs it participates in (≈ B/2 copies), the join
+    key (p, q) spreads B(B+1)/2 groups evenly across the cluster, and a
+    task's working set is two blocks — bounded by n/B, tunable, never the
+    full table. No broadcast, no driver collect, no skew (hash blocks
+    are uniform by construction).
+
+    Note on LSH: an LSH-prefiltered variant (``neardup_pairs_lsh``) can
+    prune massively when vectors cluster, but on isotropic noise (this
+    repo's synthetic embeddings at θ≈0.4) NO hyperplane scheme has both
+    recall 1 and pruning — the sign-collision probability of a
+    θ-threshold pair (≈0.63/bit) is too close to that of a random pair
+    (0.5/bit). The blocked plan is the honest exact path; LSH is the
+    approximate path for clustered data (equality proven on the
+    clustered fixture in tests/test_similarity.py).
+    """
+    d = (
+        df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    )
+    # side A joins every block pair (its own block, q) for q >= its block;
+    # side B every (p, its own block) for p <= its block — each unordered
+    # block pair meets exactly once.
+    a = d.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__b").alias("p"),
+        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
+    )
+    b = d.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
+        F.col("__b").alias("q"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom)
+    # cross-block pairs (p < q) appear exactly once with the lower-block
+    # row on the a-side — regardless of id order; intra-block pairs
+    # (p == q) appear in both orders, so keep one by id. Output ids are
+    # then normalized to (min, max) to match the crossJoin twin.
+    return (
+        a.join(b, ["p", "q"])
+        .filter((F.col("p") < F.col("q")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 8,
+    ntables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-prefiltered near-dup pairs: candidates share a hyperplane
+    bucket in ≥1 table, then EXACT cosine refine at ``threshold``.
+
+    Output ⊆ :func:`neardup_pairs_exact` (precision 1 by construction —
+    the refine step is exact); recall depends on how clustered the data
+    is (see the honesty note on :func:`neardup_pairs_blocked`). On
+    genuinely near-duplicate corpora (cosine ≥ 0.9) recall ≈ 1 with
+    massive pruning — the right default for dedup at 100 TB.
+    """
+    bucketed = lsh_bucketed(df, id_col, vec_col, nbits, ntables, seed)
+    a = bucketed.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        "table",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cand.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -50,23 +50,28 @@ WINDOW
 """
 
 
-def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + access: build a map from JSON props, read
-    through it, enumerate keys. Maps are compared via sorted entry
-    strings (engine map ordering differs)."""
-    ev = load_table(spark, sf_dir, "events")
+def map_cols() -> list:
+    """Map battery projection over ``events`` (reused by the merged
+    event_funcs_battery entry)."""
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
         F.lit("uid"), F.col("user_id").cast("string"),
     )
-    return ev.select(
-        "event_id",
+    return [
         m.getItem("type").alias("type_via_map"),
         # joined string (literal key order — stable); raw arrays crash
         # the gate canonicalizer
         F.array_join(F.map_keys(m), ",").alias("keys_sorted"),
         F.size(m).alias("n_keys"),
-    )
+    ]
+
+
+def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access: build a map from JSON props, read
+    through it, enumerate keys. Maps are compared via sorted entry
+    strings (engine map ordering differs)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", *map_cols())
 
 
 MAP_FUNCS_SQL = """

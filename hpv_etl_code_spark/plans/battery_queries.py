@@ -108,13 +108,11 @@ FROM customer
 """
 
 
-def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array surface: contains/position/sort/slice/explode-count over
-    tokenized documents."""
-    d = load_table(spark, sf_dir, "documents")
+def array_cols() -> list:
+    """Array battery projection over ``documents`` (reused by the merged
+    doc_funcs_battery entry)."""
     toks = F.split("text", " ")
-    return d.select(
-        "doc_id",
+    return [
         F.array_contains(toks, "data").alias("has_data"),
         F.array_position(toks, "spark").alias("spark_pos"),
         # joined string, not a raw array — list-valued cells crash the
@@ -123,7 +121,14 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
         ).alias("first3_sorted"),
         F.size(toks).alias("n"),
-    )
+    ]
+
+
+def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: contains/position/sort/slice/explode-count over
+    tokenized documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *array_cols())
 
 
 ARRAY_FUNCS_SQL = """

@@ -13,11 +13,11 @@ from pyspark.sql import functions as F
 from ..sources.registry import load_table
 
 
-def math_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
+def math_cols() -> list:
+    """Math battery projection over ``part`` (reused by the merged
+    part_funcs_battery entry)."""
     x = F.col("p_retailprice")
-    return p.select(
-        "p_partkey",
+    return [
         F.abs(x - 1000).alias("abs_delta"),
         F.ceil(x).alias("ceil_p"),
         F.floor(x).alias("floor_p"),
@@ -27,7 +27,12 @@ def math_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(x), 6).alias("sqrt_p"),
         F.round(F.log(x), 6).alias("ln_p"),
         F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
-    )
+    ]
+
+
+def math_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", *math_cols())
 
 
 MATH_FUNCS_SQL = """
@@ -45,10 +50,10 @@ FROM part
 """
 
 
-def regex_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
+def regex_cols() -> list:
+    """Regex battery projection over ``documents`` (reused by the merged
+    doc_funcs_battery entry)."""
+    return [
         F.regexp_replace("text", r"\bdata\b", "DATA").alias("replaced"),
         F.regexp_count("text", F.lit(r"[aeiou]")).alias("n_vowels"),
         F.col("text").rlike(r"join.*filter").alias("has_join_then_filter"),
@@ -57,7 +62,12 @@ def regex_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.regexp_extract_all("text", F.lit(r"\b(s\w+)\b"), 1), ","
         ).alias("s_words"),
-    )
+    ]
+
+
+def regex_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *regex_cols())
 
 
 REGEX_FUNCS_SQL = """

@@ -14,6 +14,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         corpus_pipeline,
         func_batteries2,
         func_batteries3,
+        merged_queries,
         parity_queries,
         profiling_queries,
         relational_queries,
@@ -24,6 +25,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     )
 
     parity_queries.register_entries(register)
+    merged_queries.register_entries(register)
     relational_queries.register_entries(register)
     text_queries.register_entries(register)
     vector_queries.register_entries(register)

@@ -316,12 +316,10 @@ FROM orders GROUP BY 1
 """
 
 
-def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-function battery (F1-F7 analogs): trim/initcap-equivalent,
-    regexp_extract, split, substring, concat, length, case mapping."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
+def string_cols() -> list:
+    """String battery projection over ``part`` (reused by the merged
+    part_funcs_battery entry)."""
+    return [
         F.initcap(F.trim(F.col("p_type"))).alias("type_title"),
         F.nullif(F.regexp_extract("p_name", r"(\d+)", 1), F.lit("")).alias(
             "first_digits"
@@ -332,7 +330,14 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lower(F.col("p_type")).contains("steel"), F.lit("metal"))
         .otherwise(F.lit("other"))
         .alias("material_class"),
-    )
+    ]
+
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (F1-F7 analogs): trim/initcap-equivalent,
+    regexp_extract, split, substring, concat, length, case mapping."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", *string_cols())
 
 
 STRING_FUNCS_SQL = """

@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_norm, to_double_array
-from ..operators.similarity import ann_topk, brute_force_topk, neardup_pairs_exact
+from ..operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    neardup_pairs_blocked,
+    neardup_pairs_exact,
+    neardup_pairs_lsh,
+)
 from ..sources.registry import load_table
 
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +81,24 @@ WHERE list_dot_product(a.v, b.v) /
 """
 
 
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-shaped EXACT near-dup pairs: block-pair partitioned all-pairs
+    — same output as embedding_neardup_pairs (the oracle is the identical
+    SQL), but no broadcast / no single cartesian task; each task's
+    working set is two id-hash blocks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_blocked(e, threshold=0.4, n_blocks=8)
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered near-dup pairs + exact refine — the approximate
+    scale path (rows-only: recall < 1 on this isotropic-noise corpus by
+    information-theoretic necessity; exact-equality on clustered data is
+    proven in tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh(e, threshold=0.4, nbits=4, ntables=4)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (rows-only; recall covered by
     the clustered-fixture test)."""
@@ -98,4 +122,9 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
     register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)
+    # same oracle as the crossJoin twin — same output, scale-shaped plan
+    register(
+        "embedding_neardup_blocked", embedding_neardup_blocked, EMBEDDING_NEARDUP_SQL
+    )
+    register("embedding_neardup_lsh", embedding_neardup_lsh, None)
     register("ann_lsh_topk", ann_lsh_topk, None)

@@ -96,3 +96,44 @@ def test_ann_subset_of_bruteforce_scores(clustered):
     for r in ann_topk(clustered, q, k=5, nbits=6, ntables=4).collect():
         assert r.neighbor_id in truth_scores
         assert abs(r.cosine - truth_scores[r.neighbor_id]) < 1e-9
+
+
+def test_blocked_neardup_equals_crossjoin(clustered):
+    from hpv_etl_code_spark.operators.similarity import (
+        neardup_pairs_blocked,
+        neardup_pairs_exact,
+    )
+
+    want = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs_exact(clustered, threshold=0.9).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs_blocked(
+            clustered, threshold=0.9, n_blocks=4
+        ).collect()
+    )
+    assert want and got == want
+
+
+def test_lsh_neardup_exact_on_clustered_data(clustered):
+    """On genuinely clustered vectors the LSH prefilter keeps every
+    θ-pair (intra-cluster cosines ≈ 1 → sign patterns collide) — output
+    equals the exact crossJoin twin."""
+    from hpv_etl_code_spark.operators.similarity import (
+        neardup_pairs_exact,
+        neardup_pairs_lsh,
+    )
+
+    want = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs_exact(clustered, threshold=0.9).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs_lsh(
+            clustered, threshold=0.9, nbits=8, ntables=4
+        ).collect()
+    )
+    assert want and got == want
