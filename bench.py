@@ -42,18 +42,42 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
+    if prev:
+        prev_name, prev_q = prev
+        line["delta_vs"] = prev_name
+        line["delta"] = {
+            q: round(t - prev_q[q], 4)
+            for q, t in timings.items()
+            if q in prev_q and t >= 0 and prev_q[q] >= 0
+        }
+    print(json.dumps(line))
     spark.stop()
+
+
+def _load_prev_round(repo_dir: str, sf: float):
+    """Latest BENCH_r{N}.json at the same scale factor → (name, queries)
+    so each round's line carries per-query regression deltas."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed", doc)
+            if parsed.get("sf") == sf and parsed.get("queries"):
+                best = (os.path.basename(path), parsed["queries"])
+        except Exception:  # noqa: BLE001 — a malformed record is not fatal
+            continue
+    return best
 
 
 if __name__ == "__main__":

@@ -9,6 +9,12 @@ deterministic, no RNG in the loop. Each iteration is one shuffle
 iterations — k·dim doubles, the same "tiny metadata collect" class as
 the reference's A1 cell read (SURVEY §3.1), NOT a data collect.
 
+Centroids travel as DATA, not literals: they're broadcast as a one-row
+array-of-structs column, and the argmin is a pure array expression
+(``array_sort(transform(...))[0]``). Plan size is therefore independent
+of k — k=10³ cells costs the same plan as k=8 (round-1 used an unrolled
+k-way ``when`` chain, which grew the plan linearly with k).
+
 Search: probe the ``nprobe`` nearest centroids for each query, score
 only vectors in probed cells (candidate set ≈ nprobe/k of the corpus),
 exact cosine + window top-k. At 100 TB the corpus partition key IS the
@@ -17,7 +23,7 @@ cell id — probes prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot, l2_norm, to_double_array
@@ -28,16 +34,40 @@ def _sq_dist(v: F.Column, c: F.Column) -> F.Column:
     return dot(diff, diff)
 
 
-def _assign(df: DataFrame, centroids: list[list[float]], vec: str) -> DataFrame:
-    """Attach cell = argmin squared distance over the centroid literals."""
-    best_cell = F.lit(0)
-    best_dist = _sq_dist(F.col(vec), F.array(*[F.lit(x) for x in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(F.col(vec), F.array(*[F.lit(x) for x in c]))
-        better = d < best_dist
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_dist = F.when(better, d).otherwise(best_dist)
-    return df.withColumn("cell", best_cell)
+def _cents_row(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    """One-row frame holding all centroids as array<struct<cell,c>> —
+    the broadcast side of every assignment/probe."""
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, c ARRAY<DOUBLE>",
+    )
+    return cdf.agg(F.collect_list(F.struct("cell", "c")).alias("__cents"))
+
+
+def _dist_structs(vec: str) -> F.Column:
+    """Per-centroid (distance, cell) structs, sorted — lexicographic
+    struct order = nearest first, ties broken by lowest cell id (the
+    same earliest-centroid-wins tie-break as a sequential argmin)."""
+    return F.array_sort(
+        F.transform(
+            "__cents",
+            lambda s: F.struct(
+                _sq_dist(F.col(vec), s.getField("c")).alias("d"),
+                s.getField("cell").alias("cell"),
+            ),
+        )
+    )
+
+
+def _assign(
+    df: DataFrame, spark: SparkSession, centroids: list[list[float]], vec: str
+) -> DataFrame:
+    """Attach cell = argmin squared distance (broadcast centroid join —
+    no shuffle, no per-centroid plan nodes)."""
+    scored = df.crossJoin(F.broadcast(_cents_row(spark, centroids)))
+    return scored.withColumn(
+        "cell", _dist_structs(vec).getItem(0).getField("cell")
+    ).drop("__cents")
 
 
 def kmeans_fit(
@@ -49,6 +79,7 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Deterministic Lloyd's: seed with the k lowest-id vectors, run a
     fixed number of assign→mean rounds. Returns centroid list."""
+    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
@@ -56,7 +87,7 @@ def kmeans_fit(
     centroids = [list(r.v) for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(iterations):
-        assigned = _assign(base, centroids, "v")
+        assigned = _assign(base, spark, centroids, "v")
         means = (
             assigned.groupBy("cell")
             .agg(
@@ -86,37 +117,35 @@ def ivf_topk(
     iterations: int = 4,
 ) -> DataFrame:
     """IVF search: (query_id, neighbor_id, cosine, rk) over probed cells."""
+    spark = corpus.sparkSession
     centroids = kmeans_fit(corpus, id_col, vec_col, n_cells, iterations)
 
     c = _assign(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__vc")
         ),
+        spark,
         centroids,
         "__vc",
     ).withColumn("__nc", l2_norm(F.col("__vc")))
 
-    # queries probe their nprobe nearest cells
-    q_base = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__vq")
-    ).withColumn("__nq", l2_norm(F.col("__vq")))
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("__vq"), F.array(*[F.lit(x) for x in cc])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cc in enumerate(centroids)
-        ]
+    # queries probe their nprobe nearest cells (same broadcast centroids)
+    q_base = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__vq")
+        )
+        .withColumn("__nq", l2_norm(F.col("__vq")))
+        .crossJoin(F.broadcast(_cents_row(spark, centroids)))
     )
     probed = q_base.withColumn(
         "cell",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(dists), 1, nprobe), lambda s: s.getField("cell")
+                F.slice(_dist_structs("__vq"), 1, nprobe),
+                lambda s: s.getField("cell"),
             )
         ),
-    )
+    ).drop("__cents")
 
     cand = c.join(F.broadcast(probed), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

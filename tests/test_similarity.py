@@ -137,3 +137,36 @@ def test_lsh_neardup_exact_on_clustered_data(clustered):
         ).collect()
     )
     assert want and got == want
+
+
+def test_ivf_plan_size_independent_of_k(clustered):
+    """Centroids travel as broadcast data, not literals: the analyzed
+    plan must not grow with the number of cells."""
+    from hpv_etl_code_spark.operators.ivf import ivf_topk
+
+    q = clustered.filter(F.col("vec_id") < 3)
+    plan8 = ivf_topk(
+        clustered, q, k=3, n_cells=8, nprobe=2, iterations=1
+    )._jdf.queryExecution().analyzed().toString()
+    plan64 = ivf_topk(
+        clustered, q, k=3, n_cells=64, nprobe=8, iterations=1
+    )._jdf.queryExecution().analyzed().toString()
+    assert len(plan64) < 1.2 * len(plan8)
+
+
+def test_ivf_topk_at_k64(clustered):
+    """Realistic cell count (64 cells over 100 vectors): still returns
+    deterministic, well-formed top-k with high recall at nprobe=16."""
+    from hpv_etl_code_spark.operators.ivf import ivf_topk
+
+    q = clustered.filter(F.col("vec_id") < 5)
+    out = ivf_topk(clustered, q, k=5, n_cells=64, nprobe=16, iterations=2)
+    rows = out.collect()
+    again = ivf_topk(clustered, q, k=5, n_cells=64, nprobe=16, iterations=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, nbrs in per_q.items():
+        assert len(nbrs) <= 5
+        assert sorted(r.rk for r in nbrs) == list(range(1, len(nbrs) + 1))
