@@ -42,8 +42,17 @@ def token_count(col: Column | str) -> Column:
 
 
 def alpha_token_count(col: Column | str) -> Column:
-    """BPE-ish regex token count: runs of letters (subword-style units)."""
+    """Letter-run token count (runs of letters, subword-style units)."""
     return F.size(F.regexp_extract_all(col, F.lit(r"[a-z]+"), 0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-pretokenizer-style count: alphanumeric runs PLUS each
+    punctuation mark as its own token (the GPT-2 pretokenizer shape,
+    simplified to a portable character-class regex). This is the
+    pre-merge unit count — an upper bound on BPE tokens — useful as a
+    fast, library-free per-doc cost estimate at corpus scale."""
+    return F.regexp_count(F.lower(col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))
 
 
 def avg_token_length(col: Column | str) -> Column:

@@ -192,6 +192,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         textops.token_count("text").alias("n_tokens"),
         textops.alpha_token_count("text").alias("n_alpha_tokens"),
+        textops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.size(textops.distinct_tokens("text")).alias("n_distinct_tokens"),
         textops.avg_token_length("text").alias("avg_token_len"),
         F.round(textops.stopword_ratio("text"), 6).alias("stop_ratio"),
@@ -221,6 +222,7 @@ WITH t AS (
 SELECT doc_id,
   len(toks)::INT AS n_tokens,
   len(regexp_extract_all(text, '[a-z]+'))::INT AS n_alpha_tokens,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe_tokens,
   len(dtoks)::INT AS n_distinct_tokens,
   ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
         / greatest(len(toks), 1), 6) AS avg_token_len,

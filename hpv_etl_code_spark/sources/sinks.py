@@ -34,3 +34,52 @@ def overwrite_parquet(
             writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
     return df.sparkSession.read.parquet(path).count()
+
+
+def overwrite_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    truncate: bool = True,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Truncate-and-load a WAREHOUSE table over JDBC — the direct analog
+    of the reference's ``TRUNCATE → write_pandas → ROLLBACK`` contract
+    (``/root/reference/src/utils/database_util.py:39-57``).
+
+    ``truncate=True`` maps to Spark's ``truncate`` writer option:
+    overwrite issues ``TRUNCATE TABLE`` (preserving DDL, grants and
+    indexes — same reason the reference truncates instead of dropping)
+    and reloads. Executors write partitions in parallel, each in its own
+    transaction; for the reference's single-transaction atomicity on an
+    engine without atomic partition commits, stage into a side table and
+    swap (``RENAME``) — or write parquet (:func:`overwrite_parquet`),
+    where the file-commit protocol gives atomicity for free.
+
+    Tested against Spark's bundled embedded Derby (tests/test_asof_sink.py).
+    """
+    writer = (
+        df.write.format("jdbc")
+        .mode("overwrite")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("truncate", "true" if truncate else "false")
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a JDBC table/query. For big tables pass partitionColumn/
+    lowerBound/upperBound/numPartitions in ``options`` so the read is
+    split across executors instead of one serial cursor."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

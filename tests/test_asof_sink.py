@@ -97,3 +97,20 @@ def test_overwrite_parquet_truncate_reload(spark, tmp_path):
     df2 = spark.range(10)
     assert overwrite_parquet(df2, path) == 10
     assert spark.read.parquet(path).count() == 10
+
+
+def test_overwrite_jdbc_truncate_reload(spark):
+    """The warehouse truncate+load path, exercised for real against
+    Spark's bundled embedded Derby (same JVM in local mode)."""
+    from hpv_etl_code_spark.sources.sinks import overwrite_jdbc, read_jdbc
+
+    url = "jdbc:derby:memory:hpv_sink_test;create=true"
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    overwrite_jdbc(df1, url, "t_sink", truncate=False)  # first load creates
+    assert read_jdbc(spark, url, "t_sink").count() == 100
+    # second overwrite truncates and reloads — never appends
+    df2 = spark.range(10).withColumn("v", F.col("id"))
+    overwrite_jdbc(df2, url, "t_sink", truncate=True)
+    got = read_jdbc(spark, url, "t_sink")
+    assert got.count() == 10
+    assert {r.id for r in got.collect()} == set(range(10))
