@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.sheets import read_sheets_csv
+from ..sources.sheets import read_sheets_csv, read_sheets_excel
 from ..sources.sinks import overwrite_parquet
 from .hpv_pipeline import (
     PIVOT_KEYS,
@@ -77,7 +77,14 @@ def melted_to_final(melted: DataFrame, extract_date: dt.date) -> DataFrame:
 def run_hpv_job(spark: SparkSession, config: JobConfig) -> int:
     """Discover → transform → truncate-load; returns rows written (the
     reference prints this count, database_util.py:54)."""
-    melted = read_sheets_csv(spark, config.data_glob)
+    # format from the glob — .xlsx files go through the stdlib Excel
+    # parser (the reference's actual input format), anything else CSV
+    reader = (
+        read_sheets_excel
+        if config.data_glob.lower().endswith((".xlsx", ".xlsx}"))
+        else read_sheets_csv
+    )
+    melted = reader(spark, config.data_glob)
     final = melted_to_final(melted, config.extract_date)
     if config.incremental_by_year:
         return overwrite_parquet(

@@ -15,17 +15,22 @@ travels as a column instead of a driver round-trip, and the reference's
 double-read disappears. Downstream, the rows join the exact same
 pipeline as wide in-memory frames (plans/hpv_pipeline.py).
 
-CSV is the native format here (layout mirrors the sheet contract).
-Excel needs openpyxl, which is not in this container — the reader is
-gated behind an import-try and raises ``NotImplementedError`` with the
-wiring instructions (same mapInPandas shape, different cell parser).
+Both formats are native: CSV (layout mirrors the sheet contract) and
+real ``.xlsx`` — parsed with a dependency-free stdlib reader
+(``zipfile`` + ``ElementTree``; xlsx IS zip-of-XML), covering the cell
+types the contract produces (shared strings, inline strings, numbers,
+rich-text runs). Same binaryFile + mapInPandas pipeline, same melted
+output — ``run_hpv_job`` picks the parser from the glob extension.
 """
 
 from __future__ import annotations
 
 import csv
 import io
+import re
+import zipfile
 from collections.abc import Iterator
+from xml.etree import ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -45,25 +50,125 @@ HEADER_ROW = 2  # 0-based row 3 — the contract's header line
 DATA_ROW = 3  # data from row 4
 
 
-def _parse_sheet_csv(path: str, raw: bytes) -> Iterator[tuple]:
-    """One CSV sheet → melted cells. Blank cells yield None (Excel-blank
-    parity: the reference sees NaN, we see NULL)."""
-    rows = list(csv.reader(io.StringIO(raw.decode("utf-8"))))
-    if len(rows) <= DATA_ROW:
+def _melt_grid(path: str, grid: list[list]) -> Iterator[tuple]:
+    """Sheet grid → melted cells under the contract (A1 metadata, header
+    row 3, data from row 4). Blank cells yield None (Excel-blank parity:
+    the reference sees NaN, we see NULL)."""
+    if len(grid) <= DATA_ROW:
         return
-    a1 = rows[0][0] if rows[0] else None
-    headers = rows[HEADER_ROW]
-    id_col, measure_cols = headers[0], headers[1:]
-    for r in rows[DATA_ROW:]:
-        if not r or not r[0]:
+    a1 = grid[0][0] if grid[0] else None
+    headers = grid[HEADER_ROW]
+    measure_cols = headers[1:]
+    for r in grid[DATA_ROW:]:
+        if not r or r[0] in (None, ""):
             continue
         borough = r[0]
         for i, cat in enumerate(measure_cols, start=1):
-            v = r[i] if i < len(r) else ""
-            yield (path, a1, borough, cat, v if v != "" else None)
+            v = r[i] if i < len(r) else None
+            yield (path, a1, borough, cat, None if v in (None, "") else v)
 
 
-def read_sheets_csv(spark: SparkSession, glob_path: str) -> DataFrame:
+def _parse_sheet_csv(path: str, raw: bytes) -> Iterator[tuple]:
+    """One CSV sheet → melted cells."""
+    rows = list(csv.reader(io.StringIO(raw.decode("utf-8"))))
+    yield from _melt_grid(path, rows)
+
+
+# ------------------------------------------------------ xlsx (stdlib)
+
+_CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(letters: str) -> int:
+    v = 0
+    for ch in letters:
+        v = v * 26 + (ord(ch) - 64)
+    return v - 1
+
+
+def _first_sheet_path(z: zipfile.ZipFile) -> str:
+    """Resolve the workbook's FIRST sheet (the contract: one sheet per
+    file) through workbook.xml + its rels; fall back to sheet1.xml."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.attrib["Id"]: r.attrib["Target"] for r in rels if "Id" in r.attrib
+        }
+        for el in wb.iter():
+            if _local(el.tag) == "sheet":
+                rid = next(
+                    (v for k, v in el.attrib.items() if _local(k) == "id"), None
+                )
+                target = rid_to_target.get(rid, "worksheets/sheet1.xml")
+                return "xl/" + target.lstrip("/").removeprefix("xl/")
+    except (KeyError, ET.ParseError):
+        pass
+    return "xl/worksheets/sheet1.xml"
+
+
+def _parse_sheet_xlsx(path: str, raw: bytes) -> Iterator[tuple]:
+    """One .xlsx workbook → melted cells, stdlib-only (zipfile + XML).
+
+    Covers the cell types the contract produces: shared strings (with
+    rich-text runs), inline strings, numbers, booleans. Cells carry
+    explicit A1-style refs, so sparse rows land in the right columns.
+    """
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")):
+                shared.append(
+                    "".join(
+                        t.text or ""
+                        for t in si.iter()
+                        if _local(t.tag) == "t"
+                    )
+                )
+        sheet = ET.fromstring(z.read(_first_sheet_path(z)))
+
+    cells: dict[int, dict[int, str | None]] = {}
+    next_row, next_col = 0, 0  # refs are optional in the spec
+    for c in sheet.iter():
+        tag = _local(c.tag)
+        if tag == "row" and "r" in c.attrib:
+            next_row, next_col = int(c.attrib["r"]) - 1, 0
+            continue
+        if tag != "c":
+            continue
+        ref = c.attrib.get("r")
+        if ref and (m := _CELL_REF.match(ref)):
+            col, row = _col_index(m.group(1)), int(m.group(2)) - 1
+        else:
+            col, row = next_col, next_row
+        next_col = col + 1
+        ctype = c.attrib.get("t", "n")
+        value: str | None = None
+        if ctype == "inlineStr":
+            value = "".join(
+                t.text or "" for t in c.iter() if _local(t.tag) == "t"
+            )
+        else:
+            v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+            if v is not None and v.text is not None:
+                value = shared[int(v.text)] if ctype == "s" else v.text
+        cells.setdefault(row, {})[col] = value
+
+    if not cells:
+        return
+    ncols = max(max(cols) for cols in cells.values()) + 1
+    grid = [
+        [cells.get(r, {}).get(i) for i in range(ncols)]
+        for r in range(max(cells) + 1)
+    ]
+    yield from _melt_grid(path, grid)
+
+
+def _read_sheets(spark: SparkSession, glob_path: str, parser) -> DataFrame:
     """Glob → melted long frame, fully executor-side.
 
     binaryFile gives (path, modificationTime, length, content); the
@@ -76,7 +181,7 @@ def read_sheets_csv(spark: SparkSession, glob_path: str) -> DataFrame:
         for pdf in batches:
             out: list[tuple] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                out.extend(_parse_sheet_csv(path, bytes(content)))
+                out.extend(parser(path, bytes(content)))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MELTED_SCHEMA.fields]
             )
@@ -84,15 +189,14 @@ def read_sheets_csv(spark: SparkSession, glob_path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, MELTED_SCHEMA)
 
 
+def read_sheets_csv(spark: SparkSession, glob_path: str) -> DataFrame:
+    return _read_sheets(spark, glob_path, _parse_sheet_csv)
+
+
 def read_sheets_excel(spark: SparkSession, glob_path: str) -> DataFrame:
-    """Excel twin of read_sheets_csv — needs openpyxl (absent here)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl: swap _parse_sheet_csv for an "
-            "openpyxl worksheet iterator (same contract: A1 metadata, "
-            "header row 3, data row 4) inside the same binaryFile + "
-            "mapInPandas pipeline"
-        ) from exc
-    raise NotImplementedError("openpyxl wiring not implemented in this container")
+    """Excel twin of read_sheets_csv — the reference's ACTUAL input
+    format (``/root/reference/src/main.py:27``), parsed with the stdlib
+    xlsx reader above (no openpyxl needed). Same pipeline, same melted
+    schema; the A1 double-read of the reference (``:30``) stays fused
+    into the single pass."""
+    return _read_sheets(spark, glob_path, _parse_sheet_xlsx)

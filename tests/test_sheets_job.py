@@ -101,6 +101,87 @@ def test_job_config_from_env():
     assert str(cfg.extract_date) == "2026-01-15"
 
 
-def test_excel_reader_is_gated(spark):
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_sheets_excel(spark, "/nonexistent/*.xlsx")
+def _xlsx_grid(cols, rows, a1):
+    return [[a1], [], list(cols), *[list(r) for r in rows]]
+
+
+@pytest.fixture()
+def xlsx_dir(tmp_path):
+    from tests.xlsx_util import write_xlsx
+
+    for i, (cols, rows, a1) in enumerate(hpv_fixture.FILES, 1):
+        # alternate shared-string and inline-string encodings, and
+        # exercise rich-text runs on one file's A1 cell
+        write_xlsx(
+            tmp_path / f"file{i}.xlsx",
+            _xlsx_grid(cols, rows, a1),
+            inline=(i % 2 == 0),
+            rich_text_a1=(i == 1),
+        )
+    return tmp_path
+
+
+def test_xlsx_melt_equals_csv_melt(spark, sheet_dir, xlsx_dir):
+    """The stdlib xlsx parser and the CSV parser are two routes to the
+    same melted rows (paths aside)."""
+    from hpv_etl_code_spark.sources.sheets import read_sheets_csv
+
+    def key(df):
+        return {
+            (r["__a1_text"], r["Local authority"], r["Category"], r["Value"])
+            for r in df.collect()
+        }
+
+    got = key(read_sheets_excel(spark, str(xlsx_dir / "*.xlsx")))
+    want = key(read_sheets_csv(spark, str(sheet_dir / "*.csv")))
+    assert got == want and got
+
+
+def test_xlsx_job_equals_inmemory_pipeline(spark, xlsx_dir, tmp_path):
+    """Full job over REAL .xlsx files (the reference's input format) —
+    same result as the in-memory wide route."""
+    out_path = str(tmp_path / "out_xlsx")
+    n = run_hpv_job(
+        spark,
+        JobConfig(
+            data_glob=str(xlsx_dir / "*.xlsx"),
+            output_path=out_path,
+            extract_date=hpv_fixture.EXTRACT_DATE,
+        ),
+    )
+    assert n > 0
+    got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
+    want = {
+        tuple(r)
+        for r in run_pipeline(
+            hpv_fixture.build_spark_files(spark), hpv_fixture.EXTRACT_DATE
+        ).collect()
+    }
+    assert got == want
+
+
+def test_xlsx_sparse_rows_land_in_right_columns(spark, tmp_path):
+    """Blank cells are OMITTED from the xlsx XML (not written as empty)
+    — explicit cell refs must still place values correctly."""
+    from tests.xlsx_util import write_xlsx
+
+    grid = [
+        ["Data through 2023/24"],
+        [],
+        ["Local authority", "m1", "m2", "m3"],
+        ["camden", None, "7", None],
+        ["barnet", "1", None, "2"],
+    ]
+    write_xlsx(tmp_path / "sparse.xlsx", grid)
+    got = {
+        (r["Local authority"], r["Category"], r["Value"])
+        for r in read_sheets_excel(spark, str(tmp_path / "sparse.xlsx")).collect()
+    }
+    assert got == {
+        ("camden", "m1", None),
+        ("camden", "m2", "7"),
+        ("camden", "m3", None),
+        ("barnet", "m1", "1"),
+        ("barnet", "m2", None),
+        ("barnet", "m3", "2"),
+    }
