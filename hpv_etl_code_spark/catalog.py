@@ -116,7 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_metrics",
     "dedup_exact_content",
     "ngram_jaccard_pairs",
-    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
     "dedup_simhash",
     # vectors / similarity
     "vector_stats",

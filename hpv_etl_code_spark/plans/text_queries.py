@@ -18,6 +18,7 @@ from ..operators.dedup import (
     exact_dedup_keepers,
     jaccard,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     simhash_near_pairs,
 )
 from ..sources.registry import load_table
@@ -207,6 +208,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8, max_bucket=100_000)
 
 
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKED MinHash+LSH pipeline: md5-based portable hash
+    family — DuckDB computes bit-identical signatures, band buckets,
+    candidates and the exact-Jaccard refine (operators/dedup.py::
+    minhash_lsh_pairs_portable). The xxhash64 sibling keeps the cheap
+    inner loop + hot-bucket splitting and stays rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(d, "doc_id", "text", threshold=0.8)
+
+
+DEDUP_MINHASH_PORTABLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+), h AS (
+  SELECT doc_id, s.seed,
+    MIN(('0x' || substr(md5(s.seed::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+        greatest(len(ta.toks) + len(tb.toks)
+                 - len(list_intersect(ta.toks, tb.toks)), 1), 6) AS jaccard
+FROM cand
+JOIN toks ta ON ta.doc_id = cand.id_a
+JOIN toks tb ON tb.doc_id = cand.id_b
+WHERE len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+      greatest(len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks)), 1) >= 0.8
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 (rows-only)."""
     d = load_table(spark, sf_dir, "documents")
@@ -222,4 +265,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("dedup_exact_subset", dedup_exact_subset, DEDUP_EXACT_SUBSET_SQL)
     register("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL)
     register("dedup_minhash_lsh", dedup_minhash_lsh, None, headline=True)
+    register(
+        "dedup_minhash_portable", dedup_minhash_portable, DEDUP_MINHASH_PORTABLE_SQL
+    )
     register("dedup_simhash", dedup_simhash, None)
