@@ -70,7 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # flagship / end-to-end / showcase
     "pricing_summary",
     "hpv_pipeline_e2e",
-    "llm_corpus_pipeline",
+    "llm_corpus_pipeline_portable",
     # high-value single-family operators
     "range_join_events",
     "merge_upsert_orders",
@@ -117,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_content",
     "ngram_jaccard_pairs",
     "dedup_minhash_portable",
-    "dedup_simhash",
+    "dedup_simhash_portable",
     # vectors / similarity
     "vector_stats",
     "knn_brute_force",

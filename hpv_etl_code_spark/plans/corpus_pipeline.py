@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textops
-from ..operators.dedup import exact_dedup_keepers, lsh_dedup_keepers
+from ..operators.dedup import (
+    exact_dedup_keepers,
+    lsh_dedup_keepers,
+    minhash_lsh_pairs_portable,
+)
 from ..sources.registry import load_table
 
 
@@ -52,5 +56,98 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "quality", "n_tokens", "fingerprint")
 
 
+def _corpus_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quality→language→exact-dedup prefix of both variants."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        textops.quality_score("text").alias("quality"),
+        textops.token_count("text").alias("n_tokens"),
+        textops.fingerprint_md5("text").alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "es", "fr")
+    )
+    keepers = exact_dedup_keepers(gated, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return gated.join(keepers, "doc_id", "left_semi")
+
+
+def llm_corpus_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME composed pipeline, ORACLE-CHECKED end-to-end: the
+    near-dup stage uses the portable md5 MinHash (operators/dedup.py::
+    minhash_lsh_pairs_portable), so DuckDB reproduces every stage —
+    quality gate, language gate, exact dedup, LSH candidates, greedy
+    lowest-id-wins survivor set — bit-for-bit."""
+    ed = _corpus_stages(spark, sf_dir)
+    pairs = minhash_lsh_pairs_portable(ed, "doc_id", "text", threshold=0.9)
+    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return ed.join(doomed, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "quality", "n_tokens", "fingerprint"
+    )
+
+
+def _corpus_oracle_sql() -> str:
+    from .text_queries import _STOP_SQL
+
+    quality = f"""ROUND(0.5 * (len(list_intersect(dtoks, {_STOP_SQL['en']})) * 1.0
+               / greatest(len(dtoks), 1))
+      + 0.3 * least(len(tk) / 50.0, 1.0)
+      + 0.2 * (len(dtoks) * 1.0 / greatest(len(tk), 1)), 6)"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+    string_split(text, ' ') AS tk,
+    list_distinct(string_split(text, ' ')) AS dtoks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, lang, source, dtoks,
+    {quality} AS quality,
+    len(tk)::INT AS n_tokens,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM base
+), gated AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.2 AND lang IN ('en', 'de', 'es', 'fr')
+), ed AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY fingerprint)
+), e AS (
+  SELECT doc_id, unnest(dtoks) AS tok FROM ed
+), h AS (
+  SELECT doc_id, s.seed,
+    MIN(('0x' || substr(md5(s.seed::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), doomed AS (
+  SELECT DISTINCT id_b FROM cand
+  JOIN ed ta ON ta.doc_id = cand.id_a
+  JOIN ed tb ON tb.doc_id = cand.id_b
+  WHERE ROUND(len(list_intersect(ta.dtoks, tb.dtoks)) * 1.0 /
+        greatest(len(ta.dtoks) + len(tb.dtoks)
+                 - len(list_intersect(ta.dtoks, tb.dtoks)), 1), 6) >= 0.9
+)
+SELECT doc_id, lang, source, quality, n_tokens, fingerprint
+FROM ed WHERE doc_id NOT IN (SELECT id_b FROM doomed)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("llm_corpus_pipeline", llm_corpus_pipeline, None, headline=True)
+    register(
+        "llm_corpus_pipeline_portable",
+        llm_corpus_pipeline_portable,
+        _corpus_oracle_sql(),
+    )

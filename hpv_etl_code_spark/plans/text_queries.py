@@ -20,6 +20,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_portable,
     simhash_near_pairs,
+    simhash_near_pairs_portable,
 )
 from ..sources.registry import load_table
 
@@ -244,9 +245,9 @@ SELECT id_a, id_b,
 FROM cand
 JOIN toks ta ON ta.doc_id = cand.id_a
 JOIN toks tb ON tb.doc_id = cand.id_b
-WHERE len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
       greatest(len(ta.toks) + len(tb.toks)
-               - len(list_intersect(ta.toks, tb.toks)), 1) >= 0.8
+               - len(list_intersect(ta.toks, tb.toks)), 1), 6) >= 0.8
 """
 
 
@@ -254,6 +255,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 (rows-only)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED SimHash: 60-bit md5-based fingerprint, 4×15-bit
+    band candidates, exact Hamming ≤ 3 — DuckDB reproduces the whole
+    pipeline bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs_portable(d, "doc_id", "text", max_hamming=3)
+
+
+DEDUP_SIMHASH_PORTABLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    list_transform(list_distinct(string_split(text, ' ')),
+                   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs,
+    len(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 60), j ->
+      CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) & 1 = 1)) > n
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+  FROM h
+), bands AS (
+  SELECT doc_id, simhash, b.band,
+    (simhash >> (15 * b.band)) & 32767 AS bkey
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
 
 
 def register_entries(register) -> None:  # noqa: ANN001
@@ -269,3 +307,6 @@ def register_entries(register) -> None:  # noqa: ANN001
         "dedup_minhash_portable", dedup_minhash_portable, DEDUP_MINHASH_PORTABLE_SQL
     )
     register("dedup_simhash", dedup_simhash, None)
+    register(
+        "dedup_simhash_portable", dedup_simhash_portable, DEDUP_SIMHASH_PORTABLE_SQL
+    )

@@ -100,11 +100,64 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (rows-only; recall covered by
-    the clustered-fixture test)."""
+    """Hyperplane-LSH approximate top-5 — ORACLE-CHECKED: the DuckDB
+    twin embeds the same seeded hyperplanes as literal arrays, so both
+    engines compute identical sign-pattern buckets (the sequential-fold
+    dot product is bit-exact vs list_dot_product), identical candidate
+    sets, and identical ranked output."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return ann_topk(e, q, k=5, nbits=6, ntables=2)
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, nbits: int = 6, ntables: int = 2) -> str:
+    """Render the DuckDB twin of ann_lsh_topk: per-table bucket ids from
+    the SAME seeded hyperplanes (embedded as literals), bucket-join
+    candidates, exact cosine, ranked top-5."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, ntables, seed=42)
+
+    def bucket_expr(table: int) -> str:
+        terms = []
+        for i in range(nbits):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[table][i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM d"
+        for t in range(ntables)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buck AS (
+{per_table}
+), qb AS (
+  SELECT * FROM buck WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buck c JOIN qb q
+    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(dq.v, dc.v) /
+      (sqrt(list_dot_product(dq.v, dq.v)) * sqrt(list_dot_product(dc.v, dc.v)))
+      AS c
+  FROM cand
+  JOIN d dq ON dq.vec_id = cand.query_id
+  JOIN d dc ON dc.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, rk FROM (
+  SELECT query_id, neighbor_id, c,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id ASC)::INT AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,4 +180,4 @@ def register_entries(register) -> None:  # noqa: ANN001
         "embedding_neardup_blocked", embedding_neardup_blocked, EMBEDDING_NEARDUP_SQL
     )
     register("embedding_neardup_lsh", embedding_neardup_lsh, None)
-    register("ann_lsh_topk", ann_lsh_topk, None)
+    register("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle_sql())
