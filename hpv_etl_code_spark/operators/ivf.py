@@ -88,11 +88,20 @@ def kmeans_fit(
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = _assign(base, spark, centroids, "v")
+        # decimal-exact elementwise means: the sum is order-independent,
+        # so centroids are deterministic across partitionings AND
+        # reproducible by an independent engine (the differential gate
+        # unrolls these iterations in SQL)
         means = (
             assigned.groupBy("cell")
             .agg(
                 *[
-                    F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+                    (
+                        F.sum(
+                            F.element_at("v", i + 1).cast("decimal(38,18)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )

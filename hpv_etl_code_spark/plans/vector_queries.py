@@ -161,8 +161,11 @@ SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, rk FROM (
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cells + probe) approximate top-5 — rows-only; recall
-    covered by the clustered-fixture test."""
+    """IVF (k-means cells + probe) approximate top-5 — ORACLE-CHECKED:
+    the fixed-iteration deterministic Lloyd's loop (seeded at the k
+    lowest-id vectors, decimal-exact elementwise means) is UNROLLED into
+    SQL by the twin below, so DuckDB reproduces centroids, cell
+    assignments, probes and the ranked output exactly."""
     from ..operators.ivf import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -170,8 +173,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=5, n_cells=8, nprobe=2)
 
 
+def _ann_ivf_oracle_sql(
+    dim: int = 64, k: int = 5, n_cells: int = 8, nprobe: int = 2, iterations: int = 4
+) -> str:
+    """Render the DuckDB twin of ann_ivf_topk by unrolling the
+    fixed-iteration k-means: each round is an assign CTE (argmin squared
+    distance, ties → lowest cell) + a centroid CTE (decimal-exact
+    elementwise means, empty cells carry the previous centroid)."""
+    diff = f"list_transform(range(1, {dim + 1}), i -> d.v[i] - c.c[i])"
+    dist = f"list_dot_product({diff}, {diff})"
+
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
+  FROM d ORDER BY vec_id LIMIT {n_cells}
+)""",
+    ]
+    for t in range(iterations):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY {dist} ASC, c.cell ASC) AS rk
+    FROM d CROSS JOIN cent{t} c
+  ) WHERE rk = 1
+)""")
+        parts.append(f"""cent{t + 1} AS (
+  SELECT c.cell, COALESCE(m.mv, c.c) AS c FROM cent{t} c LEFT JOIN (
+    SELECT cell, list(mean_i ORDER BY i) AS mv FROM (
+      SELECT cell, i,
+        CAST(CAST(SUM(CAST(v[i] AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+          / COUNT(*) AS mean_i
+      FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i)
+      GROUP BY cell, i
+    ) GROUP BY cell
+  ) m ON m.cell = c.cell
+)""")
+    final = f"cent{iterations}"
+    parts.append(f"""corpus AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY {dist} ASC, c.cell ASC) AS rk
+    FROM d CROSS JOIN {final} c
+  ) WHERE rk = 1
+)""")
+    parts.append(f"""probes AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY {dist} ASC, c.cell ASC) AS rk
+    FROM d CROSS JOIN {final} c
+    WHERE d.vec_id < 10
+  ) WHERE rk <= {nprobe}
+)""")
+    parts.append(f"""scored AS (
+  SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id,
+    list_dot_product(q.v, co.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(co.v, co.v)))
+      AS cos
+  FROM probes q JOIN corpus co ON co.cell = q.cell
+  WHERE co.vec_id != q.vec_id
+)""")
+    ctes = ",\n".join(parts[1:])
+    return f"""{parts[0]},
+{ctes}
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rk FROM (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC)::INT AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
-    register("ann_ivf_topk", ann_ivf_topk, None)
+    register("ann_ivf_topk", ann_ivf_topk, _ann_ivf_oracle_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
     register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)
