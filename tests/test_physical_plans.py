@@ -13,6 +13,7 @@ audit verified, locked in as assertions so they can't silently rot:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hpv_etl_code_spark import catalog
 
@@ -75,3 +76,33 @@ def test_json_scan_prunes_to_two_columns(spark, sf_dir):
 
     schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert {c.split(":")[0] for c in schema.split(",")} == {"event_id", "props"}
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    """The 100 TB layout lever: a year-partitioned fact table must (a)
+    prune partitions statically for a literal filter and (b) prune via
+    a runtime (dynamic) filter when joined to a filtered dimension."""
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    po = spark.read.parquet(path)
+
+    # (a) static: the literal year filter lands in PartitionFilters
+    static = po.filter(F.col("o_year") == 1995).select("o_orderkey")
+    static_plan = static._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in static_plan and "o_year" in static_plan
+    assert static.count() == o.filter(F.col("o_year") == 1995).count()
+
+    # (b) dynamic: joining to a filtered dim injects a runtime pruning
+    # subquery on the partition column
+    dim = spark.createDataFrame(
+        [(1995, "target")], "o_year INT, tag STRING"
+    ).filter(F.col("tag") == "target")
+    joined = po.join(dim, "o_year")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan[:2000]
+    assert joined.count() == o.filter(F.col("o_year") == 1995).count()
