@@ -188,9 +188,105 @@ GROUP BY c_mktsegment
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analog: top-20 customers by revenue lost to returned items
+    (l_returnflag = 'R'). customer⋈orders⋈lineitem with the return
+    filter pushed into the lineitem scan; broadcast of nation-free dims
+    is unnecessary — both joins key on the fact side and shuffle once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog: share of one month's revenue from 'steel'-type parts.
+    lineitem⋈part with the part side BROADCAST (dimension), date filter
+    pushed to the lineitem scan, one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.lower(F.col("p_type")).contains("steel"), _revenue()
+    ).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (100.0 * dsum(promo) / dsum(_revenue())).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 *
+  CAST(CAST(SUM(CAST(CASE WHEN contains(lower(p_type), 'steel')
+      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 analog: customers holding orders whose total quantity exceeds
+    300 — the HAVING-subquery shape: aggregate lineitem first (one
+    shuffle), filter the aggregate, then join the small survivor set
+    back to orders and customer (broadcast the survivors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 300
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, headline=True)
     register("salted_fact_join", salted_fact_join, SALTED_JOIN_SQL)
     register("q3_shipping_priority", q3_shipping_priority, Q3_SQL, headline=True)
     register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL, headline=True)
     register("sql_grouping_sets", sql_grouping_sets, SQL_GROUPING_SETS_SQL)
+    register("q10_returned_items", q10_returned_items, Q10_SQL, headline=True)
+    register("q14_promo_revenue", q14_promo_revenue, Q14_SQL)
+    register("q18_large_volume_customers", q18_large_volume_customers, Q18_SQL)
