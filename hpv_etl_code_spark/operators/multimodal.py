@@ -162,3 +162,65 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 10
             "mapInPandas stage exactly like decode_image_meta"
         ) from exc
     raise NotImplementedError("decoder wiring not implemented in this container")
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("format", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _parse_wav_header(b: bytes) -> tuple[str, int, int, int, int]:
+    """REAL RIFF/WAVE chunk walk (pure stdlib): (format, channels,
+    sample_rate, bits, duration_ms). Non-WAV payloads get deterministic
+    size-derived STUB values — same contract as the image path."""
+    if len(b) >= 44 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, channels, rate, bits, block_align, data_len = 12, 0, 0, 0, 0, 0
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if cid == b"fmt " and pos + 24 <= len(b):
+                _, channels, rate, _, block_align, bits = struct.unpack(
+                    "<HHIIHH", b[pos + 8 : pos + 24]
+                )
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+        if rate and block_align:
+            dur_ms = (data_len // block_align) * 1000 // rate
+            return "wav", channels, rate, bits, dur_ms
+    n = len(b)
+    return "stub", (n % 2) + 1, 8000 + (n % 40000), 16, n % 60000
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas audio decode stage: binary → (format, channels,
+    sample_rate, bits, duration). The WAV branch parses REAL RIFF
+    headers (stdlib struct — no audio libs needed); compressed formats
+    would hang their decoder on the same Arrow-batched skeleton."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_wav_header(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "format": [m[0] for m in metas],
+                    "channels": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "sample_rate": pd.Series([m[2] for m in metas], dtype="int32"),
+                    "bits_per_sample": pd.Series([m[3] for m in metas], dtype="int32"),
+                    "duration_ms": pd.Series([m[4] for m in metas], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, AUDIO_META_SCHEMA)

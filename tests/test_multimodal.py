@@ -51,3 +51,34 @@ def test_sample_frames_is_gated_stub(spark):
     df = spark.createDataFrame([(1, b"fake video bytes")], schema)
     with pytest.raises(NotImplementedError, match="frame sampling"):
         sample_frames(df)
+
+
+def test_decode_parses_real_wav_header(spark):
+    """A genuine 44-byte-header WAV payload (2ch, 44.1kHz, 16-bit, 1s)
+    must decode through the RIFF chunk walk, not the stub."""
+    import struct as _struct
+
+    from hpv_etl_code_spark.operators.multimodal import decode_audio_meta
+
+    rate, channels, bits = 44100, 2, 16
+    block = channels * bits // 8
+    data = b"\x00" * (rate * block)  # exactly 1 second of silence
+    fmt = _struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    wav = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"not-audio"))],
+                               "doc_id LONG, payload BINARY")
+    rows = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    wav_row = rows[1]
+    assert (wav_row.format, wav_row.channels, wav_row.sample_rate,
+            wav_row.bits_per_sample, wav_row.duration_ms) == ("wav", 2, 44100, 16, 1000)
+    assert rows[2].format == "stub"
