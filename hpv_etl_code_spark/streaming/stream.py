@@ -117,17 +117,19 @@ def stream_upsert_to_parquet(
     def apply_batch(batch_df, batch_id):  # noqa: ANN001
         if batch_df.isEmpty():
             return
+        stage = f"{target_path}__stage"
         try:
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df.select(*target.columns), keys)
         except Exception:  # first batch — no target yet
             merged = batch_df
-        # stage-then-swap keeps readers consistent: the overwrite commit
-        # is atomic at the directory level
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        # stage-then-publish: the merged result is FULLY materialized to
+        # a side directory before the target is overwritten — never read
+        # and overwrite the same files in one job (a cached plan can be
+        # evicted mid-write and silently re-scan the source being
+        # replaced)
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)
