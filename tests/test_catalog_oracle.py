@@ -24,3 +24,19 @@ def test_catalog_entry_matches_oracle(spark, sf_dir, name):
         assert df.count() >= 0
     else:
         compare(df, e.oracle, sf_dir)
+
+
+def test_gate_window_composition():
+    """The driver checks ~50 entries in registration order; the priority
+    window must stay exactly 50, fully registered, in order, and
+    oracle-dense (rows-only in-window entries need an inherent reason)."""
+    from hpv_etl_code_spark import catalog
+
+    es = catalog.entries()
+    names = list(es)
+    assert len(catalog._PRIORITY) == 50
+    assert names[:50] == list(catalog._PRIORITY)
+    rows_only = [n for n in names[:50] if es[n].oracle is None]
+    # approx_sketches is inherently approximate (sketch internals are
+    # engine-specific) — nothing else may ship rows-only in the window
+    assert rows_only == ["approx_sketches"], rows_only
