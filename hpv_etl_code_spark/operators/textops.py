@@ -135,3 +135,47 @@ def word_bigrams(col: Column | str) -> Column:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
+
+
+def winnowing_fingerprints(
+    col: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    word k-gram with a PORTABLE rolling-window hash (first 60 bits of
+    md5), then keep the minimum hash of each length-``w`` window of
+    consecutive k-gram hashes — a compact, position-robust fingerprint
+    set whose overlap estimates document similarity. Pure array
+    expressions: no explode until the caller wants rows.
+
+    Documents with fewer than ``k`` tokens yield an empty set; documents
+    with fewer than ``w`` k-grams yield the single global minimum (the
+    standard degenerate-window rule).
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    ng = n - F.lit(k - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        "_", *[F.element_at(toks, i + off) for off in range(k)]
+    )
+    hs = F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.conv(
+                F.substring(F.md5(gram(i)), 1, 15), 16, 10
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    nh = F.size(hs)
+    wins = (
+        F.when(
+            nh >= w,
+            F.transform(
+                F.sequence(F.lit(1), nh - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            ),
+        )
+        .when(nh >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.array_distinct(wins)

@@ -294,11 +294,47 @@ WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash k-gram windows, MOSS scheme)
+    exploded to (doc_id, fingerprint) rows — ORACLE-CHECKED via the
+    portable md5 hash (operators/textops.py::winnowing_fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(textops.winnowing_fingerprints("text", k=3, w=4)).alias(
+            "fingerprint"
+        ),
+    )
+
+
+TEXT_WINNOWING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3 THEN
+      list_transform(range(1, len(tk) - 1), i ->
+        ('0x' || substr(md5(tk[i] || '_' || tk[i+1] || '_' || tk[i+2]), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM t
+), fps AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))
+    WHEN len(hs) >= 1 THEN [list_min(hs)]
+    ELSE [] END AS fp
+  FROM g
+)
+SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
     register("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL)
     register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
+    register("text_winnowing", text_winnowing, TEXT_WINNOWING_SQL)
     register("dedup_exact_content", dedup_exact_content, DEDUP_EXACT_CONTENT_SQL)
     register("dedup_exact_subset", dedup_exact_subset, DEDUP_EXACT_SUBSET_SQL)
     register("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL)
