@@ -94,10 +94,23 @@ FROM documents
 
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode stage (STUB dims; real Arrow plumbing) —
-    rows-only."""
+    """mapInPandas decode stage — ORACLE-CHECKED: the corpus payloads
+    are text bytes (never PNG magic), so the decoder's deterministic
+    size-derived stub dimensions are SQL-expressible; the check verifies
+    the Arrow batch plumbing end-to-end. Real PNG/WAV header parsing is
+    covered by tests/test_multimodal.py."""
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_image_meta(d)
+
+
+DECODE_META_SQL = """
+SELECT doc_id,
+  octet_length(encode(text))::INT AS n_bytes,
+  'stub' AS format,
+  (octet_length(encode(text)) % 640 + 1)::INT AS width,
+  (octet_length(encode(text)) % 480 + 1)::INT AS height
+FROM documents
+"""
 
 
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,5 +139,5 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("stream_sliding_counts", stream_sliding_counts, SLIDING_SQL)
     register("stream_session_windows", stream_session_windows, SESSION_SQL, headline=True)
     register("multimodal_binary_stats", multimodal_binary_stats, MULTIMODAL_BINARY_SQL)
-    register("multimodal_decode_meta", multimodal_decode_meta, None)
+    register("multimodal_decode_meta", multimodal_decode_meta, DECODE_META_SQL)
     register("multimodal_byte_histogram", multimodal_byte_histogram, BYTE_HISTOGRAM_SQL)
