@@ -466,6 +466,24 @@ FROM orders
 """
 
 
+def json_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VARIANT: parse once, extract
+    typed fields lazily — the shredding-friendly path for heterogeneous
+    JSON at scale (vs from_json's rigid upfront schema)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+
+
+JSON_VARIANT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("scalar_subquery_above_avg", scalar_subquery_above_avg, SCALAR_SUBQUERY_SQL)
     register("in_subquery_big_spenders", in_subquery_big_spenders, IN_SUBQUERY_SQL)
@@ -484,6 +502,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("setop_except", setop_except, SETOP_EXCEPT_SQL)
     register("sort_limit_top_orders", sort_limit_top_orders, SORT_LIMIT_SQL)
     register("json_extract_events", json_extract_events, JSON_EXTRACT_SQL)
+    register("json_variant_events", json_variant_events, JSON_VARIANT_SQL)
     register("date_trunc_orders", date_trunc_orders, DATE_TRUNC_SQL)
     register("string_funcs_part", string_funcs_part, STRING_FUNCS_SQL)
     register("asof_join_signup", asof_join_signup, ASOF_JOIN_SQL, headline=True)

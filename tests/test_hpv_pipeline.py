@@ -90,3 +90,18 @@ def test_rollup_consistency_invariant(result):
     for (borough, year), tot in base_tot.items():
         grand = result[(borough, year, "All", "Both")]
         assert (grand.STUDENTS_TOTAL or 0) == tot
+
+
+def test_observe_metrics_on_pipeline(spark):
+    """df.observe: production pipelines attach accumulator-style metrics
+    to the lazy plan and read them after the action — no second scan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    obs = Observation("stats")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
+                          F.sum("v").alias("sum_v"))
+    assert observed.filter(F.col("id") >= 0).count() == 1000
+    assert obs.get["rows"] == 1000
+    assert obs.get["sum_v"] == sum(i * 2 for i in range(1000))
