@@ -142,8 +142,46 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM updates
 """
 
 
+def per_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer OLS spend trend — exact
+    integer-domain arithmetic makes even the Python grouped-map path
+    hash-verifiable against the SQL twin (operators/grouped.py)."""
+    from ..operators.grouped import per_group_trend_ols
+
+    o = load_table(spark, sf_dir, "orders")
+    return per_group_trend_ols(o)
+
+
+PER_GROUP_TREND_SQL = """
+WITH pts AS (
+  SELECT o_custkey,
+    floor(epoch(o_orderdate))::BIGINT AS e,
+    (CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT AS yc
+  FROM orders
+), xs AS (
+  SELECT o_custkey, (e - MIN(e) OVER (PARTITION BY o_custkey)) // 86400 AS x, yc
+  FROM pts
+), s AS (
+  SELECT o_custkey, COUNT(*) AS n, SUM(x)::BIGINT AS sx,
+    SUM(x*x)::BIGINT AS sxx, SUM(yc)::BIGINT AS syc, SUM(x*yc)::BIGINT AS sxyc
+  FROM xs GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+       ELSE ((n*sxyc - sx*syc)::DOUBLE / 100.0) / (n*sxx - sx*sx)::DOUBLE
+  END AS slope,
+  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+       ELSE (syc::DOUBLE / 100.0
+             - (((n*sxyc - sx*syc)::DOUBLE / 100.0) / (n*sxx - sx*sx)::DOUBLE)
+               * sx::DOUBLE) / n::DOUBLE
+  END AS intercept
+FROM s
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_SQL)
+    register("per_group_trend", per_group_trend, PER_GROUP_TREND_SQL)
     register("window_analytics", window_analytics, WINDOW_ANALYTICS_SQL)
     register("map_funcs_battery", map_funcs_battery, MAP_FUNCS_SQL)
     register("pivot_multi_agg", pivot_multi_agg, PIVOT_MULTI_AGG_SQL)
