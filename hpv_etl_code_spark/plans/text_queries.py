@@ -1,10 +1,12 @@
 """M4 catalog entries: text analysis + dedup on ``documents``.
 
-Oracle-checked where the computation is hash-portable (token stats,
-quality, lang-ID, md5 fingerprints, exact dedup, n-gram Jaccard);
-rows-only for MinHash-LSH and SimHash (xxhash64 has no DuckDB twin) —
-those carry invariant/recall pytest coverage instead
-(tests/test_dedup.py).
+Every family is oracle-checked: token stats, quality, lang-ID, md5 and
+winnowing fingerprints, exact dedup, n-gram Jaccard directly; MinHash
+and SimHash through their PORTABLE md5-hash twins
+(``dedup_minhash_portable`` / ``dedup_simhash_portable`` — bit-identical
+in DuckDB). The xxhash64 variants remain the production scale path
+(cheaper inner loop, hot-bucket splitting) with invariant/recall pytest
+coverage (tests/test_dedup.py) and rows-only driver checks.
 """
 
 from __future__ import annotations
