@@ -39,6 +39,67 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
         "load_table": ("hpv_etl_code_spark.sources.registry", "load_table"),
         "register_views": ("hpv_etl_code_spark.sources.registry", "register_views"),
         "overwrite_parquet": ("hpv_etl_code_spark.sources.sinks", "overwrite_parquet"),
+        "overwrite_jdbc": ("hpv_etl_code_spark.sources.sinks", "overwrite_jdbc"),
+        "read_jdbc": ("hpv_etl_code_spark.sources.sinks", "read_jdbc"),
+        "read_sheets_csv": ("hpv_etl_code_spark.sources.sheets", "read_sheets_csv"),
+        "read_sheets_excel": (
+            "hpv_etl_code_spark.sources.sheets",
+            "read_sheets_excel",
+        ),
+        # operator surface, importable flat
+        "asof_join_backward": ("hpv_etl_code_spark.operators.asof", "asof_join_backward"),
+        "asof_join_forward": ("hpv_etl_code_spark.operators.asof", "asof_join_forward"),
+        "proximity_self_join": (
+            "hpv_etl_code_spark.operators.rangejoin",
+            "proximity_self_join",
+        ),
+        "merge_upsert": ("hpv_etl_code_spark.operators.merge", "merge_upsert"),
+        "salted_join": ("hpv_etl_code_spark.operators.skew", "salted_join"),
+        "write_bucketed": ("hpv_etl_code_spark.operators.skew", "write_bucketed"),
+        "unpivot": ("hpv_etl_code_spark.operators.reshape", "unpivot"),
+        "cube_rollup_labeled": (
+            "hpv_etl_code_spark.operators.rollup",
+            "cube_rollup_labeled",
+        ),
+        "exact_dedup_keepers": (
+            "hpv_etl_code_spark.operators.dedup",
+            "exact_dedup_keepers",
+        ),
+        "minhash_lsh_pairs": (
+            "hpv_etl_code_spark.operators.dedup",
+            "minhash_lsh_pairs",
+        ),
+        "lsh_dedup_keepers": (
+            "hpv_etl_code_spark.operators.dedup",
+            "lsh_dedup_keepers",
+        ),
+        "simhash_near_pairs": (
+            "hpv_etl_code_spark.operators.dedup",
+            "simhash_near_pairs",
+        ),
+        "brute_force_topk": (
+            "hpv_etl_code_spark.operators.similarity",
+            "brute_force_topk",
+        ),
+        "ann_topk": ("hpv_etl_code_spark.operators.similarity", "ann_topk"),
+        "ivf_topk": ("hpv_etl_code_spark.operators.ivf", "ivf_topk"),
+        "neardup_pairs_blocked": (
+            "hpv_etl_code_spark.operators.similarity",
+            "neardup_pairs_blocked",
+        ),
+        "per_group_trend_ols": (
+            "hpv_etl_code_spark.operators.grouped",
+            "per_group_trend_ols",
+        ),
+        "sessionize_stream": (
+            "hpv_etl_code_spark.streaming.stateful",
+            "sessionize_stream",
+        ),
+        "stream_upsert_to_parquet": (
+            "hpv_etl_code_spark.streaming.stream",
+            "stream_upsert_to_parquet",
+        ),
+        "textops": ("hpv_etl_code_spark.operators.textops", None),
     }
     if name in surface:
         mod, attr = surface[name]
