@@ -57,7 +57,12 @@ def _melt_grid(path: str, grid: list[list]) -> Iterator[tuple]:
     if len(grid) <= DATA_ROW:
         return
     a1 = grid[0][0] if grid[0] else None
-    headers = grid[HEADER_ROW]
+    headers = list(grid[HEADER_ROW])
+    # dense grids (xlsx) pad the header row to the widest data row —
+    # trailing blanks are not measure columns (CSV's ragged rows never
+    # see them; a fuzz test caught the divergence)
+    while headers and headers[-1] in (None, ""):
+        headers.pop()
     measure_cols = headers[1:]
     for r in grid[DATA_ROW:]:
         if not r or r[0] in (None, ""):

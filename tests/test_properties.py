@@ -79,3 +79,100 @@ def test_unpivot_pivot_roundtrip_property(spark_session_holder, rows):
     long_df = unpivot(wide, ["k"], None, "var", "val")
     back = pivot(long_df, ["k"], "var", "val", ["m1", "m2"], strict=True)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, wide.collect()))
+
+
+# ------------------------------------------------------ as-of join fuzz
+
+asof_keys = st.integers(min_value=0, max_value=2)
+asof_ts = st.integers(min_value=0, max_value=50)
+asof_left = st.lists(st.tuples(asof_keys, asof_ts), min_size=1, max_size=15)
+asof_right = st.lists(
+    st.tuples(asof_keys, asof_ts, st.integers(min_value=0, max_value=99)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left, right=asof_right)
+def test_asof_backward_matches_bruteforce(spark_session_holder, left, right):
+    """For arbitrary (key, ts) fixtures, the union+window as-of equals
+    the brute-force definition: the payload of the LATEST right row with
+    right_ts <= left_ts per key (ties broken by taking that row whole)."""
+    from hpv_etl_code_spark.operators.asof import asof_join_backward
+
+    spark = spark_session_holder
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long, pay long")
+    out = {
+        r.lid: (r.ts_asof, r.pay_asof)
+        for r in asof_join_backward(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", payload=["ts", "pay"]
+        ).collect()
+    }
+    # brute force in Python: latest right_ts <= left_ts; among equal
+    # timestamps the window keeps the LAST right row in (ts, input) order
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, pay) for (rk, rt, pay) in right if rk == k and rt <= t]
+        if not cands:
+            assert out[i] == (None, None), (i, out[i])
+        else:
+            best_ts = max(rt for rt, _ in cands)
+            expect_pays = {pay for rt, pay in cands if rt == best_ts}
+            got_ts, got_pay = out[i]
+            assert got_ts == best_ts and got_pay in expect_pays, (
+                i, out[i], best_ts, expect_pays,
+            )
+    assert len(out) == len(left)
+
+
+# ------------------------------------------------------ xlsx parser fuzz
+
+_text_cell = st.text(
+    alphabet="abc xyz-#&<>'\"éü", min_size=1, max_size=12
+).filter(lambda s: s.strip() != "")
+cell = st.one_of(st.none(), st.integers(min_value=0, max_value=10**6), _text_cell)
+header_row = st.lists(_text_cell, min_size=2, max_size=5)
+data_rows = st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=5)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a1=_text_cell, headers=header_row, data=data_rows, inline=st.booleans())
+def test_xlsx_writer_parser_roundtrip(tmp_path_factory, a1, headers, data, inline):
+    """Contract-valid grids with arbitrary cells (unicode, XML-special
+    chars, blanks, numbers) survive the write→parse round trip
+    cell-for-cell. (All-blank columns are unrepresentable in xlsx —
+    blank cells are simply omitted — so headers are non-empty by the
+    sheet contract.)"""
+    import os
+
+    from hpv_etl_code_spark.sources.sheets import _parse_sheet_xlsx
+    from tests.xlsx_util import write_xlsx
+
+    grid = [[a1], [], list(headers), *[list(r) for r in data]]
+    d = tmp_path_factory.mktemp("fuzz_xlsx")
+    path = os.path.join(str(d), "f.xlsx")
+    write_xlsx(path, grid, inline=inline)
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    key = lambda t: tuple("" if x is None else str(x) for x in t)  # noqa: E731
+    got = sorted(
+        (
+            (a1_text, borough, cat, v)
+            for (_, a1_text, borough, cat, v) in _parse_sheet_xlsx("f", raw)
+        ),
+        key=key,
+    )
+    want = []
+    for r in data:
+        if not r or r[0] in (None, ""):
+            continue
+        for i, cat in enumerate(headers[1:], start=1):
+            v = r[i] if i < len(r) else None
+            want.append(
+                (a1, str(r[0]), str(cat), None if v in (None, "") else str(v))
+            )
+    assert got == sorted(want, key=key)
