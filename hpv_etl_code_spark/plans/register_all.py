@@ -21,6 +21,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         stream_queries,
         text_queries,
         tpch_queries,
+        tpch_queries2,
         vector_queries,
     )
 
@@ -31,6 +32,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     vector_queries.register_entries(register)
     stream_queries.register_entries(register)
     tpch_queries.register_entries(register)
+    tpch_queries2.register_entries(register)
     battery_queries.register_entries(register)
     func_batteries2.register_entries(register)
     func_batteries3.register_entries(register)

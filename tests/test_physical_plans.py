@@ -106,3 +106,38 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in jplan.lower(), jplan[:2000]
     assert joined.count() == o.filter(F.col("o_year") == 1995).count()
+
+
+def test_q19_disjunction_factored_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate must not stay a post-join filter: Catalyst
+    factors per-side disjunctions and parquet receives them as pushed
+    filters on BOTH scans (part gets the brand/size OR, lineitem the
+    quantity OR) — at 100 TB that's the difference between scanning three
+    narrow bands and scanning the whole fact table."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    part_side = [p for p in pushed if "p_brand" in p]
+    li_side = [p for p in pushed if "l_quantity" in p]
+    assert part_side and "Or(" in part_side[0] and "Brand#1" in part_side[0]
+    assert li_side and "Or(" in li_side[0]
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_priority_with_returns")
+    assert "LeftSemi" in plan
+    # the fan-out join must not materialize matched lineitem columns
+    assert "l_extendedprice" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_diversity")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q22_threshold_is_single_row_broadcast(spark, sf_dir):
+    """The scalar threshold must broadcast (nested-loop over 1 row), and
+    the dormancy check must be an anti join — not a full outer shape."""
+    plan = _plan(spark, sf_dir, "q22_dormant_accounts")
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
