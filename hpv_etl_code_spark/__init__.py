@@ -77,6 +77,14 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.dedup",
             "simhash_near_pairs",
         ),
+        "connected_components": (
+            "hpv_etl_code_spark.operators.components",
+            "connected_components",
+        ),
+        "dedup_component_keepers": (
+            "hpv_etl_code_spark.operators.components",
+            "dedup_component_keepers",
+        ),
         "brute_force_topk": (
             "hpv_etl_code_spark.operators.similarity",
             "brute_force_topk",

@@ -1,0 +1,94 @@
+"""Connected components over an edge list — the dedup-grouping operator.
+
+LLM-scale dedup pipelines don't stop at near-dup *pairs*: they union the
+pairs into clusters and keep one document per cluster (the reference's
+surface has nothing like this; it's part of the engine's training-data
+toolkit alongside operators/dedup.py). The classic driver-side answer is
+union-find, which doesn't distribute; the Spark-native answer here is
+min-label propagation with pointer jumping:
+
+- every node starts labeled with its own id;
+- each round, a node takes the minimum label among itself and its
+  neighbors (one shuffle: edge⋈label + groupBy-min);
+- then labels are *pointer-jumped* — relabeled through themselves
+  (``label(v) ← label(label(v))``, one self-join) — which halves the
+  distance to each component's minimum like union-find path halving.
+
+Pointer jumping turns the O(diameter) rounds of plain propagation into
+O(log diameter): a chain of 10⁶ nodes converges in ~20 rounds instead of
+10⁶. Each round ends in an eager ``localCheckpoint`` so the plan doesn't
+accumulate 2·k joins of lineage, plus one ``count`` action for the
+convergence test — per-round driver cost is a scalar, never rows.
+
+Labels are node ids and only ever decrease toward the component minimum,
+so the fixpoint is unique and deterministic regardless of partitioning
+or join order — which is what lets the catalog entry hash-match a DuckDB
+recursive-CTE oracle (plans/text_queries.py::DEDUP_COMPONENTS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with its component's
+    minimum node id.
+
+    Returns ``(id, component)`` for nodes that appear in at least one
+    edge (isolated nodes aren't in the input and so aren't in the
+    output — callers wanting them add a left join at the call site).
+
+    Raises ``RuntimeError`` if the fixpoint isn't reached in
+    ``max_iter`` rounds — an unconverged labeling is silently wrong, and
+    with pointer jumping 25 rounds covers diameters beyond 10⁶.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("e_src"), F.col(dst).cast("long").alias("e_dst")
+    )
+    sym = sym.union(sym.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst")))
+    labels = (
+        sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # one shuffle: min neighbor label per node
+        nbr = (
+            sym.join(labels, sym.e_src == labels.id)
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("label", "nbr_label").alias("label"), F.col("label").alias("old"))
+        )
+        # pointer jump: label(v) ← label(label(v)); label values are node
+        # ids, and every node id is a key in `merged`, so the join is total
+        parent = merged.select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
+        jumped = (
+            merged.join(parent, merged.label == parent.p_id)
+            .select("id", F.col("p_label").alias("label"), "old")
+        )
+        new_labels = jumped.select("id", "label").localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+
+
+def dedup_component_keepers(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One survivor per near-dup cluster: the minimum id of each
+    component (``component == id`` at the fixpoint). Returns
+    ``(component, n_members)`` — members counted over edge-connected
+    nodes; everything else in the corpus survives by definition."""
+    comps = connected_components(edges, src=src, dst=dst)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

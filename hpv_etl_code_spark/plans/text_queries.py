@@ -331,6 +331,47 @@ SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
 
 
+def dedup_components_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: the portable MinHash+LSH pair
+    generator feeds connected components (operators/components.py —
+    min-label propagation + pointer jumping), labeling every edge-touched
+    document with its cluster's minimum doc_id. This is the full
+    dedup-grouping shape of an LLM corpus pipeline, and because both the
+    pair kernel and the min-label fixpoint are deterministic, the whole
+    two-stage composition hash-matches a recursive-CTE oracle."""
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(d, "doc_id", "text", threshold=0.8)
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+# The recursive closure reaches every (node, min-reachable-id) pair; the
+# outer MIN collapses it to the component minimum — the same fixpoint the
+# Spark pointer-jumping loop converges to. DuckDB allows non-recursive
+# CTEs (the proven portable-pair query, nested whole) alongside the
+# recursive member.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_MINHASH_PORTABLE_SQL}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM sym
+), reach(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM reach GROUP BY node
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
@@ -347,4 +388,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("dedup_simhash", dedup_simhash, None)
     register(
         "dedup_simhash_portable", dedup_simhash_portable, DEDUP_SIMHASH_PORTABLE_SQL
+    )
+    register(
+        "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
     )
