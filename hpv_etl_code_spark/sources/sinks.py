@@ -83,3 +83,39 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def overwrite_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Truncate-and-load an ORC destination (Spark-native columnar
+    alternative to parquet — same commit-protocol atomicity, same
+    predicate pushdown / column pruning at the scan). Returns rows
+    written."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return df.sparkSession.read.orc(path).count()
+
+
+def overwrite_jsonl(df: DataFrame, path: str) -> int:
+    """Truncate-and-load newline-delimited JSON — the interchange format
+    of LLM corpus tooling. Row-oriented: no column pruning at the scan,
+    so it's an EDGE format (ingest/export), not a pipeline-internal one;
+    convert to parquet/ORC before heavy queries. Returns rows written."""
+    df.write.mode("overwrite").json(path)
+    return df.sparkSession.read.json(path).count()
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """Read newline-delimited JSON. ALWAYS pass ``schema`` in production:
+    schema inference is a full extra pass over the data — at 100 TB
+    that's a 2× read before the query starts (and inferred types can
+    drift run-to-run with the sampled files)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
