@@ -1,0 +1,133 @@
+"""Corpus assembly operators: source-mixture sampling and sequence
+packing — the two prepasses between "deduped documents" and "training
+batches" in an LLM data pipeline.
+
+Both are pure native-expression plans (no UDFs) built on the portable
+md5 hash family (first 60 bits of md5 — identical in DuckDB, the trick
+behind the dedup/ANN portable entries), so the sampling decisions and
+pack assignments hash-match their oracles exactly, not just
+statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.textops import token_count
+from ..sources.registry import load_table
+
+
+def _phash(col: Column) -> Column:
+    """Portable 60-bit hash: Spark twin of DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates — the data-mixing prepass that weights
+    corpus sources (keep all of one source, 10% of another) before
+    training. The keep/drop decision is a pure function of doc_id
+    (portable hash ≡ uniform in [0,1000)), so the sample is stable
+    across retries, partitionings, and engines — rand()-based sampling
+    is none of those. One scan, no shuffle: the filter evaluates
+    per-row and pushes the pipeline's cardinality down before any
+    downstream join sees it.
+
+    Rates here derive from the source name (src<N> → N mod 4 →
+    1000/500/250/100 permille) to exercise four distinct rates against
+    the oracle; production callers pass a real rate table and broadcast
+    it instead.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate_permille = (
+        F.when(F.pmod(src_num, 4) == 0, 1000)
+        .when(F.pmod(src_num, 4) == 1, 500)
+        .when(F.pmod(src_num, 4) == 2, 250)
+        .otherwise(100)
+    )
+    ticket = F.pmod(
+        _phash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1000
+    )
+    return (
+        d.filter(ticket < rate_permille)
+        .select("doc_id", "source", "lang")
+    )
+
+
+CORPUS_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+  CASE (regexp_extract(source, '(\\d+)', 1)::INT % 4)
+    WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in deterministic
+    order until a token budget fills, emit per-pack manifests. The real
+    prepass that turns documents into fixed-length training sequences.
+
+    Scale design: a single ordered window per source would serialize
+    each source into one task (the classic global-sort trap), so docs
+    are first sharded by portable hash (packing has no cross-doc
+    semantics — any stable partition of the corpus is a valid packing),
+    and the running token total windows over (source, shard). Budget
+    overflow goes to the pack where the document STARTS (standard
+    greedy-with-overflow; a doc larger than the budget gets its own
+    pack). Parallelism = sources × shards, each window partition
+    bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    budget = 512
+    t = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.pmod(
+            _phash(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 4
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(budget)),
+        )
+        .groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tokens,
+    ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 4 AS shard
+  FROM documents
+), c AS (
+  SELECT source, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, shard, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c
+GROUP BY source, shard, pack_id
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("corpus_mixture_sample", corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
+    register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)

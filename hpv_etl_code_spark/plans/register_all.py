@@ -15,6 +15,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         func_batteries2,
         func_batteries3,
         merged_queries,
+        packing_queries,
         parity_queries,
         profiling_queries,
         relational_queries,
@@ -37,5 +38,6 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     func_batteries2.register_entries(register)
     func_batteries3.register_entries(register)
     corpus_pipeline.register_entries(register)
+    packing_queries.register_entries(register)
     analytics_queries.register_entries(register)
     profiling_queries.register_entries(register)
