@@ -23,6 +23,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         text_queries,
         tpch_queries,
         tpch_queries2,
+        tpch_queries3,
         vector_queries,
     )
 
@@ -34,6 +35,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     stream_queries.register_entries(register)
     tpch_queries.register_entries(register)
     tpch_queries2.register_entries(register)
+    tpch_queries3.register_entries(register)
     battery_queries.register_entries(register)
     func_batteries2.register_entries(register)
     func_batteries3.register_entries(register)

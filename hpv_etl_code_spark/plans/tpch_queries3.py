@@ -1,0 +1,462 @@
+"""TPC-H-shaped relational coverage, part 3 — the remaining classic
+shapes (Q2/Q8/Q9/Q11/Q12/Q15/Q17/Q20/Q21 analogs), adapted to the
+synthetic corpus's columns (no partsupp / shipmode / commitdate /
+receiptdate — each analog keeps the *query shape* and swaps in
+available predicates).
+
+Together with parts 1-2 this completes all 22 classic TPC-H idioms:
+this module adds min-per-group correlated subqueries (Q2), market-share
+conditional ratios (Q8), multi-dimension profit rollups (Q9), HAVING
+against a global scalar (Q11), conditional counting (Q12),
+view-reuse + MAX-equality (Q15), correlated AVG thresholds (Q17),
+nested IN chains (Q20), and EXISTS ∧ NOT-EXISTS self-joins (Q21).
+
+All aggregates go through the deterministic decimal presentation
+(functions/numeric.py) so every entry is hash-checkable against its
+DuckDB oracle. Row order is canonicalized by the driver, but each query
+still ends in its benchmark ORDER BY for human-readable output.
+
+Reference scope note: the reference pipeline (src/main.py:17-120) has no
+multi-table analytics — this module is part of the engine's
+general-query surface beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import avg6, dsum
+from ..sources.registry import load_table
+
+# Shared decimal-presentation idiom for the SQL twins (matches dsum).
+_DSUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)"
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — correlated MIN subquery, decorrelated to an agg join.
+
+    For each part type, the cheapest part(s) of that type, with the
+    classic multi-column ORDER BY tail. The correlated
+    ``p_retailprice = (SELECT MIN ... WHERE same type)`` decorrelates to
+    a per-type MIN aggregate broadcast back onto the part scan — one
+    shuffle for the (small) per-type aggregate, zero for the probe side.
+    At 100 TB the dimension stays the broadcast side regardless of fact
+    growth: the agg output has one row per distinct type.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("mt_type")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("mt_type"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+    SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+ORDER BY p_type, p_partkey
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — market share: a conditional-sum ratio per group.
+
+    Share of REGION_1-customer order revenue supplied by NATION_1, per
+    order year. The numerator is a CASE-gated copy of the same revenue
+    measure, so one aggregation produces both sums (no second pass over
+    the fact). Supplier, nation, and region dimensions all broadcast;
+    the only shuffles are the two fact joins and the final (tiny,
+    per-year) aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _revenue()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
+                / dsum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+  ROUND({_DSUM.format(x="CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0.0 END")}
+        / {_DSUM.format(x="rev")}, 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — profit rollup by (supplier nation, order year).
+
+    The classic charges ``ps_supplycost * l_quantity`` from partsupp;
+    with no partsupp table the cost model becomes a retail-price margin
+    (6% of ``p_retailprice`` per unit) — same expression shape: a
+    per-row profit measure built from three tables, rolled up on two
+    derived dimensions. Part filter (name contains 'red') reaches the part
+    scan; part/supplier/nation broadcast; the fact shuffles once per
+    fact-fact join plus the final aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.06)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, {_DSUM.format(x="amount")} AS sum_profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount)
+           - p_retailprice * l_quantity * 0.06 AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — group totals HAVING > fraction-of-global scalar.
+
+    Per-supplier shipped value, keeping suppliers above 0.1% of the
+    global total. The global scalar is the SAME aggregate reused — Spark
+    computes it as a 1-row aggregate crossJoin-broadcast onto the
+    per-group totals, so the fact is scanned twice but shuffled only on
+    the group key (at 100 TB, cache or checkpoint the per-supplier
+    aggregate to make the second pass read the small side). Deterministic
+    decimal sums on both sides keep boundary suppliers stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_supp = li.groupBy("l_suppkey").agg(dsum(value).alias("supp_value"))
+    total = li.agg((dsum(value) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("supp_value") > F.col("threshold"))
+        .select("l_suppkey", "supp_value")
+        .orderBy(F.col("supp_value").desc(), F.col("l_suppkey").asc())
+    )
+
+
+Q11_SQL = f"""
+SELECT l_suppkey, {_DSUM.format(x="l_extendedprice * l_quantity")} AS supp_value
+FROM lineitem
+GROUP BY l_suppkey
+HAVING {_DSUM.format(x="l_extendedprice * l_quantity")} > (
+    SELECT {_DSUM.format(x="l_extendedprice * l_quantity")} * 0.001 FROM lineitem
+)
+ORDER BY supp_value DESC, l_suppkey ASC
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — conditional counting after a fact-fact join.
+
+    Per line status (standing in for shipmode), how many 1998-shipped
+    lines belong to critical- vs normal-priority orders. One CASE-gated
+    aggregation; the ship-date filter is pushed into the lineitem scan
+    so the join sees one year of the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — a revenue view reused twice, MAX-equality filter.
+
+    The classic creates a revenue view and selects the supplier(s)
+    whose revenue equals its MAX. The per-supplier aggregate is computed
+    once and self-compared: a 1-row MAX aggregate broadcast back onto
+    the same (cached-size) aggregate output — equality over the
+    deterministic decimal-presented double is exact on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_revenue()).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_DSUM.format(x="l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — correlated AVG threshold per part.
+
+    Average yearly revenue lost if small-quantity orders (below half the
+    part's average quantity) were not taken, for one brand. The
+    correlated ``l_quantity < 0.5 * (SELECT AVG ... same part)``
+    decorrelates to a per-part AVG joined back to the fact on partkey.
+    The brand filter prunes the part dimension FIRST and semi-constrains
+    both the aggregate and probe fact scans through the broadcast join.
+    The threshold goes through avg6 (deterministic decimal mean) so no
+    row sits on an engine-dependent boundary.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_part = fact.groupBy(F.col("p_partkey").alias("ap_key")).agg(
+        (F.lit(0.5) * avg6("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        fact.join(F.broadcast(per_part), F.col("p_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(dsum("l_extendedprice") / F.lit(7.0), 6).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT ROUND({_DSUM.format(x="l_extendedprice")} / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * ROUND(
+        {_DSUM.format(x="l2.l_quantity")} / COUNT(l2.l_quantity), 6)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q20_volume_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — nested IN chain: suppliers IN (heavy shippers of
+    parts IN (a name-prefix set)).
+
+    Suppliers from NATION_3 who shipped more than 400 units of
+    's'-prefixed parts in 1997. Both IN subqueries compile to semi
+    joins: the part set broadcasts into the fact aggregate, and the
+    qualifying-supplier aggregate (small) semi-joins the supplier
+    dimension. The fact is touched once, pre-aggregated on
+    (suppkey) — at 100 TB the heavy-shipper set stays metadata-sized.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("s"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING {_DSUM.format(x="l_quantity")} > 400.0
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — EXISTS ∧ NOT-EXISTS self-joins on the fact.
+
+    Suppliers whose returned line sits in a multi-supplier order where
+    NO OTHER supplier's line was returned (sole-fault attribution; the
+    classic uses late receipt, this corpus has returnflag). Both
+    correlated EXISTS clauses are self-joins of lineitem on orderkey
+    with a supplier-inequality — expressed as per-order distinct-count
+    aggregates (suppliers in order, returned-suppliers in order) joined
+    back once, instead of two quadratic self-join passes: EXISTS(other
+    supplier) ⇔ n_supp > 1; NOT EXISTS(other returned supplier) ⇔
+    n_ret_supp = 1. One narrow per-order aggregate replaces two
+    fact-fact self-joins — at 100 TB this is the difference between one
+    shuffle of (orderkey, 2 counts) and two full fact shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_suppkey
+  FROM lineitem l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+    )
+) faulty
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL)
+    register("q8_market_share", q8_market_share, Q8_SQL)
+    register("q9_product_profit", q9_product_profit, Q9_SQL)
+    register("q11_value_concentration", q11_value_concentration, Q11_SQL)
+    register("q12_priority_by_status", q12_priority_by_status, Q12_SQL)
+    register("q15_top_supplier", q15_top_supplier, Q15_SQL)
+    register("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL)
+    register("q20_volume_shippers", q20_volume_shippers, Q20_SQL)
+    register("q21_sole_fault_supplier", q21_sole_fault_supplier, Q21_SQL)
