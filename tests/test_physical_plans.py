@@ -141,3 +141,39 @@ def test_q22_threshold_is_single_row_broadcast(spark, sf_dir):
     the dormancy check must be an anti join — not a full outer shape."""
     plan = _plan(spark, sf_dir, "q22_dormant_accounts")
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_q21_self_exists_is_one_aggregate_not_self_join(spark, sf_dir):
+    """The EXISTS ∧ NOT-EXISTS pair must compile to ONE per-order
+    aggregate joined back — never two quadratic fact self-joins. The
+    plan therefore contains exactly 3 lineitem scans' worth of joins but
+    no join whose BOTH sides are unaggregated lineitem."""
+    plan = _plan(spark, sf_dir, "q21_sole_fault_supplier")
+    # the sole-fault attribution predicate lives in aggregate form
+    # (countDistinct expands to the gid/Expand two-phase plan)
+    assert "n_supp" in plan and "n_ret_supp" in plan
+    # no cartesian / nested-loop fact pairing
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_part_prefix_filter_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_volume_shippers")
+    assert "StringStartsWith(p_name,s)" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "StartsWith(p_name, s)" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q17_correlated_avg_is_broadcast_agg_join(spark, sf_dir):
+    """The decorrelated per-part AVG must come back as a broadcast side
+    (per-part agg output ≪ fact), and the brand filter must reach both
+    part scans."""
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("EqualTo(p_brand,Brand#3)") == 2
+
+
+def test_q2_min_subquery_is_broadcast_agg_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
