@@ -128,6 +128,22 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word-level n-gram shingles ('_'-joined), empty array when the doc
+    has fewer than n tokens (no partial/padded grams — the guard keeps
+    decontamination and repetition counts honest for short docs)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_bigrams(col: Column | str) -> Column:
     """Word-level 2-gram shingles (for n-gram Jaccard / MinHash input)."""
     toks = tokens(col)

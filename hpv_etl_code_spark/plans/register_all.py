@@ -12,6 +12,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         analytics_queries,
         battery_queries,
         corpus_pipeline,
+        decontam_queries,
         func_batteries2,
         func_batteries3,
         merged_queries,
@@ -40,6 +41,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     func_batteries2.register_entries(register)
     func_batteries3.register_entries(register)
     corpus_pipeline.register_entries(register)
+    decontam_queries.register_entries(register)
     packing_queries.register_entries(register)
     analytics_queries.register_entries(register)
     profiling_queries.register_entries(register)
