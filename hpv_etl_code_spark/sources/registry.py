@@ -36,10 +36,12 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one registered table.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
-    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a µs
-    timestamp here via integer division (truncation — identical to
-    DuckDB's ns→µs conversion, keeping the oracle bit-exact).
+    ``events.ts`` storage has varied across testdata generations:
+    TIMESTAMP(NANOS) (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``, converted by truncating
+    integer division — identical to DuckDB's ns→µs conversion) or µs
+    TIMESTAMP_NTZ (reinterpreted as TIMESTAMP under the fixed UTC
+    session tz). Both normalize to the same µs TIMESTAMP column.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {TABLES}")
@@ -48,10 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the driver's verify builds its own), not just ours
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-NTZ storage (current testdata). Present as TIMESTAMP so
+            # event-time ops (withWatermark rejects NTZ) work downstream;
+            # under the engine's fixed UTC session tz the cast is a pure
+            # reinterpretation — wall-clock values are unchanged, so the
+            # DuckDB oracle (which reads the same file as naive µs) still
+            # stringifies identically.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -152,8 +152,11 @@ def sessionize_stream(
     """
     if gap_seconds is None:
         gap_seconds = _parse_gap(gap)
+    from .windows import ensure_event_time
+
     return (
-        stream_df.withWatermark("ts", watermark)
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_sessionizer(gap_seconds),

@@ -43,7 +43,13 @@ def dedup_within_watermark(
     """Stateful streaming dedup: drops duplicate keys arriving within the
     watermark horizon; state is evicted as the watermark advances, so
     memory is bounded (unlike a naive global dropDuplicates)."""
-    return stream_df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, ts)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 USER_COUNT_SCHEMA = StructType(

@@ -21,8 +21,17 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum
 
 
+def ensure_event_time(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Watermarks reject TIMESTAMP_NTZ event-time columns; reinterpret as
+    TIMESTAMP (value-preserving under the engine's fixed UTC session tz)
+    so NTZ-stored sources (current testdata parquet) stream unchanged."""
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def _maybe_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
-    return df.withWatermark(ts, watermark) if watermark else df
+    return ensure_event_time(df, ts).withWatermark(ts, watermark) if watermark else df
 
 
 def tumbling_counts(
