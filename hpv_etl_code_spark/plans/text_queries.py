@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import textops
 from ..operators.dedup import (
     dedup_exact,
+    dedup_incremental_survivors,
     exact_dedup_keepers,
     jaccard,
     minhash_lsh_pairs,
@@ -372,6 +373,56 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (the steady-state ingest shape):
+    every 5th document plays the 'new batch', the rest the accumulated
+    corpus; survivors are batch docs with no exact-fingerprint match and
+    no ≥0.8-Jaccard LSH-candidate match in the corpus
+    (operators/dedup.py::dedup_incremental_survivors — portable md5 hash
+    family, so DuckDB reproduces buckets and survivors bit-for-bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = dedup_incremental_survivors(new, corpus, "doc_id", "text", threshold=0.8)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), h AS (
+  SELECT doc_id, s.seed,
+    MIN(('0x' || substr(md5(s.seed::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) e
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), exact_drop AS (
+  SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c ON md5(n.text) = md5(c.text)
+), cand AS (
+  SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+  FROM bands bn JOIN bands bc ON bn.band = bc.band AND bn.bkey = bc.bkey
+  WHERE bn.doc_id % 5 = 0 AND bc.doc_id % 5 <> 0
+), near_drop AS (
+  SELECT DISTINCT cand.new_id AS doc_id
+  FROM cand
+  JOIN toks tn ON tn.doc_id = cand.new_id
+  JOIN toks tc ON tc.doc_id = cand.corpus_id
+  WHERE len(list_intersect(tn.toks, tc.toks)) * 1.0 /
+        greatest(len(tn.toks) + len(tc.toks)
+                 - len(list_intersect(tn.toks, tc.toks)), 1) >= 0.8
+)
+SELECT doc_id, text FROM newb
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
@@ -392,3 +443,4 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
     )
+    register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)

@@ -136,3 +136,33 @@ def test_simhash_pairs_unique_and_bounded(spark, sf_dir):
     keys = [(r.id_a, r.id_b) for r in rows]
     assert len(keys) == len(set(keys))  # deduped pairs
     assert all(r.id_a < r.id_b and r.hamming <= 3 for r in rows)
+
+
+def test_incremental_dedup_survivors(spark):
+    """Exact dups and near-dups of the corpus are dropped; novel docs
+    survive; corpus size never enters the output."""
+    from hpv_etl_code_spark.operators.dedup import dedup_incremental_survivors
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated corpus text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (11, "one two three four five six seven eight nine zero"),  # near-dup of 2
+            (12, "completely fresh content nothing shared"),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_incremental_survivors(new, corpus, "doc_id", "text", threshold=0.8)
+    assert {r["id"] for r in out.collect()} == {12}
+
+    # empty corpus → everything survives
+    empty = corpus.filter(F.lit(False))
+    out2 = dedup_incremental_survivors(new, empty, "doc_id", "text", threshold=0.8)
+    assert {r["id"] for r in out2.collect()} == {10, 11, 12}
