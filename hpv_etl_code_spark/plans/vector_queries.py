@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import l2_norm, to_double_array
+from ..functions.vector import (
+    cosine,
+    dequantize,
+    l2_norm,
+    quantize_int8,
+    quantize_scale,
+    to_double_array,
+)
 from ..operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -248,6 +255,65 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rk FROM (
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding + reconstruction
+    quality (max abs error, cosine(original, dequantized)) — the 4×
+    storage/bandwidth compression step of a large-scale vector pipeline.
+    Pure per-row narrow expressions: no shuffle, scales linearly.
+    Quantized vectors presented as a comma-joined string (arrays crash
+    the driver canonicalizer — round-1 lesson)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    df = e.select("vec_id", to_double_array("embedding").alias("v"))
+    df = (
+        df.withColumn("scale", quantize_scale("v"))
+        .withColumn("qv", quantize_int8("v", F.col("scale")))
+        .withColumn("deq", dequantize("qv", F.col("scale")))
+    )
+    max_err = F.array_max(F.zip_with("v", "deq", lambda a, b: F.abs(a - b)))
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.concat_ws(",", F.transform("qv", lambda q: q.cast("string"))).alias("qvec"),
+        F.round(max_err, 6).alias("max_abs_err"),
+        F.round(cosine(F.col("v"), F.col("deq")), 6).alias("cos_orig_deq"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+    CASE WHEN m <> 0 THEN m / 127.0 ELSE 1.0 END AS scale
+  FROM (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM v)
+), q AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> floor(x / scale + 0.5)::INT) AS qv
+  FROM s
+), d AS (
+  SELECT vec_id, v, scale, qv,
+    list_transform(qv, x -> x * scale) AS deq
+  FROM q
+), e AS (
+  SELECT vec_id, scale, unnest(v) AS ve, unnest(deq) AS de FROM d
+), err AS (
+  SELECT vec_id, MAX(abs(ve - de)) AS max_err FROM e GROUP BY vec_id
+)
+SELECT d.vec_id,
+  ROUND(d.scale, 6) AS scale_r,
+  array_to_string(d.qv, ',') AS qvec,
+  ROUND(err.max_err, 6) AS max_abs_err,
+  ROUND(CASE WHEN sqrt(list_dot_product(d.v, d.v))
+                  * sqrt(list_dot_product(d.deq, d.deq)) <> 0
+        THEN list_dot_product(d.v, d.deq)
+             / (sqrt(list_dot_product(d.v, d.v))
+                * sqrt(list_dot_product(d.deq, d.deq)))
+        END, 6) AS cos_orig_deq
+FROM d JOIN err ON err.vec_id = d.vec_id
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("ann_ivf_topk", ann_ivf_topk, _ann_ivf_oracle_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
@@ -259,3 +325,6 @@ def register_entries(register) -> None:  # noqa: ANN001
     )
     register("embedding_neardup_lsh", embedding_neardup_lsh, None)
     register("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle_sql())
+    register(
+        "embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL
+    )
