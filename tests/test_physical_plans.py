@@ -177,3 +177,22 @@ def test_q2_min_subquery_is_broadcast_agg_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark, sf_dir):
+    """Every join in dedup_incremental broadcasts the (small) batch side:
+    the corpus must appear only under broadcast joins, never a
+    SortMergeJoin / ShuffledHashJoin — the property that makes per-batch
+    dedup O(batch), not O(corpus), at 100 TB."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+    # any remaining Exchange is over batch-bounded data (candidate pairs,
+    # dropped ids) — corpus-sized data reaches only broadcast joins
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_quantize_entry_is_shuffle_free(spark, sf_dir):
+    """int8 quantization is a pure narrow map — zero exchanges."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan
