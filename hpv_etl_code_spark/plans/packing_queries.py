@@ -128,6 +128,58 @@ GROUP BY source, shard, pack_id
 """
 
 
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, n_shards: int = 64
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the training-loader
+    prepass that re-permutes the corpus every epoch without ``rand()``
+    (stable across retries, partitionings, engines).
+
+    Adds ``shuffle_key`` (portable 60-bit hash of (epoch, id)) and
+    ``shard`` (key mod n_shards). The global order is REALIZED as
+    ``repartitionByRange(shuffle_key) + sortWithinPartitions`` — a range
+    exchange whose output files, read shard-by-shard in file order, ARE
+    the permutation; no single-task global sort ever happens.
+    """
+    key = _phash(
+        F.concat(
+            F.lit(f"ep{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    return out.repartitionByRange(n_shards, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of the deterministic shuffle over ``documents`` —
+    distinct permutations per epoch, every decision a pure function of
+    (epoch, doc_id), hash-matching the DuckDB oracle exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    eps = [
+        epoch_shuffle(d, "doc_id", epoch=e, n_shards=64).withColumn(
+            "epoch", F.lit(e)
+        )
+        for e in (0, 1)
+    ]
+    out = eps[0].unionByName(eps[1])
+    return out.select("epoch", "doc_id", "shuffle_key", "shard")
+
+
+CORPUS_EPOCH_SHUFFLE_SQL = """
+SELECT e.epoch, doc_id,
+  ('0x' || substr(md5('ep' || e.epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                  1, 15))::BIGINT AS shuffle_key,
+  (('0x' || substr(md5('ep' || e.epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                   1, 15))::BIGINT % 64)::INT AS shard
+FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("corpus_mixture_sample", corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
     register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)
+    register("corpus_epoch_shuffle", corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_SQL)

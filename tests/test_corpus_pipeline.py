@@ -60,3 +60,24 @@ def test_lsh_keepers_are_pairwise_nondup(spark, sf_dir):
     assert remaining <= total_before * 0.2, (
         f"near-dup pairs barely reduced: {remaining} of {total_before}"
     )
+
+
+def test_epoch_shuffle_permutations_differ_and_range_partition(spark, sf_dir):
+    """Each epoch is a different deterministic permutation, realized as a
+    range exchange (no single-task global sort)."""
+    from hpv_etl_code_spark.plans.packing_queries import epoch_shuffle
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = epoch_shuffle(d, "doc_id", epoch=0, n_shards=8)
+    e1 = epoch_shuffle(d, "doc_id", epoch=1, n_shards=8)
+
+    order0 = [r["doc_id"] for r in e0.collect()]
+    order1 = [r["doc_id"] for r in e1.collect()]
+    assert sorted(order0) == sorted(order1)  # same corpus
+    assert order0 != order1  # different permutation per epoch
+    # deterministic across runs
+    assert order0 == [r["doc_id"] for r in e0.collect()]
+
+    plan = e0._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
