@@ -119,3 +119,53 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def compact_parquet(
+    spark,  # noqa: ANN001 — SparkSession
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Compact a small-file parquet directory in place: rewrite into
+    ``ceil(total_bytes / target_file_bytes)`` files, stage-then-publish.
+
+    The small-file problem is the classic operational failure of
+    incremental/streaming sinks at scale (every micro-batch appends a
+    few KB files; a year later the table has 10⁷ files and planning
+    takes longer than scanning). Total size comes from the Hadoop
+    FileSystem API — works on any FS (local, HDFS, S3A) without
+    listing file contents.
+
+    Stage-then-publish (see stream_upsert_to_parquet): the compacted
+    copy is FULLY written to a side directory before the target is
+    overwritten, so the job never reads the files it is replacing.
+
+    Returns (files_before, files_after).
+    """
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jpath)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    stage = path.rstrip("/") + "__compact_stage"
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: narrowing file count must not shuffle
+    df.coalesce(n_out).write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+    files_after = sum(
+        1
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    return files_before, files_after

@@ -72,3 +72,22 @@ def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
     ).select(*d.columns)
     assert back.schema == d.schema
     assert _sorted_rows(back) == _sorted_rows(d)
+
+
+def test_compact_parquet_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
+    """20 tiny files → 1 compacted file, bit-identical data."""
+    from hpv_etl_code_spark.sources.sinks import compact_parquet
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    target = str(tmp_path / "smallfiles")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.repartition(20).write.parquet(target)
+
+    before_rows = sorted(map(tuple, spark.read.parquet(target).collect()))
+    files_before, files_after = compact_parquet(
+        spark, target, target_file_bytes=1 << 30
+    )
+    assert files_before == 20
+    assert files_after == 1
+    after_rows = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert after_rows == before_rows
