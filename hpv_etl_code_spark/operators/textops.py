@@ -195,3 +195,36 @@ def winnowing_fingerprints(
         .otherwise(F.array().cast("array<bigint>"))
     )
     return F.array_distinct(wins)
+
+
+# -------------------------------------------------- PII / chunk hygiene
+
+# conservative, RE2-compatible patterns (portable: Java regex ⊇ RE2 here)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses and simple phone numbers with typed
+    placeholders — the standard pre-training privacy pass. Pure chained
+    ``regexp_replace`` (global, JVM-side); order matters: emails first
+    (an address contains dot-runs an IP pattern could nibble), then IPs,
+    then phones."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return c
+
+
+def token_chunks(col: Column | str, size: int = 16) -> Column:
+    """Split a document into consecutive ``size``-token chunk strings —
+    the 'paragraph' unit for chunk-level dedup on corpora without
+    structural newlines. The tail chunk may be shorter."""
+    ts = tokens(col)
+    n = F.greatest(F.ceil(F.size(ts) / size).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(ts, i * size + 1, size), " "),
+    )

@@ -423,6 +423,91 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4, phone-shaped numbers → typed
+    placeholders). The synthetic corpus carries no PII, so each doc
+    deterministically injects a synthetic email/phone/IP derived from
+    doc_id before scrubbing — the oracle proves regex-replacement parity
+    on text that actually exercises all three patterns. Pure per-row
+    regexp_replace chain: no shuffle, scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), 256).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("doc_id"), 100).cast("string"),
+    )
+    return d.select("doc_id", textops.scrub_pii(injected).alias("scrubbed"))
+
+
+TEXT_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || doc_id::VARCHAR || '@example.com call 555-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.'
+             || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+    '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level ('paragraph') cross-document dedup metrics: split each
+    doc into 16-token chunks, hash them, and report per doc how many of
+    its chunks appear in OTHER documents too — the C4-style boilerplate
+    signal at sub-document granularity (within-doc repetition is the
+    separate ``repetition_scores`` entry). One explode (narrow), one
+    hash-agg shuffle on the chunk hash, one join back — the canonical
+    scalable shape; the chunk-hash key is uniform so no skew."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(textops.token_chunks("text", 16)).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("ch"))
+    nd = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.count(F.when(F.col("nd") > 1, 1))
+    return (
+        chunks.join(nd, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared"),
+            F.round(shared * 1.0 / F.count(F.lit(1)), 6).alias("shared_ratio"),
+        )
+    )
+
+
+CHUNK_DEDUP_RATIO_SQL = """
+WITH c AS (
+  SELECT doc_id, md5(chunk) AS ch FROM (
+    SELECT doc_id, unnest(chunks) AS chunk FROM (
+      SELECT doc_id,
+        list_transform(
+          generate_series(0, greatest(ceil(len(ts) / 16.0)::INT, 1) - 1),
+          i -> array_to_string(list_slice(ts, i * 16 + 1, i * 16 + 16), ' ')
+        ) AS chunks
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)))
+), nd AS (
+  SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY ch
+)
+SELECT c.doc_id,
+  COUNT(*) AS n_chunks,
+  COUNT(CASE WHEN nd.nd > 1 THEN 1 END) AS n_shared,
+  ROUND(COUNT(CASE WHEN nd.nd > 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+    AS shared_ratio
+FROM c JOIN nd USING (ch)
+GROUP BY c.doc_id
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
@@ -444,3 +529,5 @@ def register_entries(register) -> None:  # noqa: ANN001
         "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
     )
     register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
+    register("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL)
+    register("chunk_dedup_ratio", chunk_dedup_ratio, CHUNK_DEDUP_RATIO_SQL)

@@ -61,3 +61,32 @@ def test_tfidf_rare_term_outranks_common(spark):
     # 'common' appears in every doc (idf = ln(5/5) = 0) so the unique
     # term must win despite tf 1 vs 3.
     assert {r.term for r in top1} == {f"rare{i}" for i in range(4)}
+
+
+def test_pii_scrub_redacts_all_three_kinds(spark):
+    from hpv_etl_code_spark.operators.textops import scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.co.uk call 555-0199 or 020 7946 0000 ip 192.168.0.1 done",)],
+        ["t"],
+    )
+    out = df.select(scrub_pii("t").alias("s")).collect()[0]["s"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "@" not in out and "192.168" not in out and "555-0199" not in out
+
+
+def test_chunk_dedup_flags_shared_chunks(spark):
+    from hpv_etl_code_spark.operators.textops import token_chunks
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + uniq("x")), (2, boiler + " " + uniq("y"))],
+        ["doc_id", "text"],
+    )
+    c = df.select("doc_id", F.explode(token_chunks("text", 16)).alias("chunk"))
+    nd = c.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = {r["chunk"][:2] for r in nd.filter("nd > 1").collect()}
+    assert shared == {"b0"[:2]}  # only the boilerplate chunk is cross-doc
