@@ -387,6 +387,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "text")
 
 
+def dedup_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-path twin of ``dedup_incremental``: same batch-vs-
+    corpus split and join topology, xxhash64 hash family (~10× cheaper
+    hashing than the oracle's md5) — rows-only at the gate, benchmarked
+    as the headline incremental-dedup number."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = dedup_incremental_survivors(
+        new, corpus, "doc_id", "text", threshold=0.8, hash_family="fast"
+    )
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
 DEDUP_INCREMENTAL_SQL = """
 WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
@@ -529,5 +543,6 @@ def register_entries(register) -> None:  # noqa: ANN001
         "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
     )
     register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
+    register("dedup_incremental_fast", dedup_incremental_fast, None, headline=True)
     register("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL)
     register("chunk_dedup_ratio", chunk_dedup_ratio, CHUNK_DEDUP_RATIO_SQL)

@@ -326,5 +326,8 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("embedding_neardup_lsh", embedding_neardup_lsh, None)
     register("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle_sql())
     register(
-        "embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL
+        "embedding_quantize_int8",
+        embedding_quantize_int8,
+        EMBEDDING_QUANTIZE_SQL,
+        headline=True,
     )

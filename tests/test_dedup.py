@@ -166,3 +166,22 @@ def test_incremental_dedup_survivors(spark):
     empty = corpus.filter(F.lit(False))
     out2 = dedup_incremental_survivors(new, empty, "doc_id", "text", threshold=0.8)
     assert {r["id"] for r in out2.collect()} == {10, 11, 12}
+
+
+def test_incremental_dedup_fast_family_semantics(spark):
+    """Exact-dup drops are hash-family-independent; the fast family
+    enforces the same survivor invariants."""
+    from hpv_etl_code_spark.operators.dedup import dedup_incremental_survivors
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "novel text here")],
+        ["doc_id", "text"],
+    )
+    for fam in ("portable", "fast"):
+        out = dedup_incremental_survivors(
+            new, corpus, "doc_id", "text", threshold=0.8, hash_family=fam
+        )
+        assert {r["id"] for r in out.collect()} == {11}, fam
