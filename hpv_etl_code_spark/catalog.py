@@ -115,11 +115,11 @@ _PRIORITY: tuple[str, ...] = (
     # text + dedup
     "text_metrics",
     "dedup_exact_content",
-    "ngram_jaccard_pairs",
+    "dedup_incremental",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     # vectors / similarity
-    "vector_stats",
+    "embedding_quantize_int8",
     "knn_brute_force",
     "embedding_neardup_blocked",
     "ann_lsh_topk",
