@@ -108,6 +108,29 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "stream_upsert_to_parquet",
         ),
         "textops": ("hpv_etl_code_spark.operators.textops", None),
+        # round-2 additions
+        "dedup_incremental_survivors": (
+            "hpv_etl_code_spark.operators.dedup",
+            "dedup_incremental_survivors",
+        ),
+        "quantize_scale": ("hpv_etl_code_spark.functions.vector", "quantize_scale"),
+        "quantize_int8": ("hpv_etl_code_spark.functions.vector", "quantize_int8"),
+        "dequantize": ("hpv_etl_code_spark.functions.vector", "dequantize"),
+        "epoch_shuffle": (
+            "hpv_etl_code_spark.plans.packing_queries",
+            "epoch_shuffle",
+        ),
+        "scrub_pii": ("hpv_etl_code_spark.operators.textops", "scrub_pii"),
+        "token_chunks": ("hpv_etl_code_spark.operators.textops", "token_chunks"),
+        "compact_parquet": ("hpv_etl_code_spark.sources.sinks", "compact_parquet"),
+        "HpvSheetsDataSource": (
+            "hpv_etl_code_spark.sources.datasource",
+            "HpvSheetsDataSource",
+        ),
+        "running_user_stats_tws": (
+            "hpv_etl_code_spark.streaming.stream",
+            "running_user_stats_tws",
+        ),
     }
     if name in surface:
         mod, attr = surface[name]
