@@ -196,3 +196,35 @@ def test_quantize_entry_is_shuffle_free(spark, sf_dir):
     """int8 quantization is a pure narrow map — zero exchanges."""
     plan = _plan(spark, sf_dir, "embedding_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dimension predicate
+    injects a bloom_filter_agg that prunes fact rows BEFORE the join
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~selectivity fraction."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -65,3 +65,51 @@ def test_salted_left_join_matches_plain(spark):
     got = salted_join(big, small, on="k", num_salts=4, how="left")
     want = big.join(small, "k", "left")
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
+    """AQE's skew-join handling is the engine's FIRST line of defense at
+    100 TB (salting is the manual fallback): with skew thresholds scaled
+    to the fixture, the executed plan must mark the skewed sort-merge
+    join (skew=true) — proving the runtime re-plan actually fires."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # ~90% of a 120k-row fact lands on key 0; the dim side is unique
+        # per key (hot key on ONE side only — two-sided hot keys explode
+        # quadratically and AQE can't help that)
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(120_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 512).alias("p2"),
+        )
+        j = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's query execution — count()
+        # or take() would build and execute a different plan, leaving
+        # j's own AdaptiveSparkPlan unfinalized
+        assert len(j.collect()) == 120_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
