@@ -185,3 +185,28 @@ def test_incremental_dedup_fast_family_semantics(spark):
             new, corpus, "doc_id", "text", threshold=0.8, hash_family=fam
         )
         assert {r["id"] for r in out.collect()} == {11}, fam
+
+
+def test_incremental_dedup_bucket_cap_trades_recall_not_exactness(spark):
+    """With a cap of 0 every corpus bucket is 'hot' and near-dup
+    detection is disabled — but exact-fingerprint drops still fire."""
+    from hpv_etl_code_spark.operators.dedup import dedup_incremental_survivors
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup
+            (11, "alpha beta gamma delta zeta"),  # near-dup (J=0.667<0.6? no: 4/6) — use θ=0.6
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = dedup_incremental_survivors(
+        new, corpus, "doc_id", "text", threshold=0.6
+    )
+    assert {r["id"] for r in uncapped.collect()} == set()  # both dropped
+    capped = dedup_incremental_survivors(
+        new, corpus, "doc_id", "text", threshold=0.6, max_corpus_bucket=0
+    )
+    assert {r["id"] for r in capped.collect()} == {11}  # near-dup survives
