@@ -179,9 +179,67 @@ FROM s
 """
 
 
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly buckets over each user's
+    own [min, max] span with gap rows injected (n=0) and the last
+    observed hourly sum forward-filled — the standard
+    densify-then-carry-forward prepass for downstream diffing/charting.
+
+    Scale shape: one agg shuffle to hourly buckets, a per-user span agg
+    (tiny), a sequence-explode grid (narrow — at most span-hours rows
+    per user), a co-partitioned left join, and ONE ordered window per
+    user for the fill. No driver-side loops, no cross joins; the grid is
+    bounded by time-span × users, not events."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("sum_value").isNull().alias("is_gap"),
+            F.round(F.last("sum_value", ignorenulls=True).over(w), 6).alias(
+                "filled_sum"
+            ),
+        )
+    )
+
+
+RESAMPLE_FFILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+      AS sum_value
+  FROM events WHERE user_id < 50 GROUP BY user_id, date_trunc('hour', ts)
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id)
+)
+SELECT g.user_id, g.h,
+  COALESCE(hourly.n, 0) AS n,
+  hourly.sum_value IS NULL AS is_gap,
+  ROUND(LAST_VALUE(hourly.sum_value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_sum
+FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_SQL)
     register("per_group_trend", per_group_trend, PER_GROUP_TREND_SQL)
     register("window_analytics", window_analytics, WINDOW_ANALYTICS_SQL)
+    register("resample_ffill_hourly", resample_ffill_hourly, RESAMPLE_FFILL_SQL)
     register("map_funcs_battery", map_funcs_battery, MAP_FUNCS_SQL)
     register("pivot_multi_agg", pivot_multi_agg, PIVOT_MULTI_AGG_SQL)
