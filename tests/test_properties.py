@@ -176,3 +176,77 @@ def test_xlsx_writer_parser_roundtrip(tmp_path_factory, a1, headers, data, inlin
                 (a1, str(r[0]), str(cat), None if v in (None, "") else str(v))
             )
     assert got == sorted(want, key=key)
+
+
+# ---------------------------------------------- round-2 operator laws
+
+vec_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=4, max_size=8
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=vec_rows)
+def test_int8_quantization_error_bound(spark_session_holder, rows):
+    """|v - dequantize(quantize(v))| ≤ scale/2 elementwise, always —
+    the defining contract of round-to-nearest symmetric quantization."""
+    from hpv_etl_code_spark.functions.vector import (
+        dequantize,
+        quantize_int8,
+        quantize_scale,
+        to_double_array,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<FLOAT>")
+    out = (
+        df.select("vec_id", to_double_array("v").alias("v"))
+        .withColumn("scale", quantize_scale("v"))
+        .withColumn("deq", dequantize(quantize_int8("v", F.col("scale")), F.col("scale")))
+        .select(
+            "vec_id",
+            "scale",
+            F.array_max(
+                F.zip_with("v", "deq", lambda a, b: F.abs(a - b))
+            ).alias("max_err"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, r
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd", "Zs"), max_codepoint=0x7F),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pii_scrub_is_idempotent(spark_session_holder, texts):
+    """scrub(scrub(x)) == scrub(x): placeholders must never re-match."""
+    from hpv_etl_code_spark.operators.textops import scrub_pii
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t + " a.b@c.io 10.0.0.1 555-0100") for i, t in enumerate(texts)],
+        "i LONG, t STRING",
+    )
+    out = df.select(
+        scrub_pii("t").alias("once"),
+        scrub_pii(scrub_pii("t")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
