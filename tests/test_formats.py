@@ -91,3 +91,22 @@ def test_compact_parquet_preserves_data_and_reduces_files(spark, sf_dir, tmp_pat
     assert files_after == 1
     after_rows = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert after_rows == before_rows
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A table whose files drifted (columns added over time) must read
+    with the unified schema under mergeSchema, old files NULL-filling
+    the new column — the storage-level twin of combine_files'
+    unionByName(allowMissingColumns=True)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id LONG, v STRING"
+    ).write.parquet(base + "/batch=0")
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.parquet(base + "/batch=1")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert {f.name for f in df.schema} == {"id", "v", "score", "batch"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
