@@ -82,3 +82,31 @@ def test_decode_parses_real_wav_header(spark):
     assert (wav_row.format, wav_row.channels, wav_row.sample_rate,
             wav_row.bits_per_sample, wav_row.duration_ms) == ("wav", 2, 44100, 16, 1000)
     assert rows[2].format == "stub"
+
+
+def _mp4_bytes(brand: bytes, timescale: int, duration: int, version: int = 0) -> bytes:
+    """Hand-built minimal ISO-BMFF: ftyp + moov(mvhd)."""
+    ftyp = b"ftyp" + brand + (0).to_bytes(4, "big")
+    ftyp = (4 + len(ftyp)).to_bytes(4, "big") + ftyp
+    if version == 0:
+        mvhd_body = bytes([0, 0, 0, 0]) + (0).to_bytes(4, "big") * 2 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + b"\x00" * 4
+    else:
+        mvhd_body = bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big") * 2 + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + b"\x00" * 4
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_video_meta_decodes_real_mp4_boxes(spark):
+    from hpv_etl_code_spark.operators.multimodal import decode_video_meta
+
+    rows = [
+        (1, _mp4_bytes(b"isom", 1000, 5500)),          # 5.5 s, v0 mvhd
+        (2, _mp4_bytes(b"mp42", 90000, 90000 * 3, 1)),  # 3 s, v1 mvhd
+        (3, b"not a video payload at all............"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert (got[1]["format"], got[1]["brand"], got[1]["duration_ms"]) == ("mp4", "isom", 5500)
+    assert (got[2]["format"], got[2]["brand"], got[2]["duration_ms"]) == ("mp4", "mp42", 3000)
+    assert got[3]["format"] == "unknown" and got[3]["duration_ms"] == len(rows[2][1]) % 9000
