@@ -98,3 +98,42 @@ def test_stream_source_consumes_incremental_drops(spark, tmp_path):
         q.stop()
     want = _key(read_sheets_excel(spark, str(drop / "*.xlsx")).collect())
     assert got == want and got
+
+
+def test_stream_source_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Kill the query, drop more files, restart from the SAME checkpoint:
+    the resumed query must process only files after the committed offset
+    — each sheet lands in the sink exactly once."""
+    from tests.xlsx_util import write_xlsx
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+    files = list(enumerate(hpv_fixture.FILES, 1))
+
+    def write(i, spec):
+        cols, rows, a1 = spec
+        write_xlsx(drop / f"{i:05d}.xlsx", [[a1], [], list(cols), *map(list, rows)])
+
+    def run_once():
+        stream = spark.readStream.format("hpv_sheets").load(str(drop / "*.xlsx"))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(*files[0])
+    run_once()
+    for spec in files[1:]:
+        write(*spec)
+    run_once()
+
+    sunk = spark.read.parquet(out)
+    want = read_sheets_excel(spark, str(drop / "*.xlsx"))
+    assert sunk.count() == want.count()  # exactly-once: no replayed rows
+    assert _key(sunk.collect()) == _key(want.collect())
