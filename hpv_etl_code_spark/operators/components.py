@@ -92,3 +92,60 @@ def dedup_component_keepers(
     nodes; everything else in the corpus survives by definition."""
     comps = connected_components(edges, src=src, dst=dst)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    iterative link-analysis workload class (distinct from the fixpoint
+    min-label propagation above).
+
+    Each iteration is one join (edge ⋈ rank ⋈ outdeg) + one aggregation
+    shuffle on dst; contributions aggregate through exact decimals
+    (``dsum``) so the result is order-independent and differential-
+    testable — the catalog oracle UNROLLS the same iterations into CTEs
+    (the IVF k-means precedent). Dangling-node mass is not redistributed
+    (documented simplification; ranks then need no global re-sum).
+
+    ``checkpoint_every``: eager localCheckpoint cadence — iterative
+    plans otherwise accumulate k joins of lineage and the optimizer
+    re-analyzes the whole chain each round (the connected-components
+    lesson above). The only driver-side values are N (one count) and
+    the loop counter.
+    """
+    from ..functions.numeric import dsum
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # metadata-class scalar
+    base = (1.0 - damping) / n  # same IEEE ops as the SQL twin
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(dsum("contrib").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -236,10 +236,59 @@ FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
 """
 
 
+def pagerank_orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a deterministic 100-node graph derived
+    from orders (src = custkey mod 100 → dst = orderkey mod 100) —
+    the graph is synthetic scaffolding; the operator under test is the
+    generic iterative engine (operators/components.py::pagerank), whose
+    per-iteration decimal-summed contributions let the unrolled-CTE
+    DuckDB twin match bit-for-bit."""
+    from ..operators.components import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.pmod("o_custkey", F.lit(100)).alias("src"),
+        F.pmod("o_orderkey", F.lit(100)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = pagerank(edges, iterations=3, damping=0.85, checkpoint_every=None)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.dst AS node,
+    CAST(CAST(SUM(CAST(r{i-1}.rank / outdeg.outdeg AS DECIMAL(20,8)))
+         AS VARCHAR) AS DOUBLE) AS s
+  FROM e JOIN r{i-1} ON r{i-1}.node = e.src
+  JOIN outdeg ON outdeg.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nodes.node,
+    (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c{i}.s, 0.0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node
+)""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_SQL)
     register("per_group_trend", per_group_trend, PER_GROUP_TREND_SQL)
     register("window_analytics", window_analytics, WINDOW_ANALYTICS_SQL)
     register("resample_ffill_hourly", resample_ffill_hourly, RESAMPLE_FFILL_SQL)
+    register("pagerank_orders_graph", pagerank_orders_graph, _pagerank_oracle_sql())
     register("map_funcs_battery", map_funcs_battery, MAP_FUNCS_SQL)
     register("pivot_multi_agg", pivot_multi_agg, PIVOT_MULTI_AGG_SQL)

@@ -94,3 +94,24 @@ def test_keepers_partition_the_edge_nodes(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     keep = {r.component: r.n_members for r in dedup_component_keepers(df).collect()}
     assert keep == {1: 3, 10: 2, 30: 3}
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """Hub of a star graph accumulates rank; leaves tie; ranks are
+    deterministic across runs; total mass ≤ 1 (dangling leak only)."""
+    from hpv_etl_code_spark.operators.components import pagerank
+
+    # 5 leaves all pointing at node 0; 0 points back at 1
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert max(out, key=out.get) == 0
+    leaf_ranks = {round(out[i], 12) for i in range(2, 6)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+    assert out[1] > out[2]  # 1 gets the hub's entire out-rank
+    # contributions quantize at 8 decimals (dsum) — mass can exceed 1 by
+    # ~iterations × n_edges × 5e-9
+    assert sum(out.values()) <= 1.0 + 1e-6
+    again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert again == out
