@@ -179,7 +179,46 @@ FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 100 documents, inclusion probability ∝ token
+    count — sequential Poisson sampling (Ohlsson): ticket = u / w with
+    u a deterministic hash-uniform in (0,1), keep the k smallest
+    tickets. Ordering uses only hashing and one IEEE division (both
+    engines round division identically; no ln/pow whose last-ulp
+    differs across libms), so the sample is bit-stable across engines,
+    retries and partitionings. Scale: one narrow projection + a
+    TakeOrdered top-k — no full sort, no shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = token_count("text").cast("double")
+    u = (
+        F.pmod(
+            _phash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1_000_000,
+        )
+        + 0.5
+    ) / 1_000_000.0
+    return (
+        d.select("doc_id", w.alias("n_tokens"), (u / w).alias("ticket"))
+        .orderBy("ticket", "doc_id")
+        .limit(100)
+        .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_tokens::INT AS n_tokens FROM (
+  SELECT doc_id,
+    len(string_split(text, ' '))::DOUBLE AS n_tokens,
+    ((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000) + 0.5) / 1000000.0
+      / len(string_split(text, ' '))::DOUBLE AS ticket
+  FROM documents
+) ORDER BY ticket, doc_id LIMIT 100
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("corpus_mixture_sample", corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
     register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)
     register("corpus_epoch_shuffle", corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_SQL)
+    register("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL)

@@ -228,3 +228,11 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    """Sequential Poisson sampling must be a TakeOrdered top-k — never a
+    global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 1  # only the top-k gather
