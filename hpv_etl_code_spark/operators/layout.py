@@ -1,0 +1,138 @@
+"""Data-layout operators: scalable global row numbering and Z-order
+(Morton) clustering keys.
+
+Both address the same 100 TB problem — imposing a GLOBAL order on data
+without funneling it through one task:
+
+- ``global_row_index`` is the declarative two-phase zipWithIndex: a
+  naive ``row_number() OVER (ORDER BY key)`` collapses the whole table
+  into ONE window partition (single-task sort — the classic scale
+  killer). Here rows are bucketed by key range, numbered inside each
+  bucket in parallel, and shifted by per-bucket offsets computed from a
+  bucket-level count table (a few hundred rows of metadata). No
+  ``collect``; the only single-partition step is the window over the
+  64-row bucket-count table.
+- ``morton_z16`` interleaves the low 16 bits of two dimensions into one
+  32-bit Z-value. Range-partitioning + sorting by the Z-value co-locates
+  rows that are close in BOTH dimensions, so min/max column statistics
+  (parquet row-group pruning, Delta/Iceberg file skipping) prune
+  two-dimensional predicates — the standard multi-dimensional clustering
+  trick behind OPTIMIZE ZORDER BY.
+
+The reference engine has no layout operators (its corpus is ~10³ rows of
+Excel, `/root/reference/src/main.py`); this is north-star extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_index(
+    df: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+    index_col: str = "global_idx",
+) -> DataFrame:
+    """Dense 1-based global index ordered by ``key`` (must be unique for
+    a deterministic result), without a global single-partition sort.
+
+    Three declarative stages, all planned by Catalyst:
+
+    1. key bounds (min/max — one partial-agg pass) broadcast-joined on;
+       ``width_bucket`` assigns an ORDER-PRESERVING bucket id, so bucket
+       boundaries respect the key order by construction.
+    2. per-bucket counts (n_buckets rows) → running-sum window over the
+       bucket id gives each bucket its global offset. The window is
+       single-partition but over metadata-sized input.
+    3. ``row_number`` inside each bucket (parallel across buckets — the
+       per-task sort is |rows|/n_buckets) plus the broadcast offset.
+
+    At 100 TB: raise ``n_buckets`` so each bucket fits an executor's
+    sort budget; stage 2 stays metadata-sized.
+    """
+    bounds = df.agg(
+        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+    )
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.width_bucket(
+            F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+        ),
+    ).drop("__lo", "__hi")
+
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .withColumn(
+            "__offset",
+            F.sum("__bn").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__bucket", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+
+    local = F.row_number().over(
+        Window.partitionBy("__bucket").orderBy(key)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(index_col, (F.col("__offset") + local).cast("long"))
+        .drop("__bucket", "__offset")
+    )
+
+
+def morton_z16(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Z-order (Morton) value: x occupies even bit
+    positions, y odd. Pure integer arithmetic — runs in whole-stage
+    codegen and is reproducible by any engine (the oracle twin unrolls
+    the same expression in SQL).
+
+    Dimensions wider than ``bits`` bits must be pre-quantized (mask or
+    bucketize) by the caller — the mask here makes that explicit rather
+    than silently overflowing.
+    """
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xm, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(ym, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z
+
+
+def morton_z16_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The ANSI-SQL twin of :func:`morton_z16` (same unrolled
+    arithmetic), for differential-testing oracles."""
+    mask = (1 << bits) - 1
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x_expr}) & {mask}) >> {j} & 1) * {1 << (2 * j)}")
+        terms.append(f"((({y_expr}) & {mask}) >> {j} & 1) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    df: DataFrame, x: str, y: str, n_partitions: int = 32
+) -> DataFrame:
+    """Cluster ``df`` for two-dimensional pruning: range-partition and
+    sort by the Morton value of (x, y). Written files then carry tight
+    min/max stats on BOTH columns, so scans filtering either dimension
+    (or a rectangle) skip most files. The Z-column is dropped — layout
+    is a side effect of order, not a schema change."""
+    with_z = df.withColumn("__z", morton_z16(F.col(x), F.col(y)))
+    return (
+        with_z.repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

