@@ -20,6 +20,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         parity_queries,
         profiling_queries,
         relational_queries,
+        search_queries,
         scale_queries,
         stream_queries,
         text_queries,
@@ -47,3 +48,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     analytics_queries.register_entries(register)
     profiling_queries.register_entries(register)
     scale_queries.register_entries(register)
+    search_queries.register_entries(register)
