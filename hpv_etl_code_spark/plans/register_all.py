@@ -11,6 +11,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     from . import (
         analytics_queries,
         battery_queries,
+        behavior_queries,
         corpus_pipeline,
         decontam_queries,
         func_batteries2,
@@ -49,3 +50,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     profiling_queries.register_entries(register)
     scale_queries.register_entries(register)
     search_queries.register_entries(register)
+    behavior_queries.register_entries(register)
