@@ -54,11 +54,28 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _parse_image_header(b: bytes) -> tuple[str, int, int]:
-    """Header-only dimension sniffing for PNG; every other payload gets a
-    deterministic size-derived STUB (no real decoders in this container)."""
+    """Header-only dimension sniffing — REAL stdlib parsers for PNG
+    (IHDR), JPEG (SOF segment walk), and GIF (logical screen
+    descriptor); every other payload gets a deterministic size-derived
+    STUB (no pixel decoders in this container)."""
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", b[16:24])
         return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header,
+        # which carries height then width (big-endian) at offset +5
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            if seglen < 2:
+                break
+            i += 2 + seglen
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
     # STUB: fake-but-deterministic dimensions from the byte length
     n = len(b)
     return "stub", (n % 640) + 1, (n % 480) + 1

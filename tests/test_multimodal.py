@@ -34,6 +34,26 @@ def test_decode_parses_real_png_header(spark):
     assert out[2].n_bytes == len(b"not an image payload")
 
 
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI, an APP0 segment to skip, then SOF0 with dims."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_decode_parses_real_jpeg_and_gif_headers(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    df = spark.createDataFrame(
+        [(1, _jpeg_bytes(1024, 768)), (2, gif)], schema
+    )
+    out = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("jpeg", 1024, 768)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 320, 200)
+
+
 def test_byte_histogram_is_normalized_16d(spark, sf_dir):
     from hpv_etl_code_spark.sources.registry import load_table
 
