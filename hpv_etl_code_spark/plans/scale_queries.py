@@ -189,7 +189,7 @@ GROUP BY 1, 2
 
 
 def register_entries(register) -> None:  # noqa: ANN001
-    register("global_index_orders", global_index_orders, GLOBAL_INDEX_SQL)
+    register("global_index_orders", global_index_orders, GLOBAL_INDEX_SQL, headline=True)
     register("zorder_key_orders", zorder_key_orders, ZORDER_KEY_SQL)
     register("fuzzy_blocked_pairs", fuzzy_blocked_pairs, FUZZY_BLOCKED_SQL)
     register("scd2_user_events", scd2_user_events, SCD2_SQL)

@@ -154,5 +154,5 @@ WHERE round(abs(e.value - m.med) / ({MAD_CONSISTENCY} * d.mad), 6) > {MAD_K}
 
 
 def register_entries(register) -> None:  # noqa: ANN001
-    register("bm25_topk_docs", bm25_topk_docs, _bm25_sql())
+    register("bm25_topk_docs", bm25_topk_docs, _bm25_sql(), headline=True)
     register("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL)
