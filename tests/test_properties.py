@@ -250,3 +250,61 @@ def test_pii_scrub_is_idempotent(spark_session_holder, texts):
     ).collect()
     for r in out:
         assert r["once"] == r["twice"]
+
+
+# ----------------------------------------------------- layout properties
+
+_keys = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=_keys, n_buckets=st.integers(min_value=1, max_value=9))
+def test_global_index_is_the_sort_permutation(
+    spark_session_holder, keys, n_buckets
+):
+    """For ANY unique key set and bucket count, the bucketed two-phase
+    index equals the key's rank in sorted order (1-based, dense)."""
+    from hpv_etl_code_spark.operators.layout import global_row_index
+
+    spark = spark_session_holder
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.global_idx
+        for r in global_row_index(df, "k", n_buckets=n_buckets).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for j in range(16):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=0xFFFF),
+            st.integers(min_value=0, max_value=0xFFFF),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_morton_matches_bitwise_reference(spark_session_holder, pts):
+    from hpv_etl_code_spark.operators.layout import morton_z16
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", morton_z16(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in rows:
+        assert r.z == _morton_ref(r.x, r.y)
