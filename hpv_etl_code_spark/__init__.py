@@ -131,6 +131,15 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.streaming.stream",
             "running_user_stats_tws",
         ),
+        # continuation-session additions
+        "global_row_index": (
+            "hpv_etl_code_spark.operators.layout",
+            "global_row_index",
+        ),
+        "morton_z16": ("hpv_etl_code_spark.operators.layout", "morton_z16"),
+        "zorder_layout": ("hpv_etl_code_spark.operators.layout", "zorder_layout"),
+        "lint_plan": ("hpv_etl_code_spark.plans.lint", "lint_plan"),
+        "assert_scalable": ("hpv_etl_code_spark.plans.lint", "assert_scalable"),
     }
     if name in surface:
         mod, attr = surface[name]

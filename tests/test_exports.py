@@ -24,6 +24,8 @@ def test_all_flat_exports_resolve():
         "quantize_int8", "dequantize", "epoch_shuffle", "scrub_pii",
         "token_chunks", "compact_parquet", "HpvSheetsDataSource",
         "running_user_stats_tws", "get_spark",
+        "global_row_index", "morton_z16", "zorder_layout",
+        "lint_plan", "assert_scalable",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name
