@@ -140,6 +140,11 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
         "zorder_layout": ("hpv_etl_code_spark.operators.layout", "zorder_layout"),
         "lint_plan": ("hpv_etl_code_spark.plans.lint", "lint_plan"),
         "assert_scalable": ("hpv_etl_code_spark.plans.lint", "assert_scalable"),
+        "split_assign": ("hpv_etl_code_spark.operators.quality", "split_assign"),
+        "data_quality_report": (
+            "hpv_etl_code_spark.operators.quality",
+            "data_quality_report",
+        ),
     }
     if name in surface:
         mod, attr = surface[name]

@@ -1,0 +1,80 @@
+"""Catalog entries for the data-quality gate and deterministic splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import SPLIT_DENOM, data_quality_report, split_assign
+from ..sources.registry import load_table
+
+
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations gate over orders+lineitem: nulls, key uniqueness,
+    lineitem→orders referential integrity, and a price range check."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return data_quality_report(
+        li,
+        not_null=("l_orderkey", "l_quantity"),
+        unique_key=("l_orderkey", "l_linenumber"),
+        fk=(("l_orderkey", o, "o_orderkey"),),
+        ranges=(("l_discount", 0.0, 0.1),),
+    )
+
+
+DQ_REPORT_SQL = """
+SELECT 'not_null:l_orderkey' AS check_name,
+       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_quantity',
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'range:l_discount',
+       SUM(CASE WHEN l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1)
+            THEN 1 ELSE 0 END)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       COALESCE(SUM(n - 1), 0)::BIGINT
+FROM (SELECT COUNT(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk:l_orderkey', COUNT(*)::BIGINT
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split row counts of the deterministic doc split — the sanity
+    report a training pipeline logs before writing shards."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id", val_frac=0.05, test_frac=0.05)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SPLIT_SQL = f"""
+WITH b AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {SPLIT_DENOM}
+         AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {int(0.05 * SPLIT_DENOM)} THEN 'val'
+            WHEN bucket < {2 * int(0.05 * SPLIT_DENOM)} THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
+    register("split_documents", split_documents, SPLIT_SQL)

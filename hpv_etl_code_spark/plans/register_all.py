@@ -20,6 +20,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         packing_queries,
         parity_queries,
         profiling_queries,
+        quality_queries,
         relational_queries,
         search_queries,
         scale_queries,
@@ -51,3 +52,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     scale_queries.register_entries(register)
     search_queries.register_entries(register)
     behavior_queries.register_entries(register)
+    quality_queries.register_entries(register)

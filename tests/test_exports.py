@@ -25,7 +25,7 @@ def test_all_flat_exports_resolve():
         "token_chunks", "compact_parquet", "HpvSheetsDataSource",
         "running_user_stats_tws", "get_spark",
         "global_row_index", "morton_z16", "zorder_layout",
-        "lint_plan", "assert_scalable",
+        "lint_plan", "assert_scalable", "split_assign", "data_quality_report",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name

@@ -1,0 +1,67 @@
+"""Data-quality gate and deterministic-split tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.operators.quality import data_quality_report, split_assign
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_split_is_stable_and_subset_invariant(spark, sf_dir):
+    """The label of a row depends only on its key: assigning on the full
+    table and on a filtered subset must agree row-for-row (the property
+    randomSplit lacks)."""
+    d = load_table(spark, sf_dir, "documents")
+    full = split_assign(d, "doc_id").select("doc_id", "split")
+    subset = split_assign(d.filter(F.col("doc_id") % 3 == 0), "doc_id").select(
+        "doc_id", F.col("split").alias("split2")
+    )
+    disagree = full.join(subset, "doc_id").filter(
+        F.col("split") != F.col("split2")
+    )
+    assert disagree.count() == 0
+
+
+def test_split_fractions_roughly_hold(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r.split: r.n
+        for r in split_assign(d, "doc_id", 0.2, 0.2)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert counts["train"] > counts.get("val", 0)
+    # 20%±10 points tolerance at tiny SF — binomial spread
+    assert abs(counts.get("val", 0) / total - 0.2) < 0.1
+
+
+def test_dq_report_flags_injected_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (None, 99.0), (3, -5.0)], "k int, v double"
+    )
+    parent = spark.createDataFrame([(1,), (3,)], "k int")
+    rep = {
+        r.check_name: r.n_violations
+        for r in data_quality_report(
+            df,
+            not_null=("k",),
+            unique_key=("k",),
+            fk=(("k", parent, "k"),),
+            ranges=(("v", 0.0, 50.0),),
+        ).collect()
+    }
+    assert rep["not_null:k"] == 1
+    assert rep["unique:k"] == 1  # duplicate pair → 1 extra row
+    assert rep["fk:k"] == 0  # nulls excluded; 1 and 3 both present
+    assert rep["range:v"] == 2  # 99.0 and -5.0
+
+
+def test_dq_report_clean_table_is_all_zero(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rep = data_quality_report(
+        o, not_null=("o_orderkey",), unique_key=("o_orderkey",)
+    )
+    assert rep.filter(F.col("n_violations") != 0).count() == 0
