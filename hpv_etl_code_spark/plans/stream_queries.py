@@ -134,7 +134,65 @@ FROM nib GROUP BY doc_id, bin
 """
 
 
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile — the statistic that SIZES a
+    watermark: per event, lateness = running max of event time in
+    ARRIVAL order (event_id, the ingest sequence) minus its own event
+    time; reported as per-type p50/p95/max lateness seconds and the
+    out-of-order fraction. Set ``withWatermark`` to ~p95-p99 of this
+    and late data loss is quantified, not guessed. One keyed window
+    (partitioned by type, ordered by arrival id) — scales like any
+    keyed window; nothing global."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late_s = F.greatest(
+        F.lit(0.0),
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).cast("double")
+        / 1e6,
+    )
+    return (
+        ev.withColumn("late_s", late_s)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median("late_s"), 6).alias("p50_late_s"),
+            F.round(F.expr("percentile(late_s, 0.95)"), 6).alias("p95_late_s"),
+            F.round(F.max("late_s"), 6).alias("max_late_s"),
+            F.round(
+                F.avg((F.col("late_s") > 0).cast("double")), 6
+            ).alias("frac_out_of_order"),
+        )
+    )
+
+
+LATENESS_SQL = """
+WITH l AS (
+  SELECT event_type,
+    greatest(0.0, epoch_us(MAX(ts) OVER (PARTITION BY event_type
+                                         ORDER BY event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                           - ts) / 1e6) AS late_s
+  FROM events
+)
+SELECT event_type,
+  round(median(late_s), 6) AS p50_late_s,
+  round(quantile_cont(late_s, 0.95), 6) AS p95_late_s,
+  round(max(late_s), 6) AS max_late_s,
+  round(avg(CASE WHEN late_s > 0 THEN 1.0 ELSE 0.0 END), 6)
+    AS frac_out_of_order
+FROM l GROUP BY event_type
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("lateness_profile", lateness_profile, LATENESS_SQL)
     register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)
     register("stream_sliding_counts", stream_sliding_counts, SLIDING_SQL)
     register("stream_session_windows", stream_session_windows, SESSION_SQL, headline=True)
