@@ -35,9 +35,13 @@ def global_row_index(
     key: str,
     n_buckets: int = 64,
     index_col: str = "global_idx",
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Dense 1-based global index ordered by ``key`` (must be unique for
-    a deterministic result), without a global single-partition sort.
+    """Dense 1-based global index ordered by ``(key, *tiebreak)`` —
+    the combination must be unique for a deterministic result — without
+    a global single-partition sort. Range bucketing uses ``key`` alone
+    (order-preserving is all that's needed: equal keys land in one
+    bucket, where the window's tiebreak ordering applies).
 
     Three declarative stages, all planned by Catalyst:
 
@@ -78,7 +82,7 @@ def global_row_index(
     )
 
     local = F.row_number().over(
-        Window.partitionBy("__bucket").orderBy(key)
+        Window.partitionBy("__bucket").orderBy(key, *tiebreak)
     )
     return (
         bucketed.join(F.broadcast(offsets), "__bucket")

@@ -188,9 +188,61 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------- equi-depth histogram
+
+N_DEPTH_BUCKETS = 10
+
+
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) price histogram WITHOUT a global ntile — a
+    global ``ntile(10) OVER (ORDER BY ...)`` funnels the table through
+    one window partition; here the bucketed global index supplies the
+    rank and the decile is row-local arithmetic on it. Ties on price
+    break by order key (same ordering in the oracle), so both engines
+    assign identical deciles. The residual scale hazard is a single
+    price value dominating the distribution — its ties still share a
+    range bucket; raise n_buckets or pre-dither in that regime."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    idx = global_row_index(
+        o, key="o_totalprice", tiebreak=("o_orderkey",), n_buckets=32
+    )
+    n = o.count()  # scalar metadata; deliberately a separate cheap job
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # rounds — floor() is the one semantics both engines share
+    decile = (
+        F.floor((F.col("global_idx") - 1) * N_DEPTH_BUCKETS / F.lit(n)) + 1
+    )
+    return (
+        idx.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+EQUIDEPTH_SQL = f"""
+WITH r AS (
+  SELECT o_totalprice,
+    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT floor((rn - 1) * {N_DEPTH_BUCKETS} * 1.0 / n)::BIGINT + 1 AS decile,
+  COUNT(*) AS n_rows,
+  round(MIN(o_totalprice), 2) AS lo,
+  round(MAX(o_totalprice), 2) AS hi
+FROM r GROUP BY 1
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("global_index_orders", global_index_orders, GLOBAL_INDEX_SQL, headline=True)
     register("zorder_key_orders", zorder_key_orders, ZORDER_KEY_SQL)
     register("fuzzy_blocked_pairs", fuzzy_blocked_pairs, FUZZY_BLOCKED_SQL)
     register("scd2_user_events", scd2_user_events, SCD2_SQL)
     register("shingle_span_pairs", shingle_span_pairs, SHINGLE_SPAN_SQL)
+    register(
+        "equidepth_histogram_prices", equidepth_histogram_prices, EQUIDEPTH_SQL
+    )
