@@ -44,3 +44,25 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
         # quantities span 1..50; the default accuracy (1/10000 rank
         # error) keeps the approximate median within a couple of units
         assert abs(r.approx_med - r.exact_med) <= 2
+
+
+def test_hll_sketches_are_mergeable_across_partitions(spark, sf_dir):
+    """The MERGEABLE-sketch contract behind incremental analytics: build
+    one HLL sketch per day partition, union the binary sketches, and
+    the merged estimate equals the estimate over the raw full range —
+    which is what lets a 100 TB pipeline maintain rolling distincts
+    from per-partition metadata instead of rescanning history."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    per_day = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n")
+    ).first()
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).first()
+    exact = ev.select("user_id").distinct().count()
+    assert merged.n == direct.n  # merge-then-estimate ≡ estimate-all
+    assert abs(merged.n - exact) <= max(0.05 * exact, 5)
