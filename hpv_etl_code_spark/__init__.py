@@ -145,6 +145,11 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.quality",
             "data_quality_report",
         ),
+        "table_diff": ("hpv_etl_code_spark.operators.reconcile", "table_diff"),
+        "diff_summary": (
+            "hpv_etl_code_spark.operators.reconcile",
+            "diff_summary",
+        ),
     }
     if name in surface:
         mod, attr = surface[name]

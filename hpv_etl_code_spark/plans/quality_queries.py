@@ -75,6 +75,60 @@ FROM b GROUP BY 1
 """
 
 
+def reconcile_orders_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation demo: diff orders against a
+    deterministically drifted copy (keys ≡0 mod 101 dropped, status
+    rewritten for keys ≡0 mod 97, keys ≡0 mod 499 re-added shifted) and
+    report per-class counts — the audit a CDC pipeline runs after every
+    merge window."""
+    from ..operators.reconcile import diff_summary
+
+    o = load_table(spark, sf_dir, "orders")
+    drifted = (
+        o.filter(F.pmod("o_orderkey", F.lit(101)) != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                F.pmod("o_orderkey", F.lit(97)) == 0, F.lit("X")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        .unionByName(
+            o.filter(F.pmod("o_orderkey", F.lit(499)) == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return diff_summary(
+        o, drifted, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+RECONCILE_SQL = """
+WITH drifted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 499 = 0
+), j AS (
+  SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS k,
+    CASE WHEN l.o_orderkey IS NULL THEN 'added'
+         WHEN r.o_orderkey IS NULL THEN 'removed'
+         WHEN l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+          AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+           THEN 'unchanged'
+         ELSE 'changed' END AS change_type
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) l
+  FULL OUTER JOIN drifted r ON l.o_orderkey = r.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n FROM j GROUP BY change_type
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
     register("split_documents", split_documents, SPLIT_SQL)
+    register("reconcile_orders_drift", reconcile_orders_drift, RECONCILE_SQL)

@@ -65,3 +65,43 @@ def test_dq_report_clean_table_is_all_zero(spark, sf_dir):
         o, not_null=("o_orderkey",), unique_key=("o_orderkey",)
     )
     assert rep.filter(F.col("n_violations") != 0).count() == 0
+
+
+def test_table_diff_classifies_all_four_ways(spark):
+    from hpv_etl_code_spark.operators.reconcile import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k int, v string"
+    )
+    got = {r.k: r.change_type for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> value is a change (null-safe compare)
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_diff_summary_counts_match_diff(spark, sf_dir):
+    from hpv_etl_code_spark.operators.reconcile import diff_summary, table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    changed = o.withColumn(
+        "o_totalprice",
+        F.when(F.pmod("o_orderkey", F.lit(10)) == 0, 0.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    summary = {
+        r.change_type: r.n
+        for r in diff_summary(o, changed, ["o_orderkey"]).collect()
+    }
+    n_changed = table_diff(o, changed, ["o_orderkey"]).filter(
+        F.col("change_type") == "changed"
+    ).count()
+    assert summary["changed"] == n_changed > 0
+    assert "added" not in summary and "removed" not in summary
