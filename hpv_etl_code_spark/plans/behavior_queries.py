@@ -9,7 +9,7 @@ self-joins — the shapes that survive a 100 TB event log.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -106,6 +106,92 @@ GROUP BY 1, 2
 """
 
 
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first view, the median/p90/max view→purchase lag in
+    seconds. Same single first-touch aggregation as the funnel; the
+    percentile runs over one row per converted user."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    lag_s = (
+        F.unix_micros("t_purchase") - F.unix_micros("t_view")
+    ).cast("double") / 1e6
+    converted = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_view"))
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.median(lag_s), 6).alias("p50_lag_s"),
+        F.round(F.expr(
+            "percentile((unix_micros(t_purchase) - unix_micros(t_view)) / 1e6,"
+            " 0.9)"
+        ), 6).alias("p90_lag_s"),
+        F.round(F.max(lag_s), 6).alias("max_lag_s"),
+    )
+
+
+CONVERSION_LAG_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), converted AS (
+  SELECT epoch_us(t_purchase - t_view) / 1e6 AS lag_s
+  FROM firsts
+  WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_view
+)
+SELECT COUNT(*) AS n_converted,
+  round(median(lag_s), 6) AS p50_lag_s,
+  round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
+  round(max(lag_s), 6) AS max_lag_s
+FROM converted
+"""
+
+
+def weekly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type: weekly counts (one hash
+    aggregation over the fact), then lag arithmetic over the tiny
+    (type, week) aggregate — windows run on metadata, never the raw
+    log."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        F.round((F.col("n") - prev) * 100.0 / prev, 6).alias("pct_change"),
+    )
+
+
+WEEKLY_MOVERS_SQL = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, event_type,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT week, event_type, n,
+  round((n - LAG(n) OVER w) * 100.0 / LAG(n) OVER w, 6) AS pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
     register("cohort_retention", cohort_retention, COHORT_SQL)
+    register("conversion_lag_stats", conversion_lag_stats, CONVERSION_LAG_SQL)
+    register("weekly_top_movers", weekly_top_movers, WEEKLY_MOVERS_SQL)
