@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.quality import SPLIT_DENOM, data_quality_report, split_assign
+from ..operators.quality import (
+    SPLIT_DENOM,
+    _portable_bucket,
+    data_quality_report,
+    split_assign,
+)
 from ..sources.registry import load_table
 
 
@@ -128,7 +133,49 @@ SELECT change_type, COUNT(*) AS n FROM j GROUP BY change_type
 """
 
 
+STRATUM_K = 50
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (the distributed reservoir): rank
+    rows inside each event type by a portable hash of the id and keep
+    the first k — deterministic across retries/engines, balanced across
+    strata regardless of their sizes (a plain Bernoulli sample starves
+    rare strata). One keyed window; WindowGroupLimit prunes before the
+    full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = _portable_bucket(F.col("event_id"), denom=SPLIT_DENOM)
+    w = Window.partitionBy("event_type").orderBy(
+        b.asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("event_id", "event_type", "user_id", "value")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT event_id, event_type, user_id, value
+FROM (
+  SELECT event_id, event_type, user_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type
+      ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+               % {SPLIT_DENOM}, event_id
+    ) AS rn
+  FROM events
+)
+WHERE rn <= {STRATUM_K}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
     register("split_documents", split_documents, SPLIT_SQL)
     register("reconcile_orders_drift", reconcile_orders_drift, RECONCILE_SQL)
+    register(
+        "stratified_sample_events", stratified_sample_events, STRATIFIED_SQL
+    )
