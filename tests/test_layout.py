@@ -156,3 +156,13 @@ def test_shingle_pairs_verified_by_token_overlap(spark, sf_dir):
 
     pairs = shingle_span_pairs(spark, sf_dir)
     assert pairs.filter(F.col("n_shared") < 1).count() == 0
+
+
+def test_global_index_empty_and_single_row(spark):
+    from hpv_etl_code_spark.operators.layout import global_row_index
+
+    empty = spark.createDataFrame([], "k long")
+    assert global_row_index(empty, "k").count() == 0
+    one = spark.createDataFrame([(42,)], "k long")
+    rows = global_row_index(one, "k").collect()
+    assert len(rows) == 1 and rows[0].global_idx == 1

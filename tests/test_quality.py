@@ -105,3 +105,12 @@ def test_diff_summary_counts_match_diff(spark, sf_dir):
     ).count()
     assert summary["changed"] == n_changed > 0
     assert "added" not in summary and "removed" not in summary
+
+
+def test_split_and_diff_handle_empty_inputs(spark):
+    from hpv_etl_code_spark.operators.quality import split_assign
+    from hpv_etl_code_spark.operators.reconcile import diff_summary
+
+    empty = spark.createDataFrame([], "k long, v string")
+    assert split_assign(empty, "k").count() == 0
+    assert diff_summary(empty, empty, ["k"]).count() == 0
