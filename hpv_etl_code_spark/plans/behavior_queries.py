@@ -190,8 +190,49 @@ WINDOW w AS (PARTITION BY event_type ORDER BY week)
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types: per user,
+    order events by time and count (previous → current) pairs; emit the
+    row-normalized transition probability. One keyed lag window over
+    the fact plus two metadata-scale aggregations — the flow-analysis
+    query behind every product journey sankey."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(totals), 6).alias("p"),
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counted AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counted
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
     register("cohort_retention", cohort_retention, COHORT_SQL)
     register("conversion_lag_stats", conversion_lag_stats, CONVERSION_LAG_SQL)
     register("weekly_top_movers", weekly_top_movers, WEEKLY_MOVERS_SQL)
+    register("event_transition_matrix", event_transition_matrix, TRANSITION_SQL)
