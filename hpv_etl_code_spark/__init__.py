@@ -146,6 +146,10 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "data_quality_report",
         ),
         "table_diff": ("hpv_etl_code_spark.operators.reconcile", "table_diff"),
+        "build_corpus_index": (
+            "hpv_etl_code_spark.operators.dedup",
+            "build_corpus_index",
+        ),
         "diff_summary": (
             "hpv_etl_code_spark.operators.reconcile",
             "diff_summary",

@@ -210,3 +210,38 @@ def test_incremental_dedup_bucket_cap_trades_recall_not_exactness(spark):
         new, corpus, "doc_id", "text", threshold=0.6, max_corpus_bucket=0
     )
     assert {r["id"] for r in capped.collect()} == {11}  # near-dup survives
+
+
+def test_incremental_dedup_with_prebuilt_index_round_trip(spark, sf_dir, tmp_path):
+    """The steady-state path: build the corpus index once, round-trip it
+    through parquet, and dedup a batch against it — output identical to
+    the inline (recompute-everything) path."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental_survivors,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inline = dedup_incremental_survivors(
+        batch, corpus, "doc_id", "text", threshold=0.8
+    )
+
+    idx_path = str(tmp_path / "corpus_index")
+    build_corpus_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    prebuilt = dedup_incremental_survivors(
+        batch,
+        corpus,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        corpus_index=spark.read.parquet(idx_path),
+    )
+    assert inline.exceptAll(prebuilt).count() == 0
+    assert prebuilt.exceptAll(inline).count() == 0
+    assert prebuilt.count() > 0
