@@ -150,6 +150,10 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.dedup",
             "build_corpus_index",
         ),
+        "stream_ingest_dedup": (
+            "hpv_etl_code_spark.streaming.stream",
+            "stream_ingest_dedup",
+        ),
         "diff_summary": (
             "hpv_etl_code_spark.operators.reconcile",
             "diff_summary",

@@ -204,3 +204,52 @@ def running_user_stats_tws(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def stream_ingest_dedup(
+    stream_df,
+    corpus_index,
+    target_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    hash_family: str = "portable",
+):
+    """Continuous corpus ingest with dedup: each micro-batch of new
+    documents is deduplicated against the PERSISTED corpus index
+    (``operators/dedup.py::build_corpus_index``, typically re-read from
+    parquet) and survivors append to the corpus store.
+
+    foreachBatch gives each trigger full batch semantics, so the
+    incremental-dedup plan — broadcast batch through fingerprint, band
+    and Jaccard gates; corpus never shuffled — applies unchanged to the
+    stream. The index is FIXED for the run: cross-batch duplicates
+    within a run are not caught until the index is rebuilt between
+    ingest windows (the standard compaction cadence at scale — the
+    alternative, rereading the growing target every trigger, rescans
+    the corpus per batch). The checkpoint makes each batch's append
+    exactly-once across restarts.
+    """
+    from ..operators.dedup import dedup_incremental_survivors
+
+    def apply_batch(batch_df, batch_id):  # noqa: ANN001
+        if batch_df.isEmpty():
+            return
+        survivors = dedup_incremental_survivors(
+            batch_df,
+            corpus_df=batch_df,  # unused when corpus_index is given
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hash_family=hash_family,
+            corpus_index=corpus_index,
+        )
+        survivors.write.mode("append").parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

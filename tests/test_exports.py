@@ -26,7 +26,7 @@ def test_all_flat_exports_resolve():
         "running_user_stats_tws", "get_spark",
         "global_row_index", "morton_z16", "zorder_layout",
         "lint_plan", "assert_scalable", "split_assign", "data_quality_report",
-        "table_diff", "diff_summary", "build_corpus_index",
+        "table_diff", "diff_summary", "build_corpus_index", "stream_ingest_dedup",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name

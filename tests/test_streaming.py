@@ -330,3 +330,62 @@ def test_transform_with_state_equals_batch(spark, events_stream_dir):
         gn, gs = got[u]
         assert gn == n
         assert abs(gs - (s or 0.0)) < 1e-6
+
+
+def test_stream_ingest_dedup_matches_batch_path(spark, sf_dir, tmp_path):
+    """Continuous-ingest dedup: streaming a batch of new docs through
+    foreachBatch against a prebuilt corpus index yields EXACTLY the
+    batch-mode survivor set, and the append is exactly-once."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental_survivors,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+    from hpv_etl_code_spark.streaming.stream import stream_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+
+    idx_path = str(tmp_path / "idx")
+    build_corpus_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    corpus_index = spark.read.parquet(idx_path)
+
+    src = tmp_path / "ingest_src"
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.format("parquet").schema(batch.schema).load(str(src))
+    )
+    q = stream_ingest_dedup(
+        stream,
+        corpus_index,
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    want = {
+        r.id
+        for r in dedup_incremental_survivors(
+            batch, corpus, "doc_id", "text", corpus_index=corpus_index
+        ).collect()
+    }
+    got = {
+        r.id for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart with no new data: checkpoint must prevent re-append
+    stream2 = (
+        spark.readStream.format("parquet").schema(batch.schema).load(str(src))
+    )
+    q2 = stream_ingest_dedup(
+        stream2,
+        corpus_index,
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "accepted")).count() == len(got)
