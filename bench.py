@@ -49,7 +49,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = _load_prev_round(repo_dir, sf)
+    violations: list[str] = []
     if prev:
         prev_name, prev_q = prev
         line["delta_vs"] = prev_name
@@ -58,8 +60,51 @@ def main() -> None:
             for q, t in timings.items()
             if q in prev_q and t >= 0 and prev_q[q] >= 0
         }
+        violations = regression_violations(
+            timings, prev_q, _adjudicated_text(repo_dir)
+        )
+        if violations:
+            line["regressions"] = violations
+            for v in violations:
+                print(f"bench: REGRESSION {v}", file=sys.stderr)
     print(json.dumps(line))
     spark.stop()
+    if violations and "--check" in sys.argv:
+        sys.exit(1)
+
+
+# regression budget: a shared query may not slow >25% round-over-round
+# (with a 0.15 s absolute floor so sub-second noise doesn't trip it)
+# unless ADJUDICATED.md names it with a rationale — catches the next
+# range_join_events-style drift at commit time (`python bench.py
+# --check` in the local gate), not at judging
+_REGRESSION_RATIO = 1.25
+_REGRESSION_FLOOR_SEC = 0.15
+
+
+def regression_violations(
+    timings: dict[str, float],
+    prev_q: dict[str, float],
+    adjudicated_text: str,
+) -> list[str]:
+    out = []
+    for q, t in timings.items():
+        p = prev_q.get(q, -1.0)
+        if p <= 0 or t < 0:
+            continue
+        if t > p * _REGRESSION_RATIO and t - p > _REGRESSION_FLOOR_SEC:
+            if q in adjudicated_text:
+                continue
+            out.append(f"{q}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%)")
+    return out
+
+
+def _adjudicated_text(repo_dir: str) -> str:
+    try:
+        with open(os.path.join(repo_dir, "ADJUDICATED.md")) as f:
+            return f.read()
+    except OSError:
+        return ""
 
 
 def _load_prev_round(repo_dir: str, sf: float):

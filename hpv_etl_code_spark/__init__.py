@@ -127,10 +127,6 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.sources.datasource",
             "HpvSheetsDataSource",
         ),
-        "running_user_stats_tws": (
-            "hpv_etl_code_spark.streaming.stream",
-            "running_user_stats_tws",
-        ),
         # continuation-session additions
         "global_row_index": (
             "hpv_etl_code_spark.operators.layout",

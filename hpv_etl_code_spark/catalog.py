@@ -103,7 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "part_funcs_battery",
     "date_funcs_battery",
     "agg_battery",
-    "approx_sketches",
+    # portable KMV sketch holds the sketch-family slot (exact DuckDB
+    # twin); approx_sketches (engine-internal HLL/KLL, rows-only by
+    # design) is registered in the long tail with its error-envelope
+    # tests intact
+    "kmv_distinct_portable",
     # continuation-session families — one oracle rep each
     "bm25_topk_docs",
     "global_index_orders",

@@ -56,14 +56,33 @@ def global_row_index(
 
     At 100 TB: raise ``n_buckets`` so each bucket fits an executor's
     sort budget; stage 2 stays metadata-sized.
+
+    ``key`` must be numeric (``width_bucket`` needs arithmetic bounds) —
+    enforced up front. NULL keys are kept and numbered FIRST (their own
+    bucket 0 before all value buckets), matching the ``NULLS FIRST``
+    default of ``row_number() OVER (ORDER BY key)`` that this operator
+    replaces; min/max ignore NULLs, so value-bucket boundaries are
+    unaffected.
     """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[key].dataType, NumericType):
+        raise TypeError(
+            f"global_row_index key {key!r} must be numeric, got "
+            f"{df.schema[key].dataType.simpleString()}; bucketize or cast first"
+        )
     bounds = df.agg(
         F.min(key).alias("__lo"), F.max(key).alias("__hi")
     )
+    # NULL keys → bucket 0 (before width_bucket's 1..n_buckets), so they
+    # are numbered first instead of being silently dropped by the inner
+    # offsets join while still inflating the cumulative counts
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "__bucket",
-        F.width_bucket(
-            F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+            F.width_bucket(
+                F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+            )
         ),
     ).drop("__lo", "__hi")
 

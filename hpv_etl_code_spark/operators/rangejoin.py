@@ -41,13 +41,19 @@ def proximity_self_join(
             F.array(bucket - 1, bucket, bucket + 1)
         ).alias("bucket"),
     )
+    # No pair-dedup needed: ``b`` is replicated into the three DISTINCT
+    # buckets {floor(e_b/gap)−1, ·, ·+1} while ``a`` keeps its single
+    # bucket, so a qualifying (a, b) pair matches exactly one replica
+    # (a's bucket equals exactly one of the three); ``id_a < id_b`` kills
+    # the mirrored ordering. A dropDuplicates here would add a full extra
+    # shuffle for rows that are already unique (uniqueness is asserted in
+    # tests/test_rangejoin.py).
     return (
         a.join(b, ["k", "bucket"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("e_a") - F.col("e_b")) <= max_gap_seconds)
         )
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             F.col("k").alias(key),
             "id_a",

@@ -194,9 +194,70 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, k=64, PORTABLE hash family.
+
+    Same one-pass / bounded-memory / mergeable scale story as HLL++ —
+    per group the sketch is just the k smallest distinct 60-bit md5
+    hashes (k·8 bytes, merge = union-then-keep-k-smallest, tested in
+    tests/test_sketches.py) — but unlike HLL the state is exactly
+    reproducible by ANY engine with md5, so it holds an oracle-checked
+    slot in the driver gate window where ``approx_sketches`` (engine-
+    internal HLL/KLL state) could only do a rows-only check.
+
+    Estimator (Bar-Yossef et al. 2002): with h uniform on [0, 2^60),
+    E[distinct] ≈ (k-1) · 2^60 / h_(k); exact count when < k distinct.
+    All arithmetic is IEEE-754 double (exactly specified → bit-identical
+    across engines), floored to BIGINT.
+    """
+    from pyspark.sql import Window
+
+    k = 64
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # distinct hashes per group: collisions collapse identically in both
+    # engines; ordering by h is then total → deterministic row_number
+    hashed = li.select("l_returnflag", h.alias("h")).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    minima = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    n = F.count(F.lit(1))
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**60)) / F.max("h").cast("double")
+    )
+    return minima.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n_minima"),
+        F.max("h").alias("kth_min"),
+        F.floor(est).cast("bigint").alias("est_distinct"),
+    )
+
+
+KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, h,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h
+)
+SELECT l_returnflag,
+  COUNT(*)::BIGINT AS n_minima,
+  MAX(h) AS kth_min,
+  FLOOR(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+        ELSE 63.0 * 1152921504606846976.0 / MAX(h)::DOUBLE END)::BIGINT
+    AS est_distinct
+FROM r WHERE rn <= 64
+GROUP BY l_returnflag
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("percentile_battery", percentile_battery, PERCENTILE_SQL)
     register("approx_sketches", approx_sketches, None)
+    register("kmv_distinct_portable", kmv_distinct_portable, KMV_DISTINCT_SQL)
     register("agg_battery", agg_battery, AGG_BATTERY_SQL)
     register("date_funcs_battery", date_funcs_battery, DATE_FUNCS_SQL)
     register("null_funcs_battery", null_funcs_battery, NULL_FUNCS_SQL)

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from ..operators import textops
 from ..operators.dedup import (
     exact_dedup_keepers,
-    lsh_dedup_keepers,
     minhash_lsh_pairs_portable,
 )
 from ..sources.registry import load_table
@@ -29,31 +28,41 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only in the driver gate (LSH inside); invariants tested in
     tests/test_corpus_pipeline.py, incl. the pairwise-non-duplicate
     guarantee of the survivor set.
-    """
-    d = load_table(spark, sf_dir, "documents")
 
-    scored = d.select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        textops.quality_score("text").alias("quality"),
-        textops.token_count("text").alias("n_tokens"),
-        textops.fingerprint_md5("text").alias("fingerprint"),
-    )
+    Runs from the session-cached enriched frame (plans/shared_cache.py):
+    quality/token/fingerprint scores AND the hashed-token/MinHash
+    signature columns are computed once per session and shared with
+    ``dedup_minhash_lsh`` / ``dedup_incremental_fast`` — the narrow
+    gates and both dedup stages here are filters and joins over that
+    signed base, so the per-entry cost is the join topology, not a
+    corpus re-tokenization.
+    """
+    from ..operators.dedup import minhash_lsh_pairs_from_base
+    from .shared_cache import enriched_documents
+
+    e = enriched_documents(spark, sf_dir)
     # narrow gates first (no shuffle): quality floor + language allowlist
-    gated = scored.filter(
+    gated = e.filter(
         (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "es", "fr")
     )
-    # exact dedup: keep the min doc_id per content fingerprint
-    keepers = exact_dedup_keepers(gated, "text", "doc_id").select(
-        F.col("keeper_id").alias("doc_id")
+    # exact dedup: keep the min doc_id per content fingerprint (same
+    # semantics as exact_dedup_keepers — the fingerprint column is
+    # already on the cached frame)
+    keepers = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    exact_deduped = gated.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
     )
-    exact_deduped = gated.join(keepers, "doc_id", "left_semi")
-    # near-dup removal last, on the smallest set
-    return lsh_dedup_keepers(
-        exact_deduped, "doc_id", "text", threshold=0.9, max_bucket=100_000
-    ).select("doc_id", "lang", "source", "quality", "n_tokens", "fingerprint")
+    # near-dup removal last, on the smallest set, from the shared
+    # signatures (greedy lowest-id-wins, as lsh_dedup_keepers)
+    pairs = minhash_lsh_pairs_from_base(
+        exact_deduped.select(F.col("doc_id").alias("id"), "toks", "sig"),
+        threshold=0.9,
+        max_bucket=100_000,
+    )
+    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_deduped.join(doomed, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "quality", "n_tokens", "fingerprint"
+    )
 
 
 def _corpus_stages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,8 +85,18 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     # global sort whose input subtree is a raw scan re-orders the whole
     # dataset through one range exchange
     for m in re.finditer(r"\bSort \[.*\], true,", text):
-        if "TakeOrderedAndProject" in text or "GlobalLimit" in text:
-            break
+        # scope the limit check to THIS Sort's immediate ancestors (the
+        # few lines above it) — a top-k subquery elsewhere in the plan
+        # must not excuse an unrelated full-data Sort (whole-plan
+        # matching was a false negative; same scoping idea as the
+        # SinglePartition rule)
+        above = "\n".join(text[: m.start()].splitlines()[-4:])
+        if (
+            "TakeOrderedAndProject" in above
+            or "GlobalLimit" in above
+            or "CollectLimit" in above
+        ):
+            continue
         below = text[m.end() :]
         if "FileScan" in below and not re.search(r"Aggregate", below):
             findings.append(

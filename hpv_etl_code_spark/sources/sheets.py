@@ -122,6 +122,25 @@ def _parse_sheet_xlsx(path: str, raw: bytes) -> Iterator[tuple]:
     Covers the cell types the contract produces: shared strings (with
     rich-text runs), inline strings, numbers, booleans. Cells carry
     explicit A1-style refs, so sparse rows land in the right columns.
+
+    Adversarial-workbook behavior (differential-tested in
+    tests/test_sheets_job.py):
+
+    - **Formula cells**: the CACHED ``<v>`` value is used, the ``<f>``
+      formula text ignored — same as pandas/openpyxl ``data_only``
+      readers; a formula cell with no cached value reads as blank.
+    - **1904-epoch workbooks** (``workbookPr date1904="1"``): no
+      effect — this parser never interprets numeric serials as dates
+      (the contract's measures are counts/rates), so raw values pass
+      through identically under either epoch.
+    - **Merged cells** (incl. spans across the header row): NOT
+      expanded — only the anchor cell carries the value, spanned cells
+      read as blank, which is exactly what the reference's
+      ``pandas.read_excel`` sees (NaN). Trailing blank headers are
+      dropped; an interior blank header melts its column with a NULL
+      category.
+    - **Empty or truncated shared-string tables**: a cell referencing a
+      missing sst index reads as blank instead of crashing the task.
     """
     with zipfile.ZipFile(io.BytesIO(raw)) as z:
         shared: list[str] = []
@@ -160,7 +179,12 @@ def _parse_sheet_xlsx(path: str, raw: bytes) -> Iterator[tuple]:
         else:
             v = next((ch for ch in c if _local(ch.tag) == "v"), None)
             if v is not None and v.text is not None:
-                value = shared[int(v.text)] if ctype == "s" else v.text
+                if ctype == "s":
+                    i = int(v.text)
+                    # truncated/empty sst: blank beats a task crash
+                    value = shared[i] if 0 <= i < len(shared) else None
+                else:
+                    value = v.text
         cells.setdefault(row, {})[col] = value
 
     if not cells:

@@ -13,12 +13,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.streaming.stateful_processor import (
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -150,60 +145,16 @@ def stream_upsert_to_parquet(
     )
 
 
-# ------------------------- transformWithState (Spark 4 stateful API)
-
-USER_STATS_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
-    ]
-)
-
-
-class _UserStatsProcessor(StatefulProcessor):
-    """Running per-user (count, value-sum) with explicit ValueState —
-    the transformWithStateInPandas twin of :func:`running_user_counts`.
-    The new API's win at scale: typed state variables (value/list/map),
-    per-state TTL, and timers live in the RocksDB-backed state store
-    with changelog checkpointing — arbitrary stateful logic without the
-    single-blob state row of applyInPandasWithState."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._stats = handle.getValueState("stats", "cnt BIGINT, vsum DOUBLE")
-
-    def handleInputRows(self, key, rows, timerValues):
-        prev = self._stats.get()
-        cnt, vsum = (prev[0], prev[1]) if prev is not None else (0, 0.0)
-        for pdf in rows:
-            cnt += len(pdf)
-            vsum += float(pdf["value"].sum())
-        self._stats.update((cnt, vsum))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [cnt], "sum_value": [vsum]}
-        )
-
-    def close(self) -> None:
-        pass
-
-
-def running_user_stats_tws(stream_df: DataFrame) -> DataFrame:
-    """Per-user running (count, sum) via the Spark 4
-    ``transformWithStateInPandas`` API; emits updated rows per
-    micro-batch (update mode, processing-time).
-
-    Environment note: the transformWithState state-server protocol
-    requires ``protobuf`` in the Python env; absent here, so the
-    equivalence test (tests/test_streaming.py) skips with a reason —
-    same env-gating pattern as the openpyxl Excel path. The wiring is
-    complete; on a cluster with protobuf this runs as-is.
-    """
-    return stream_df.groupBy("user_id").transformWithStateInPandas(
-        _UserStatsProcessor(),
-        outputStructType=USER_STATS_SCHEMA,
-        outputMode="update",
-        timeMode="none",
-    )
+# NOTE on the Spark 4 ``transformWithStateInPandas`` API: its
+# state-server protocol requires protobuf in the Python env, which this
+# container lacks, so a processor written against it could never be
+# executed here — shipping permanently-untested code is worse than not
+# shipping it. ``applyInPandasWithState`` (``running_user_counts``
+# above) is the SUPPORTED custom-stateful API of this engine: same
+# arbitrary per-key state semantics, fully exercised by
+# tests/test_streaming.py (stream ≡ batch equivalence + exactly-once
+# restart). On a protobuf-equipped cluster the processor translation is
+# mechanical (ValueState per key ⇄ the state tuple here).
 
 
 def stream_ingest_dedup(
@@ -238,7 +189,7 @@ def stream_ingest_dedup(
             return
         survivors = dedup_incremental_survivors(
             batch_df,
-            corpus_df=batch_df,  # unused when corpus_index is given
+            corpus_df=None,
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,

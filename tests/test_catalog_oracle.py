@@ -37,6 +37,10 @@ def test_gate_window_composition():
     assert len(catalog._PRIORITY) == 50
     assert names[:50] == list(catalog._PRIORITY)
     rows_only = [n for n in names[:50] if es[n].oracle is None]
-    # approx_sketches is inherently approximate (sketch internals are
-    # engine-specific) — nothing else may ship rows-only in the window
-    assert rows_only == ["approx_sketches"], rows_only
+    # round 3: the window is fully oracle-dense — the sketch slot is
+    # held by the portable KMV entry (exact DuckDB twin);
+    # approx_sketches (engine-internal HLL/KLL state) lives in the
+    # long tail with its error-envelope tests
+    assert rows_only == [], rows_only
+    assert "kmv_distinct_portable" in names[:50]
+    assert "approx_sketches" in names[50:]

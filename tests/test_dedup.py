@@ -236,12 +236,22 @@ def test_incremental_dedup_with_prebuilt_index_round_trip(spark, sf_dir, tmp_pat
     build_corpus_index(corpus, "doc_id", "text").write.parquet(idx_path)
     prebuilt = dedup_incremental_survivors(
         batch,
-        corpus,
+        None,
         "doc_id",
         "text",
         threshold=0.8,
         corpus_index=spark.read.parquet(idx_path),
     )
+    # passing both (or neither) corpus forms is rejected outright
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_incremental_survivors(
+            batch, corpus, "doc_id", "text",
+            corpus_index=spark.read.parquet(idx_path),
+        )
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup_incremental_survivors(batch, None, "doc_id", "text")
     assert inline.exceptAll(prebuilt).count() == 0
     assert prebuilt.exceptAll(inline).count() == 0
     assert prebuilt.count() > 0

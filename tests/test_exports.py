@@ -23,7 +23,7 @@ def test_all_flat_exports_resolve():
         "textops", "dedup_incremental_survivors", "quantize_scale",
         "quantize_int8", "dequantize", "epoch_shuffle", "scrub_pii",
         "token_chunks", "compact_parquet", "HpvSheetsDataSource",
-        "running_user_stats_tws", "get_spark",
+        "get_spark",
         "global_row_index", "morton_z16", "zorder_layout",
         "lint_plan", "assert_scalable", "split_assign", "data_quality_report",
         "table_diff", "diff_summary", "build_corpus_index", "stream_ingest_dedup",

@@ -166,3 +166,27 @@ def test_global_index_empty_and_single_row(spark):
     one = spark.createDataFrame([(42,)], "k long")
     rows = global_row_index(one, "k").collect()
     assert len(rows) == 1 and rows[0].global_idx == 1
+
+
+def test_global_index_null_keys_numbered_first(spark):
+    """NULL keys are kept (no silent row loss) and numbered first,
+    matching row_number() OVER (ORDER BY key NULLS FIRST)."""
+    from hpv_etl_code_spark.operators.layout import global_row_index
+
+    df = spark.createDataFrame([(1,), (None,), (5,), (None,)], "k long")
+    got = [(r.k, r.global_idx) for r in global_row_index(df, "k").collect()]
+    # 4 rows survive; NULLs take indices 1-2, then 1→3, 5→4
+    assert sorted(idx for _, idx in got) == [1, 2, 3, 4]
+    assert sorted(idx for k, idx in got if k is None) == [1, 2]
+    nn = {k: idx for k, idx in got if k is not None}
+    assert nn == {1: 3, 5: 4}
+
+
+def test_global_index_rejects_non_numeric_key(spark):
+    import pytest as _pytest
+
+    from hpv_etl_code_spark.operators.layout import global_row_index
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(TypeError, match="must be numeric"):
+        global_row_index(df, "k")

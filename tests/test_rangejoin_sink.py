@@ -34,6 +34,40 @@ def test_proximity_join_equals_naive(spark, sf_dir):
     assert got == want and got, "banded range join must equal the naive join"
 
 
+def test_proximity_join_pairs_unique_without_dedup(spark, sf_dir):
+    """±1-bucket replication on one side yields each qualifying pair
+    exactly once (a's single bucket matches exactly one of b's three
+    distinct replicas; id_a < id_b kills the mirror) — which is why the
+    operator carries no dropDuplicates and no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    banded = proximity_self_join(ev, "user_id", "ts", "event_id", 600)
+    total = banded.count()
+    distinct = banded.select("id_a", "id_b").distinct().count()
+    assert total == distinct and total > 0
+
+
+def test_proximity_join_single_exchange_per_side(spark, sf_dir):
+    """Plan shape: one hash-partitioning exchange per join side (the
+    equi-join on (k, bucket)) and nothing else — no extra pair-dedup
+    exchange, no nested-loop/cartesian fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        proximity_self_join(ev, "user_id", "ts", "event_id", 600)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     path = str(tmp_path / "partitioned")
     df1 = spark.createDataFrame(

@@ -185,3 +185,147 @@ def test_xlsx_sparse_rows_land_in_right_columns(spark, tmp_path):
         ("barnet", "m2", None),
         ("barnet", "m3", "2"),
     }
+
+
+# ------------------------- adversarial workbooks (round-3 hardening)
+
+_WS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    "{body}</worksheet>"
+)
+
+
+def _melt(spark, path):
+    return {
+        (r["Local authority"], r["Category"], r["Value"])
+        for r in read_sheets_excel(spark, str(path)).collect()
+    }
+
+
+def test_xlsx_formula_cells_use_cached_value(spark, tmp_path):
+    """A formula cell carries <f> + the cached <v>; the cached value is
+    read (pandas data_only parity). A formula with NO cached value reads
+    blank. String-result formulas (t=\"str\") read the cached text."""
+    from tests.xlsx_util import write_xlsx_parts
+
+    body = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Data through 2023/24</t></is></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>Local authority</t></is></c>'
+        '<c r="B3" t="inlineStr"><is><t>m1</t></is></c>'
+        '<c r="C3" t="inlineStr"><is><t>m2</t></is></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>camden</t></is></c>'
+        '<c r="B4"><f>SUM(X1:X9)</f><v>42</v></c>'
+        '<c r="C4" t="str"><f>CONCAT(Y1,Y2)</f><v>hi</v></c>'
+        "</row>"
+        '<row r="5">'
+        '<c r="A5" t="inlineStr"><is><t>barnet</t></is></c>'
+        '<c r="B5"><f>BROKEN()</f></c>'
+        "</row>"
+        "</sheetData>"
+    )
+    write_xlsx_parts(tmp_path / "formula.xlsx", _WS.format(body=body))
+    assert _melt(spark, tmp_path / "formula.xlsx") == {
+        ("camden", "m1", "42"),
+        ("camden", "m2", "hi"),
+        ("barnet", "m1", None),
+        ("barnet", "m2", None),
+    }
+
+
+def test_xlsx_1904_epoch_flag_is_inert(spark, tmp_path):
+    """date1904 workbooks: raw numeric values flow through unchanged —
+    the parser never interprets serials as dates, so the epoch flag
+    cannot shift any value."""
+    from tests.xlsx_util import write_xlsx_parts
+
+    wb_1904 = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<workbookPr date1904="1"/>'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    body = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Data through 2023/24</t></is></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>Local authority</t></is></c>'
+        '<c r="B3" t="inlineStr"><is><t>m1</t></is></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>camden</t></is></c>'
+        '<c r="B4"><v>45000</v></c>'
+        "</row>"
+        "</sheetData>"
+    )
+    write_xlsx_parts(
+        tmp_path / "epoch.xlsx", _WS.format(body=body), workbook_xml=wb_1904
+    )
+    assert _melt(spark, tmp_path / "epoch.xlsx") == {("camden", "m1", "45000")}
+
+
+def test_xlsx_merged_header_cells_read_as_blank(spark, tmp_path):
+    """Merged ranges are not expanded: only the anchor carries the
+    value (exactly what pandas.read_excel sees). A merge spanning
+    header columns leaves the spanned header blank → interior blank
+    headers melt with a NULL category; trailing ones are dropped."""
+    from tests.xlsx_util import write_xlsx_parts
+
+    body = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Data through 2023/24</t></is></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>Local authority</t></is></c>'
+        '<c r="B3" t="inlineStr"><is><t>m1</t></is></c>'
+        '<c r="D3" t="inlineStr"><is><t>m2</t></is></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>camden</t></is></c>'
+        '<c r="B4"><v>1</v></c><c r="C4"><v>2</v></c><c r="D4"><v>3</v></c>'
+        "</row>"
+        "</sheetData>"
+        '<mergeCells count="1"><mergeCell ref="B3:C3"/></mergeCells>'
+    )
+    write_xlsx_parts(tmp_path / "merged.xlsx", _WS.format(body=body))
+    # B3:C3 merged under header "m1": C3 is blank (anchor-only), so
+    # camden's C-column value melts with a NULL category
+    assert _melt(spark, tmp_path / "merged.xlsx") == {
+        ("camden", "m1", "1"),
+        ("camden", None, "2"),
+        ("camden", "m2", "3"),
+    }
+
+
+def test_xlsx_empty_and_truncated_shared_strings(spark, tmp_path):
+    """An empty <sst/> plus a cell referencing a missing shared-string
+    index reads as blank instead of crashing the executor task."""
+    from tests.xlsx_util import write_xlsx_parts
+
+    empty_sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'count="0" uniqueCount="0"/>'
+    )
+    body = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Data through 2023/24</t></is></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>Local authority</t></is></c>'
+        '<c r="B3" t="inlineStr"><is><t>m1</t></is></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>camden</t></is></c>'
+        '<c r="B4" t="s"><v>7</v></c>'
+        "</row>"
+        "</sheetData>"
+    )
+    write_xlsx_parts(
+        tmp_path / "sst.xlsx", _WS.format(body=body), sst_xml=empty_sst
+    )
+    assert _melt(spark, tmp_path / "sst.xlsx") == {("camden", "m1", None)}

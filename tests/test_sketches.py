@@ -46,6 +46,63 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
         assert abs(r.approx_med - r.exact_med) <= 2
 
 
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV(k=64) standard error is ~1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    against the exact distinct count per group."""
+    from hpv_etl_code_spark.plans.battery_queries import kmv_distinct_portable
+
+    got = {
+        r.l_returnflag: r.est_distinct
+        for r in kmv_distinct_portable(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for flag, est in got.items():
+        n = exact[flag]
+        if n < 64:
+            assert est == n, (flag, est, n)  # below k the sketch is exact
+        else:
+            assert abs(est - n) <= max(4 * 0.127 * n, 5), (flag, est, n)
+
+
+def test_kmv_minima_merge_across_partitions(spark, sf_dir):
+    """KMV's mergeable-sketch contract, verified exactly (no estimator
+    tolerance needed): the k smallest hashes of a union equal the k
+    smallest of the union of per-partition k-minima sets — so per-day
+    sketches of k·8 bytes merge into the same state a full rescan
+    builds."""
+    k = 8  # small k so per-day truncation actually discards hashes
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select(F.date_trunc("day", "ts").alias("day"), h.alias("h")).distinct()
+    from pyspark.sql import Window
+
+    per_day = (
+        hashed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()
+    )
+    merged = [r.h for r in per_day.orderBy("h").limit(k).collect()]
+    direct = [
+        r.h
+        for r in hashed.select("h").distinct().orderBy("h").limit(k).collect()
+    ]
+    assert merged == direct and len(direct) == min(
+        k, hashed.select("h").distinct().count()
+    )
+
+
 def test_hll_sketches_are_mergeable_across_partitions(spark, sf_dir):
     """The MERGEABLE-sketch contract behind incremental analytics: build
     one HLL sketch per day partition, union the binary sketches, and

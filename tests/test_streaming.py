@@ -277,61 +277,6 @@ def test_stream_upsert_to_parquet_cdc(spark, sf_dir, tmp_path):
     } == {(1, "a", 10.0), (2, "B", 22.0), (3, "c", 30.0), (4, "d", 40.0)}
 
 
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas state protocol needs protobuf "
-    "(absent in this container; operator wiring is env-gated like the "
-    "openpyxl path)",
-)
-def test_transform_with_state_equals_batch(spark, events_stream_dir):
-    """transformWithStateInPandas running per-user stats: the LAST
-    update per user must equal the batch groupBy answer."""
-    from hpv_etl_code_spark.streaming.stream import running_user_stats_tws
-
-    schema = spark.read.parquet(events_stream_dir).schema
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .load(events_stream_dir)
-    )
-    run_to_memory_sink(
-        running_user_stats_tws(stream), "user_stats_tws", output_mode="update"
-    )
-    # update mode emits one row per user per micro-batch — keep the last
-    import pandas as pd  # noqa: F401
-
-    upd = spark.sql(
-        """SELECT user_id, n_events, sum_value FROM (
-             SELECT *, row_number() OVER (
-               PARTITION BY user_id ORDER BY n_events DESC) AS rn
-             FROM user_stats_tws) WHERE rn = 1"""
-    ).collect()
-    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in upd}
-
-    batch = (
-        spark.read.parquet(events_stream_dir)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
-        .collect()
-    )
-    want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
-    assert set(got) == set(want)
-    for u, (n, s) in want.items():
-        gn, gs = got[u]
-        assert gn == n
-        assert abs(gs - (s or 0.0)) < 1e-6
-
-
 def test_stream_ingest_dedup_matches_batch_path(spark, sf_dir, tmp_path):
     """Continuous-ingest dedup: streaming a batch of new docs through
     foreachBatch against a prebuilt corpus index yields EXACTLY the
@@ -369,7 +314,7 @@ def test_stream_ingest_dedup_matches_batch_path(spark, sf_dir, tmp_path):
     want = {
         r.id
         for r in dedup_incremental_survivors(
-            batch, corpus, "doc_id", "text", corpus_index=corpus_index
+            batch, None, "doc_id", "text", corpus_index=corpus_index
         ).collect()
     }
     got = {

@@ -118,3 +118,21 @@ def write_xlsx(
         z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
         z.writestr("xl/sharedStrings.xml", sst)
+
+
+def write_xlsx_parts(
+    path,
+    sheet_xml: str,
+    sst_xml: str | None = None,
+    workbook_xml: str | None = None,
+) -> None:
+    """Write a workbook from RAW part XML — adversarial-fixture tooling
+    (formula cells, merged ranges, 1904 epoch, truncated sst)."""
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", workbook_xml or _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        if sst_xml is not None:
+            z.writestr("xl/sharedStrings.xml", sst_xml)
