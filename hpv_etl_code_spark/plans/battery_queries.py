@@ -194,6 +194,53 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates — sample covariance and Pearson correlation
+    of (quantity, extendedprice) per return flag — computed from EXACT
+    decimal cross-moments (Σx, Σy, Σxy, Σx², Σy² as decimals, combined
+    in double at the end), not the built-in streaming covar/corr whose
+    accumulation order is partition-dependent. One partial-aggregable
+    pass, deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,8)")
+    y = F.col("l_extendedprice").cast("decimal(20,8)")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,8)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,8)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,8)")).cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1))
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        F.round(cov, 4).alias("cov_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+CORR_BATTERY_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,8)) * CAST(l_extendedprice AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,8)) * CAST(l_quantity AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,8)) * CAST(l_extendedprice AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  n::BIGINT AS n,
+  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS cov_qty_price,
+  ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    AS corr_qty_price
+FROM m
+"""
+
+
 def kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch, k=64, PORTABLE hash family.
 
@@ -258,6 +305,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("percentile_battery", percentile_battery, PERCENTILE_SQL)
     register("approx_sketches", approx_sketches, None)
     register("kmv_distinct_portable", kmv_distinct_portable, KMV_DISTINCT_SQL)
+    register("corr_battery", corr_battery, CORR_BATTERY_SQL)
     register("agg_battery", agg_battery, AGG_BATTERY_SQL)
     register("date_funcs_battery", date_funcs_battery, DATE_FUNCS_SQL)
     register("null_funcs_battery", null_funcs_battery, NULL_FUNCS_SQL)

@@ -53,6 +53,11 @@ def get_spark(
         # Keep parquet scan splits reasonable on local runs; on a real
         # cluster this is the default 128m anyway.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local[N] runs the executor inside the driver JVM. 8g measured
+        # FASTER than 24g on the headline set (26.5s vs 47.9s at sf0.1,
+        # back-to-back A/B): a larger heap inflates per-task execution
+        # memory, so hash aggregates grow huge before spilling and lose
+        # cache locality. Override with SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
