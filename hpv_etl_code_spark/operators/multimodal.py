@@ -9,12 +9,15 @@ cannot express pixel/sample decoding. Batch shape matters at 100 TB:
 round-trip), and the decode stage is a narrow map — it scales with
 input splits, no shuffle.
 
-The decode step is a clearly-marked STUB in this container (no
-PIL/ffmpeg baked in): ``decode_image_meta`` parses only real header
-bytes of PNG/JPEG when present and otherwise reports size-derived fake
-dimensions deterministically; ``sample_frames`` raises
-``NotImplementedError`` unless a decoder import succeeds. The Spark-side
-plumbing — schema, UDF signature, Arrow batching — is real and tested.
+Header/metadata decode parses real PNG/JPEG/GIF/WAV/MP4 header bytes
+(stdlib struct); ``sample_frames`` raises ``NotImplementedError`` unless
+a video decoder import succeeds (none in this container). Since round 3
+the PIXEL path is real too: ``operators/png_codec.py`` is a pure-stdlib
+PNG encoder/decoder (zlib scanlines, all five filters), so
+``render_doc_png`` → ``image_pixel_stats`` / ``image_ahash`` /
+``image_thumbnail_px`` below decode actual compressed images — no image
+library needed, and the DuckDB oracle certifies the codec round-trip
+arithmetically (plans/image_queries.py).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -311,3 +315,167 @@ def decode_video_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, VIDEO_META_SCHEMA)
+
+
+# ------------------------------- real pixel path (stdlib PNG codec)
+
+PNG_RENDER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_IMG_SIDE = 16  # rendered test images are 16x16 gray
+
+
+def _doc_pixels(text: str) -> "np.ndarray":
+    """Deterministic 16x16 gray pixels from a document: byte j of
+    md5(text + ':' + k) is pixel (row k, col j). The SAME bytes are
+    reproducible in ANY engine with md5 — which is what lets the DuckDB
+    oracle check the PNG round-trip without decoding PNG."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [
+        np.frombuffer(
+            hashlib.md5(f"{text}:{k}".encode()).digest(), dtype=np.uint8
+        )
+        for k in range(_IMG_SIDE)
+    ]
+    return np.stack(rows)
+
+
+def render_doc_png(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → REAL compressed PNG payloads (16x16 gray, md5-defined
+    pixels) via the stdlib encoder. Narrow mapInPandas, no shuffle."""
+    from .png_codec import encode_png
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_png(_doc_pixels(t)) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(render, PNG_RENDER_SCHEMA)
+
+
+PIXEL_SUMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("sumsq_px", LongType()),
+    ]
+)
+
+
+def image_pixel_sums(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """DECODE the PNG payloads (zlib + unfilter — the real pixel path)
+    and emit exact integer pixel sums; callers derive mean/std as
+    Column expressions so rounding semantics stay engine-uniform."""
+    from .png_codec import decode_png
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            px = [decode_png(b).astype(np.uint32) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([p.shape[1] for p in px], dtype="int32"),
+                    "height": pd.Series([p.shape[0] for p in px], dtype="int32"),
+                    "sum_px": pd.Series([int(p.sum()) for p in px], dtype="int64"),
+                    "sumsq_px": pd.Series(
+                        [int((p.astype(np.uint64) ** 2).sum()) for p in px],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sums, PIXEL_SUMS_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", StringType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit average-hash perceptual fingerprint from DECODED pixels:
+    2x2 box sums → bit_i = (64 * block_sum_i > total_sum), emitted as a
+    64-char '0'/'1' string (row-major) — integer-exact, so the oracle
+    reproduces it from the md5 pixel definition; near-dup images then
+    bucket by Hamming distance exactly like SimHash fingerprints."""
+    from .png_codec import decode_png
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_ids, out_hashes = [], []
+        for pdf in batches:
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_png(b)[:, :, 0].astype(np.uint32)
+                h, w = arr.shape
+                bs = arr.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+                total = int(arr.sum())
+                bits = (bs.astype(np.int64) * bs.size > total).astype(np.uint8)
+                out_ids.append(i)
+                out_hashes.append("".join(map(str, bits.flatten())))
+            yield pd.DataFrame({"doc_id": out_ids, "ahash": out_hashes})
+            out_ids, out_hashes = [], []
+
+    return df.select(id_col, payload_col).mapInPandas(hashes, AHASH_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ty", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def image_thumbnail_px(
+    df: DataFrame,
+    out_side: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize: decode → exact box-average downsample (floor mean) →
+    long-format (ty, tx, value) rows. The arithmetic resize is what a
+    feature-extraction stage feeds a model; floor-mean keeps it
+    integer-exact for the oracle."""
+    from .png_codec import box_downsample, decode_png
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                t = box_downsample(decode_png(b), out_side, out_side)[:, :, 0]
+                for ty in range(out_side):
+                    for tx in range(out_side):
+                        rows.append((i, ty, tx, int(t[ty, tx])))
+            yield pd.DataFrame(rows, columns=["doc_id", "ty", "tx", "v"])
+            rows = []
+
+    return df.select(id_col, payload_col).mapInPandas(thumbs, THUMB_SCHEMA)

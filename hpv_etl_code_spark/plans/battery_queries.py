@@ -301,11 +301,76 @@ GROUP BY l_returnflag
 """
 
 
+def posexplode_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator + map-function surface: ``posexplode`` (index-preserving
+    lateral explode — the position column is what ordinary ``explode``
+    loses) over tokenized part names, plus a ``str_to_map`` round-trip
+    (serialize two attributes to 'k=v,k=v', parse back, project keys).
+    All whole-stage-codegen expressions; the oracle twin reproduces the
+    explode with a DuckDB range() lateral join and checks the map
+    round-trip by VALUE (parse(serialize(x))['k'] ≡ x)."""
+    p = load_table(spark, sf_dir, "part")
+    kv = F.str_to_map(
+        F.concat(
+            F.lit("brand="), F.col("p_brand"), F.lit(",type="), F.col("p_type")
+        ),
+        F.lit(","),
+        F.lit("="),
+    )
+    return (
+        p.select(
+            "p_partkey",
+            F.split("p_name", " ").alias("words"),
+            kv.alias("kv"),
+        )
+        .select(
+            "p_partkey",
+            F.posexplode("words").alias("pos", "word"),
+            F.col("kv")["brand"].alias("brand_parsed"),
+            F.col("kv")["type"].alias("type_parsed"),
+        )
+    )
+
+
+POSEXPLODE_MAP_SQL = """
+SELECT p_partkey,
+  unnest(range(len(string_split(p_name, ' '))))::INT AS pos,
+  unnest(string_split(p_name, ' ')) AS word,
+  p_brand AS brand_parsed,
+  p_type AS type_parsed
+FROM part
+"""
+
+
+def stack_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stack(n, ...)`` — the SQL-dialect generator twin of the
+    DataFrame ``unpivot`` (R1 melt): emits one (metric, val) row per
+    measure without a join or shuffle. Kept alongside ``unpivot_part``
+    because SQL-surface users reach for stack/VALUES, not melt."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'price', CAST(p_retailprice AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+STACK_UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS val FROM part
+UNION ALL
+SELECT p_partkey, 'price' AS metric, p_retailprice::DOUBLE AS val FROM part
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("percentile_battery", percentile_battery, PERCENTILE_SQL)
     register("approx_sketches", approx_sketches, None)
     register("kmv_distinct_portable", kmv_distinct_portable, KMV_DISTINCT_SQL)
     register("corr_battery", corr_battery, CORR_BATTERY_SQL)
+    register("posexplode_map_battery", posexplode_map_battery, POSEXPLODE_MAP_SQL)
+    register("stack_unpivot_part", stack_unpivot_part, STACK_UNPIVOT_SQL)
     register("agg_battery", agg_battery, AGG_BATTERY_SQL)
     register("date_funcs_battery", date_funcs_battery, DATE_FUNCS_SQL)
     register("null_funcs_battery", null_funcs_battery, NULL_FUNCS_SQL)

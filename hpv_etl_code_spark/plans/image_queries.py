@@ -1,0 +1,111 @@
+"""Image pixel-path entries — the stdlib PNG codec proven end-to-end.
+
+The trick that makes a PIXEL pipeline oracle-checkable without DuckDB
+ever decoding an image: the rendered test images DEFINE their pixels
+arithmetically — pixel (row k, col j) of a document's 16x16 gray image
+is byte j of md5(text + ':' + k) — so the oracle computes expected
+statistics straight from md5 hex while the Spark side runs the full
+binary path: render → zlib-compressed PNG → decode (unfilter) → stats.
+A hash-green entry therefore certifies ``operators/png_codec.py``'s
+encoder AND decoder, plus the mapInPandas plumbing, in one check.
+
+All three stages are narrow maps (no shuffle until the final per-image
+aggregation happens inside the decode batch), so the scale story is
+input-split parallelism — identical to any multimodal featurizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    image_ahash,
+    image_pixel_sums,
+    image_thumbnail_px,
+    render_doc_png,
+)
+from ..sources.registry import load_table
+
+_PX_SQL = """
+  SELECT doc_id, k.k AS y, j.j AS x,
+    ('0x' || substr(md5(text || ':' || k.k::VARCHAR), 2*j.j + 1, 2))::BIGINT AS v
+  FROM documents, range(16) k(k), range(16) j(j)
+"""
+
+
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """render → PNG → decode → per-image mean/std from exact integer
+    pixel sums (sample std; rounding done as Column expressions so both
+    engines round the same doubles)."""
+    d = load_table(spark, sf_dir, "documents")
+    sums = image_pixel_sums(render_doc_png(d))
+    n = F.col("width").cast("long") * F.col("height").cast("long")
+    sx = F.col("sum_px")
+    var = (n * F.col("sumsq_px") - sx * sx).cast("double") / (
+        (n * (n - F.lit(1))).cast("double")
+    )
+    return sums.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(sx.cast("double") / n.cast("double"), 4).alias("mean_px"),
+        F.round(F.sqrt(var), 4).alias("std_px"),
+    )
+
+
+IMAGE_PIXEL_STATS_SQL = f"""
+WITH px AS ({_PX_SQL}),
+s AS (
+  SELECT doc_id, SUM(v) AS sx, SUM(v*v) AS sxx, COUNT(*) AS n
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, 16::INT AS width, 16::INT AS height,
+  ROUND(sx * 1.0 / n, 4) AS mean_px,
+  ROUND(sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1))), 4) AS std_px
+FROM s
+"""
+
+
+def image_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """render → PNG → decode → 64-bit average-hash (2x2 block sums vs
+    global sum, integer-exact) as a '0'/'1' string fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return image_ahash(render_doc_png(d))
+
+
+IMAGE_AHASH_SQL = f"""
+WITH px AS ({_PX_SQL}),
+blk AS (
+  SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(v) AS bs
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id)
+SELECT b.doc_id,
+  string_agg(CASE WHEN 64 * bs > ts THEN '1' ELSE '0' END, ''
+             ORDER BY by * 8 + bx) AS ahash
+FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+GROUP BY b.doc_id
+"""
+
+
+def image_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """render → PNG → decode → exact 4x4 box-average thumbnail (floor
+    mean of each 4x4 block), long format — the resize stage a
+    multimodal featurizer feeds downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    return image_thumbnail_px(render_doc_png(d), out_side=4)
+
+
+IMAGE_THUMBNAIL_SQL = f"""
+WITH px AS ({_PX_SQL})
+SELECT doc_id, (y // 4)::INT AS ty, (x // 4)::INT AS tx,
+  (SUM(v) // 16)::INT AS v
+FROM px GROUP BY doc_id, y // 4, x // 4
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("image_pixel_stats", image_pixel_stats, IMAGE_PIXEL_STATS_SQL)
+    register("image_ahash_fingerprint", image_ahash_fingerprint, IMAGE_AHASH_SQL)
+    register("image_thumbnail_resize", image_thumbnail_resize, IMAGE_THUMBNAIL_SQL)

@@ -16,6 +16,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         decontam_queries,
         func_batteries2,
         func_batteries3,
+        image_queries,
         merged_queries,
         packing_queries,
         parity_queries,
@@ -53,3 +54,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     search_queries.register_entries(register)
     behavior_queries.register_entries(register)
     quality_queries.register_entries(register)
+    image_queries.register_entries(register)

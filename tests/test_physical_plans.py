@@ -236,3 +236,16 @@ def test_weighted_sample_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_sample_docs")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") <= 1  # only the top-k gather
+
+
+def test_corpus_entries_read_from_shared_cache(spark, sf_dir):
+    """The three heavy corpus entries must run from the session-cached
+    enriched frame (plans/shared_cache.py), not re-tokenize documents:
+    their plans read InMemoryTableScan. (The explain text still PRINTS
+    the cached relation's origin file scan inside the InMemoryRelation
+    block — execution reads cache blocks, not the file.)"""
+    from hpv_etl_code_spark.plans.shared_cache import enriched_documents
+
+    enriched_documents(spark, sf_dir).count()  # materialize the cache
+    for name in ("dedup_minhash_lsh", "llm_corpus_pipeline", "dedup_incremental_fast"):
+        assert "InMemoryTableScan" in _plan(spark, sf_dir, name), name
