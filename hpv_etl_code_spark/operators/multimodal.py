@@ -479,3 +479,97 @@ def image_thumbnail_px(
             rows = []
 
     return df.select(id_col, payload_col).mapInPandas(thumbs, THUMB_SCHEMA)
+
+
+# ------------------------------ real audio sample path (stdlib wave)
+
+_N_AUDIO_BLOCKS = 32  # 32 md5 blocks x 8 samples = 256 int16 samples
+
+
+def _doc_samples(text: str) -> "np.ndarray":
+    """Deterministic 256-sample int16 PCM signal from a document:
+    sample 8k+j is the little-endian int16 at bytes (2j, 2j+1) of
+    md5(text + ':a' + k) — the audio twin of :func:`_doc_pixels`,
+    reproducible by any engine with md5."""
+    import hashlib
+
+    import numpy as np
+
+    blocks = [
+        hashlib.md5(f"{text}:a{k}".encode()).digest()
+        for k in range(_N_AUDIO_BLOCKS)
+    ]
+    return np.frombuffer(b"".join(blocks), dtype="<i2")
+
+
+def render_doc_wav(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → REAL RIFF/WAV payloads (16-bit mono PCM, 8 kHz,
+    md5-defined samples) via the stdlib ``wave`` writer."""
+    import io
+    import wave
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_doc_samples(t).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(render, PNG_RENDER_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sumsq", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_sample_sums(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """DECODE the WAV payloads (stdlib ``wave`` reader — the real sample
+    path) and emit exact integer signal features: sum of squares (for
+    RMS), peak amplitude, and sign-change zero crossings."""
+    import io
+    import wave
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(b), "rb") as w:
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    v = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                neg = v < 0
+                rows.append(
+                    (
+                        i,
+                        len(v),
+                        int((v * v).sum()),
+                        int(np.abs(v).max()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sumsq", "peak", "zero_crossings"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sums, AUDIO_STATS_SCHEMA)

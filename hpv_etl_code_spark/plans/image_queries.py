@@ -20,10 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    audio_sample_sums,
     image_ahash,
     image_pixel_sums,
     image_thumbnail_px,
     render_doc_png,
+    render_doc_wav,
 )
 from ..sources.registry import load_table
 
@@ -105,7 +107,53 @@ FROM px GROUP BY doc_id, y // 4, x // 4
 """
 
 
+def audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of the pixel path: render md5-defined int16 PCM →
+    REAL RIFF/WAV encode (stdlib ``wave``) → decode → RMS / peak /
+    zero-crossing features. Same oracle trick — DuckDB reproduces the
+    samples from md5 hex (little-endian int16 reassembly + two's
+    complement) and never parses a WAV."""
+    d = load_table(spark, sf_dir, "documents")
+    sums = audio_sample_sums(render_doc_wav(d))
+    return sums.select(
+        "doc_id",
+        "n_samples",
+        F.round(
+            F.sqrt(F.col("sumsq").cast("double") / F.col("n_samples").cast("double")),
+            4,
+        ).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
+AUDIO_SIGNAL_STATS_SQL = """
+WITH smp AS (
+  SELECT doc_id, 8 * k.k + j.j AS i,
+    ('0x' || substr(md5(text || ':a' || k.k::VARCHAR), 4*j.j + 1, 2))::BIGINT
+    + 256 * ('0x' || substr(md5(text || ':a' || k.k::VARCHAR), 4*j.j + 3, 2))::BIGINT
+      AS u
+  FROM documents, range(32) k(k), range(8) j(j)
+), v AS (
+  SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM smp
+), lagd AS (
+  SELECT doc_id, v,
+    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM v
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_samples,
+  ROUND(sqrt(SUM(v*v) * 1.0 / COUNT(*)), 4) AS rms,
+  MAX(abs(v))::INT AS peak,
+  SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END)::BIGINT
+    AS zero_crossings
+FROM lagd GROUP BY doc_id
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("image_pixel_stats", image_pixel_stats, IMAGE_PIXEL_STATS_SQL)
     register("image_ahash_fingerprint", image_ahash_fingerprint, IMAGE_AHASH_SQL)
     register("image_thumbnail_resize", image_thumbnail_resize, IMAGE_THUMBNAIL_SQL)
+    register("audio_signal_stats", audio_signal_stats, AUDIO_SIGNAL_STATS_SQL)
