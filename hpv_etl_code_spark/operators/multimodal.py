@@ -174,13 +174,16 @@ def byte_histogram_counts(
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
-    """Video frame sampling — requires a real decoder; gated stub."""
+    """Frame sampling for COMPRESSED codecs (H.264 …) — needs a real
+    decoder; gated. For RIFF/AVI containers (incl. Motion-PNG, where the
+    whole pipeline is stdlib-real), use ``operators/video.py::
+    sample_frames_avi`` — container demux needs no codec at all."""
     try:
         import av  # noqa: F401  (not present in this container)
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "frame sampling needs PyAV/ffmpeg; wire the decoder into a "
-            "mapInPandas stage exactly like decode_image_meta"
+            "compressed-codec frame sampling needs PyAV/ffmpeg; for AVI "
+            "containers use operators.video.sample_frames_avi (stdlib)"
         ) from exc
     raise NotImplementedError("decoder wiring not implemented in this container")
 

@@ -1,0 +1,202 @@
+"""Video container path: stdlib AVI (RIFF) mux/demux + Motion-PNG
+frames — real frame SAMPLING without ffmpeg.
+
+Round 2 left video frame sampling as the one env-gated stub (compressed
+codecs need PyAV). The observation that removes the gate for a whole
+class of inputs: frame sampling is a CONTAINER operation, not a codec
+operation — extracting every n-th frame's payload only needs the RIFF
+walk (`LIST movi` → `00dc`/`00db` chunks), which is pure stdlib. With
+Motion-PNG frames (fourcc ``MPNG`` — PNG-compressed frames in an AVI),
+the per-frame payloads then decode through ``operators/png_codec.py``,
+so sample → decode → featurize is REAL end-to-end. H.264-style codecs
+still raise behind the PyAV gate in ``multimodal.sample_frames``.
+
+The writer emits a structurally-valid single-stream AVI (avih + strl
+headers, movi list); the demuxer walks any RIFF/AVI and yields the
+frame chunks in stream order — it does not assume this writer's output.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def mux_avi_mpng(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """PNG frame payloads → single-stream Motion-PNG AVI bytes."""
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0x10,        # max bytes/sec, padding, flags (AVIF_HASINDEX off)
+        n, 0, 1, 0,        # total frames, initial frames, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MPNG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MPNG", 0, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def demux_avi_frames(data: bytes) -> list[bytes]:
+    """RIFF/AVI bytes → ordered list of video frame payloads (``..dc`` /
+    ``..db`` chunks inside ``LIST movi``). Stdlib-only, codec-agnostic."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start, body_end = pos + 8, pos + 8 + size
+            if fourcc == b"LIST":
+                list_type = data[body_start : body_start + 4]
+                if list_type in (b"movi", b"rec "):
+                    walk(body_start + 4, body_end)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(data[body_start:body_end])
+            pos = body_end + (size % 2)
+
+    walk(12, len(data))
+    return frames
+
+
+AVI_RENDER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def render_doc_avi(
+    df: DataFrame,
+    n_frames: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents → REAL Motion-PNG AVI payloads: frame f's 16x16 gray
+    pixels are md5-defined from seed ``text + '|f' + f`` (the video twin
+    of the image/audio renderers — reproducible by the oracle)."""
+    from .multimodal import _doc_pixels
+    from .png_codec import encode_png
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                mux_avi_mpng(
+                    [
+                        encode_png(_doc_pixels(f"{t}|f{f}"))
+                        for f in range(n_frames)
+                    ],
+                    16,
+                    16,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(render, AVI_RENDER_SCHEMA)
+
+
+def sample_frames_avi(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling: demux the AVI container (stdlib RIFF walk)
+    and keep every ``every_n``-th frame payload — one row per sampled
+    frame. Narrow map; at 100 TB this is the standard frame-extraction
+    stage in front of any vision featurizer (the payloads here are PNG,
+    so the downstream decode is also real)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                for idx, frame in enumerate(demux_avi_frames(bytes(b))):
+                    if idx % every_n == 0:
+                        rows.append((i, idx, frame))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+            rows = []
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+FRAME_SUMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("sumsq_px", LongType()),
+    ]
+)
+
+
+def frame_pixel_sums(
+    df: DataFrame, id_col: str = "doc_id", frame_col: str = "frame"
+) -> DataFrame:
+    """Decode sampled PNG frames and emit exact integer pixel sums per
+    (doc, frame) — the featurization stage after :func:`sample_frames_avi`."""
+    from .png_codec import decode_png
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for i, fi, b in zip(pdf[id_col], pdf["frame_idx"], pdf[frame_col]):
+                px = decode_png(bytes(b)).astype(np.uint64)
+                rows.append((i, fi, int(px.sum()), int((px * px).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "sum_px", "sumsq_px"]
+            )
+            rows = []
+
+    return df.select(id_col, "frame_idx", frame_col).mapInPandas(
+        sums, FRAME_SUMS_SCHEMA
+    )

@@ -152,8 +152,43 @@ FROM lagd GROUP BY doc_id
 """
 
 
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: render 8-frame Motion-PNG
+    AVIs (frame f's pixels md5-defined from text + '|f' + f) → demux the
+    RIFF container and keep every 2nd frame (operators/video.py, stdlib
+    only) → decode each sampled PNG frame → per-(doc, frame) mean pixel.
+    The oracle reproduces sampled-frame stats arithmetically (frames
+    0, 2, 4, 6) without touching AVI or PNG — a hash match certifies the
+    container mux/demux AND the codec in one check. Frame sampling for
+    compressed codecs (H.264 …) remains behind the PyAV gate."""
+    from ..operators.video import frame_pixel_sums, render_doc_avi, sample_frames_avi
+
+    d = load_table(spark, sf_dir, "documents")
+    sampled = sample_frames_avi(render_doc_avi(d, n_frames=8), every_n=2)
+    sums = frame_pixel_sums(sampled)
+    return sums.select(
+        "doc_id",
+        "frame_idx",
+        F.round(F.col("sum_px").cast("double") / F.lit(256.0), 4).alias("mean_px"),
+    )
+
+
+VIDEO_FRAME_STATS_SQL = """
+WITH px AS (
+  SELECT doc_id, f.f AS frame_idx,
+    ('0x' || substr(md5(text || '|f' || f.f::VARCHAR || ':' || k.k::VARCHAR),
+                    2*j.j + 1, 2))::BIGINT AS v
+  FROM documents, range(0, 8, 2) f(f), range(16) k(k), range(16) j(j)
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+  ROUND(SUM(v) * 1.0 / 256.0, 4) AS mean_px
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("image_pixel_stats", image_pixel_stats, IMAGE_PIXEL_STATS_SQL)
     register("image_ahash_fingerprint", image_ahash_fingerprint, IMAGE_AHASH_SQL)
     register("image_thumbnail_resize", image_thumbnail_resize, IMAGE_THUMBNAIL_SQL)
     register("audio_signal_stats", audio_signal_stats, AUDIO_SIGNAL_STATS_SQL)
+    register("video_frame_stats", video_frame_stats, VIDEO_FRAME_STATS_SQL)

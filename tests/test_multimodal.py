@@ -174,3 +174,33 @@ def test_png_render_decode_roundtrip(spark, sf_dir):
     for r in render_doc_png(d).collect():
         arr = decode_png(bytes(r.payload))[:, :, 0]
         assert np.array_equal(arr, _doc_pixels(texts[r.doc_id]))
+
+
+def test_avi_mux_demux_and_frame_sampling(spark, sf_dir):
+    """AVI container round-trip: mux arbitrary frame payloads, demux
+    back in order; sampled frames decode to the md5-defined pixels of
+    their frame index (container + codec both real, stdlib-only)."""
+    import numpy as np
+
+    from hpv_etl_code_spark.operators.multimodal import _doc_pixels
+    from hpv_etl_code_spark.operators.png_codec import decode_png
+    from hpv_etl_code_spark.operators.video import (
+        demux_avi_frames,
+        mux_avi_mpng,
+        render_doc_avi,
+        sample_frames_avi,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    frames = [b"x" * n for n in (3, 8, 1)]
+    assert demux_avi_frames(mux_avi_mpng(frames, 4, 4)) == frames
+
+    d = load_table(spark, sf_dir, "documents").limit(3)
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    rows = sample_frames_avi(render_doc_avi(d, n_frames=8), every_n=2).collect()
+    assert len(rows) == 3 * 4  # frames 0,2,4,6 per doc
+    assert sorted({r.frame_idx for r in rows}) == [0, 2, 4, 6]
+    for r in rows:
+        arr = decode_png(bytes(r.frame))[:, :, 0]
+        want = _doc_pixels(f"{texts[r.doc_id]}|f{r.frame_idx}")
+        assert np.array_equal(arr, want)
