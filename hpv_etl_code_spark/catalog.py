@@ -131,10 +131,13 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_blocked",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # streaming + multimodal
+    # streaming + multimodal — image_pixel_stats carries the round-3
+    # pixel path (stdlib PNG codec certified by the md5-arithmetic
+    # oracle) into the driver-checked window; the byte-histogram rep
+    # stays oracle-green in the tail/mirror
     "stream_windows",
     "multimodal_binary_stats",
-    "multimodal_byte_histogram",
+    "image_pixel_stats",
 )
 
 

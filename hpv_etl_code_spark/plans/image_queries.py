@@ -186,8 +186,44 @@ FROM px GROUP BY doc_id, frame_idx
 """
 
 
+def image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual fingerprint: group images on their
+    64-bit average-hash, keep the min doc_id — the multimodal twin of
+    exact text dedup (and the front gate of a vision-corpus pipeline;
+    near-dup banding over the same fingerprint is
+    ``simhash_near_pairs``'s machinery). On this corpus aHash collides
+    exactly for identical texts (md5 avalanche), so the duplicate
+    structure mirrors the text fingerprint — which the oracle checks."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = image_ahash(render_doc_png(d))
+    return hashes.groupBy("ahash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+IMAGE_DEDUP_AHASH_SQL = f"""
+WITH px AS ({_PX_SQL}),
+blk AS (
+  SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(v) AS bs
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id),
+h AS (
+  SELECT b.doc_id,
+    string_agg(CASE WHEN 64 * bs > ts THEN '1' ELSE '0' END, ''
+               ORDER BY by * 8 + bx) AS ahash
+  FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id
+)
+SELECT ahash, MIN(doc_id) AS keeper_id, COUNT(*)::BIGINT AS n_dups
+FROM h GROUP BY ahash
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("image_pixel_stats", image_pixel_stats, IMAGE_PIXEL_STATS_SQL)
+    register("image_dedup_ahash", image_dedup_ahash, IMAGE_DEDUP_AHASH_SQL)
     register("image_ahash_fingerprint", image_ahash_fingerprint, IMAGE_AHASH_SQL)
     register("image_thumbnail_resize", image_thumbnail_resize, IMAGE_THUMBNAIL_SQL)
     register("audio_signal_stats", audio_signal_stats, AUDIO_SIGNAL_STATS_SQL)
