@@ -506,3 +506,76 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("date_trunc_orders", date_trunc_orders, DATE_TRUNC_SQL)
     register("string_funcs_part", string_funcs_part, STRING_FUNCS_SQL)
     register("asof_join_signup", asof_join_signup, ASOF_JOIN_SQL, headline=True)
+    register(
+        "recursive_ancestor_depth", recursive_ancestor_depth, RECURSIVE_ANCESTOR_SQL
+    )
+    register("variant_extract_events", variant_extract_events, VARIANT_EXTRACT_SQL)
+
+
+def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — iterative UNION ALL
+    expansion planned by Catalyst): every customer key walks its
+    synthetic parent chain key -> key/2 down to root 1; output is the
+    depth histogram. Integer-exact, so DuckDB's recursive CTE must
+    reproduce it bit-for-bit — the hierarchy/transitive-closure surface
+    (org charts, BOM explosion, graph reachability) that previously
+    needed driver-side iteration."""
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, a, d) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          UNION ALL
+          SELECT node, a DIV 2, d + 1 FROM anc WHERE a > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes
+        FROM (SELECT node, MAX(d) AS depth FROM anc GROUP BY node)
+        GROUP BY depth
+        """
+    )
+
+
+RECURSIVE_ANCESTOR_SQL = """
+WITH RECURSIVE anc(node, a, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, a // 2, d + 1 FROM anc WHERE a > 1
+)
+SELECT depth, COUNT(*)::BIGINT AS n_nodes
+FROM (SELECT node, MAX(d) AS depth FROM anc GROUP BY node)
+GROUP BY depth
+"""
+
+
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` shreds the JSON string to
+    the binary VARIANT encoding once; ``variant_get`` then extracts
+    typed fields WITHOUT re-parsing text per access — the semi-
+    structured scale path (the classic get_json_object re-parses the
+    string on every extraction). Aggregates the extracted int per event
+    type; integer-exact, DuckDB reproduces it via json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+VARIANT_EXTRACT_SQL = """
+SELECT event_type,
+  COUNT(json_extract(props, '$.k')) AS n_with_k,
+  SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+  MIN(json_extract(props, '$.k')::INT)::INT AS min_k,
+  MAX(json_extract(props, '$.k')::INT)::INT AS max_k
+FROM events GROUP BY event_type
+"""
