@@ -383,30 +383,49 @@ PIXEL_SUMS_SCHEMA = StructType(
 
 
 def image_pixel_sums(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """DECODE the PNG payloads (zlib + unfilter — the real pixel path)
     and emit exact integer pixel sums; callers derive mean/std as
-    Column expressions so rounding semantics stay engine-uniform."""
+    Column expressions so rounding semantics stay engine-uniform.
+
+    ``strict=False`` is the 100 TB posture: a corrupt payload (bad
+    signature, CRC mismatch, truncated stream) DROPS that row instead
+    of failing the task — one bad blob in a billion must not kill the
+    job; the dropped count is observable as input minus output rows.
+    Strict mode (default — right for the oracle-checked entries, where
+    silent loss would mask a codec bug) raises."""
     from .png_codec import decode_png
+
+    catch: tuple = () if strict else (Exception,)
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        rows = []
         for pdf in batches:
-            px = [decode_png(b).astype(np.uint32) for b in pdf[payload_col]]
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    p = decode_png(bytes(b)).astype(np.uint32)
+                except catch:  # empty in strict mode → propagates
+                    continue
+                rows.append(
+                    (
+                        i,
+                        p.shape[1],
+                        p.shape[0],
+                        int(p.sum()),
+                        int((p.astype(np.uint64) ** 2).sum()),
+                    )
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "width": pd.Series([p.shape[1] for p in px], dtype="int32"),
-                    "height": pd.Series([p.shape[0] for p in px], dtype="int32"),
-                    "sum_px": pd.Series([int(p.sum()) for p in px], dtype="int64"),
-                    "sumsq_px": pd.Series(
-                        [int((p.astype(np.uint64) ** 2).sum()) for p in px],
-                        dtype="int64",
-                    ),
-                }
+                rows,
+                columns=["doc_id", "width", "height", "sum_px", "sumsq_px"],
             )
+            rows = []
 
     return df.select(id_col, payload_col).mapInPandas(sums, PIXEL_SUMS_SCHEMA)
 

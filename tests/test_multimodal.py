@@ -204,3 +204,33 @@ def test_avi_mux_demux_and_frame_sampling(spark, sf_dir):
         arr = decode_png(bytes(r.frame))[:, :, 0]
         want = _doc_pixels(f"{texts[r.doc_id]}|f{r.frame_idx}")
         assert np.array_equal(arr, want)
+
+
+def test_image_pixel_sums_permissive_drops_corrupt(spark, sf_dir):
+    """strict=False (the 100 TB posture): corrupt payloads drop their
+    row instead of failing the task; strict mode raises."""
+    import pytest as _pytest
+
+    from hpv_etl_code_spark.operators.multimodal import (
+        image_pixel_sums,
+        render_doc_png,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(4)
+    good = render_doc_png(d)
+    from pyspark.sql import functions as F
+
+    # corrupt one payload (doc with min id): truncate to 10 bytes
+    min_id = good.agg(F.min("doc_id")).first()[0]
+    mixed = good.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") == min_id, F.substring(F.col("payload"), 1, 10)
+        ).otherwise(F.col("payload")),
+    )
+    out = image_pixel_sums(mixed, strict=False)
+    assert out.count() == 3
+    assert min_id not in {r.doc_id for r in out.collect()}
+    with _pytest.raises(Exception):  # noqa: B017 — strict surfaces the task error
+        image_pixel_sums(mixed, strict=True).count()
