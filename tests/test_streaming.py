@@ -334,3 +334,35 @@ def test_stream_ingest_dedup_matches_batch_path(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "accepted")).count() == len(got)
+
+
+def test_rocksdb_state_store_equals_default(spark, events_stream_dir):
+    """The scale-grade state backend: Spark 4's RocksDBStateStoreProvider
+    keeps streaming state off-heap with changelog checkpointing — the
+    backend a 100 TB deployment runs — and must produce byte-identical
+    window aggregates to the default (HDFS-backed) provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _stream(spark, events_stream_dir)
+        windowed = tumbling_counts(stream, duration="1 hour", watermark="2 hours")
+        run_to_memory_sink(windowed, "tumbling_rocksdb", output_mode="complete")
+        got = {
+            (str(r.window_start), r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumbling_rocksdb").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = tumbling_counts(spark.read.parquet(events_stream_dir), duration="1 hour")
+    want = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and got
