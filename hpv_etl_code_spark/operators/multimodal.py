@@ -560,13 +560,20 @@ AUDIO_STATS_SCHEMA = StructType(
 
 
 def audio_sample_sums(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """DECODE the WAV payloads (stdlib ``wave`` reader — the real sample
     path) and emit exact integer signal features: sum of squares (for
-    RMS), peak amplitude, and sign-change zero crossings."""
+    RMS), peak amplitude, and sign-change zero crossings.
+    ``strict=False`` drops undecodable payloads instead of failing the
+    task (same 100 TB posture as :func:`image_pixel_sums`)."""
     import io
     import wave
+
+    catch: tuple = () if strict else (Exception,)
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -574,11 +581,14 @@ def audio_sample_sums(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                with wave.open(io.BytesIO(b), "rb") as w:
-                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
-                    v = np.frombuffer(
-                        w.readframes(w.getnframes()), dtype="<i2"
-                    ).astype(np.int64)
+                try:
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                        v = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                except catch:  # empty in strict mode → propagates
+                    continue
                 neg = v < 0
                 rows.append(
                     (

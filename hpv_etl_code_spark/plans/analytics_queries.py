@@ -292,3 +292,44 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("pagerank_orders_graph", pagerank_orders_graph, _pagerank_oracle_sql())
     register("map_funcs_battery", map_funcs_battery, MAP_FUNCS_SQL)
     register("pivot_multi_agg", pivot_multi_agg, PIVOT_MULTI_AGG_SQL)
+    register(
+        "window_cumulative_distinct",
+        window_cumulative_distinct,
+        WINDOW_CUM_DISTINCT_SQL,
+    )
+
+
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day. Spark has no
+    COUNT(DISTINCT) OVER — the canonical idiom is ``size(collect_set()
+    OVER (RANGE UNBOUNDED PRECEDING))``, which is order-independent
+    (set semantics) and therefore deterministic; rows collapse back to
+    one per (type, day). The oracle avoids window-DISTINCT too and
+    checks via a day-triangle join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn("cum", F.size(F.collect_set("user_id").over(w)))
+    return cum.groupBy("event_type", "day").agg(
+        F.max("cum").cast("long").alias("cum_users")
+    )
+
+
+WINDOW_CUM_DISTINCT_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT event_type, day FROM d)
+SELECT days.event_type, days.day AS day,
+  COUNT(DISTINCT d.user_id)::BIGINT AS cum_users
+FROM days JOIN d ON d.event_type = days.event_type AND d.day <= days.day
+GROUP BY days.event_type, days.day
+"""
