@@ -93,10 +93,23 @@ def regression_violations(
         if p <= 0 or t < 0:
             continue
         if t > p * _REGRESSION_RATIO and t - p > _REGRESSION_FLOOR_SEC:
-            if q in adjudicated_text:
+            if q in _adjudicated_names(adjudicated_text):
                 continue
             out.append(f"{q}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%)")
     return out
+
+
+def _adjudicated_names(adjudicated_text: str) -> set[str]:
+    """Query names adjudicated via '## <name>' section headers (slash-
+    separated lists allowed). Raw substring matching was a hole: one
+    entry's rationale mentioning another query's name would silently
+    waive that query's regression."""
+    names: set[str] = set()
+    for line in adjudicated_text.splitlines():
+        if line.startswith("## "):
+            for part in line[3:].replace(",", "/").split("/"):
+                names.add(part.strip())
+    return names
 
 
 def _adjudicated_text(repo_dir: str) -> str:

@@ -583,7 +583,13 @@ def audio_sample_sums(
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     with wave.open(io.BytesIO(b), "rb") as w:
-                        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            # raise (not assert — python -O strips asserts
+                            # and stereo would be read as garbage mono)
+                            raise ValueError(
+                                f"unsupported WAV: width={w.getsampwidth()} "
+                                f"channels={w.getnchannels()} (need 16-bit mono)"
+                            )
                         v = np.frombuffer(
                             w.readframes(w.getnframes()), dtype="<i2"
                         ).astype(np.int64)

@@ -19,6 +19,11 @@ def spark():
     spark = get_spark(app_name="pytest", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+    # unpersist the shared corpus-signature cache so the session ends
+    # with no lingering persisted frames (exercises the teardown path)
+    from hpv_etl_code_spark.plans.shared_cache import clear_cache
+
+    clear_cache()
 
 
 @pytest.fixture(scope="session")

@@ -31,3 +31,16 @@ def test_new_and_failed_queries_skipped():
         {"new_q": 9.0, "failed": -1.0}, {"failed": 1.0}, ""
     )
     assert got == []
+
+
+def test_adjudication_requires_section_header():
+    """A passing mention of a query inside ANOTHER query's rationale must
+    not waive its regression — only a '## <name>' header counts."""
+    note = "## other_query\nThis regressed because dedup_minhash_lsh grew.\n"
+    got = regression_violations({"dedup_minhash_lsh": 1.0}, {"dedup_minhash_lsh": 0.5}, note)
+    assert len(got) == 1
+    # header form (incl. slash-joined lists) does excuse
+    hdr = "## a / dedup_minhash_lsh\nrationale\n"
+    assert regression_violations(
+        {"dedup_minhash_lsh": 1.0}, {"dedup_minhash_lsh": 0.5}, hdr
+    ) == []
