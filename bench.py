@@ -88,12 +88,13 @@ def regression_violations(
     adjudicated_text: str,
 ) -> list[str]:
     out = []
+    waived = _adjudicated_names(adjudicated_text)
     for q, t in timings.items():
         p = prev_q.get(q, -1.0)
         if p <= 0 or t < 0:
             continue
         if t > p * _REGRESSION_RATIO and t - p > _REGRESSION_FLOOR_SEC:
-            if q in _adjudicated_names(adjudicated_text):
+            if q in waived:
                 continue
             out.append(f"{q}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%)")
     return out

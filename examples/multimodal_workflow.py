@@ -49,9 +49,13 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. render + perceptual dedup: keep one doc per aHash
-    pngs = render_doc_png(docs)
-    hashes = image_ahash(pngs)
+    # 1. render + perceptual dedup: keep one doc per aHash. The renders
+    # are persisted — three downstream actions (dedup count, pixel
+    # stats, the semi-join) would otherwise re-encode every PNG.
+    # Permissive decode end to end: a corrupt payload drops its row
+    # instead of failing the stage.
+    pngs = render_doc_png(docs).persist()
+    hashes = image_ahash(pngs, strict=False)
     keepers = hashes.groupBy("ahash").agg(F.min("doc_id").alias("doc_id"))
     survivors = pngs.join(keepers.select("doc_id"), "doc_id", "left_semi")
     n_in, n_kept = docs.count(), survivors.count()
@@ -64,12 +68,13 @@ def main() -> None:
         "doc_id",
         F.round(F.col("sum_px") / 256.0, 2).alias("mean_px"),
     ).orderBy("doc_id").show(5)
+    pngs.unpersist()
 
     # 3. video: mux 8-frame AVIs, demux-sample every 2nd frame, featurize
     frames = sample_frames_avi(render_doc_avi(docs, n_frames=8), every_n=2)
     fstats = frame_pixel_sums(frames)
     print(f"video: {fstats.count()} sampled frames "
-          f"({docs.count()} docs x 4 frames)")
+          f"({n_in} docs x 4 frames)")
 
     # 4. audio: WAV render + signal features
     audio = audio_sample_sums(render_doc_wav(docs))

@@ -62,24 +62,39 @@ def global_row_index(
     bucket 0 before all value buckets), matching the ``NULLS FIRST``
     default of ``row_number() OVER (ORDER BY key)`` that this operator
     replaces; min/max ignore NULLs, so value-bucket boundaries are
-    unaffected.
+    unaffected. Float NaN keys are likewise kept and numbered LAST
+    (Spark sorts NaN above every value), with the bounds computed over
+    finite values only — no key value silently drops rows.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
     if not isinstance(df.schema[key].dataType, NumericType):
         raise TypeError(
             f"global_row_index key {key!r} must be numeric, got "
             f"{df.schema[key].dataType.simpleString()}; bucketize or cast first"
         )
+    # Float/double keys can hold NaN, which width_bucket maps to a NULL
+    # bucket (silent row loss through the offsets join) AND which would
+    # poison the max() bound (Spark sorts NaN above every value, so
+    # max = NaN → NULL buckets for ALL rows). Detect it explicitly and
+    # (a) exclude NaN from the bounds, (b) route NaN keys to their own
+    # bucket AFTER all value buckets — matching row_number()'s
+    # ORDER BY key placement of NaN last.
+    is_float = isinstance(df.schema[key].dataType, (DoubleType, FloatType))
+    nan_key = F.isnan(F.col(key)) if is_float else F.lit(False)
+    finite = F.when(~nan_key, F.col(key)) if is_float else F.col(key)
     bounds = df.agg(
-        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+        F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
     )
     # NULL keys → bucket 0 (before width_bucket's 1..n_buckets), so they
     # are numbered first instead of being silently dropped by the inner
-    # offsets join while still inflating the cumulative counts
+    # offsets join while still inflating the cumulative counts; NaN keys
+    # → bucket n_buckets+1 (numbered last), for the same reason
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "__bucket",
-        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+        F.when(F.col(key).isNull(), F.lit(0))
+        .when(nan_key, F.lit(n_buckets + 1))
+        .otherwise(
             F.width_bucket(
                 F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
             )

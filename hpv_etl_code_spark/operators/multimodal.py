@@ -320,6 +320,26 @@ def decode_video_meta(
     return df.select(id_col, payload_col).mapInPandas(decode, VIDEO_META_SCHEMA)
 
 
+def per_payload_decoder(fn, strict: bool):
+    """THE permissive-decode seam, shared by every payload-decoding
+    operator (image/audio/video alike): wrap a per-payload decode
+    callable so that ``strict=True`` propagates any decode error (right
+    for oracle-checked entries, where silent loss would mask a codec
+    bug) while ``strict=False`` returns ``None`` — the caller skips the
+    row — because one corrupt blob in a billion must not kill a 100 TB
+    job. Dropped rows stay observable as input minus output counts."""
+    if strict:
+        return fn
+
+    def safe(*args):
+        try:
+            return fn(*args)
+        except Exception:  # noqa: BLE001 — any decode failure drops the row
+            return None
+
+    return safe
+
+
 # ------------------------------- real pixel path (stdlib PNG codec)
 
 PNG_RENDER_SCHEMA = StructType(
@@ -392,25 +412,24 @@ def image_pixel_sums(
     and emit exact integer pixel sums; callers derive mean/std as
     Column expressions so rounding semantics stay engine-uniform.
 
-    ``strict=False`` is the 100 TB posture: a corrupt payload (bad
-    signature, CRC mismatch, truncated stream) DROPS that row instead
-    of failing the task — one bad blob in a billion must not kill the
-    job; the dropped count is observable as input minus output rows.
-    Strict mode (default — right for the oracle-checked entries, where
-    silent loss would mask a codec bug) raises."""
+    ``strict=False`` (see :func:`per_payload_decoder`) drops a corrupt
+    payload's row instead of failing the task; strict mode (default —
+    right for the oracle-checked entries, where silent loss would mask
+    a codec bug) raises."""
+    import numpy as np
+
     from .png_codec import decode_png
 
-    catch: tuple = () if strict else (Exception,)
+    decode = per_payload_decoder(
+        lambda b: decode_png(bytes(b)).astype(np.uint32), strict
+    )
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         rows = []
         for pdf in batches:
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    p = decode_png(bytes(b)).astype(np.uint32)
-                except catch:  # empty in strict mode → propagates
+                p = decode(b)
+                if p is None:
                     continue
                 rows.append(
                     (
@@ -439,22 +458,32 @@ AHASH_SCHEMA = StructType(
 
 
 def image_ahash(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """64-bit average-hash perceptual fingerprint from DECODED pixels:
     2x2 box sums → bit_i = (64 * block_sum_i > total_sum), emitted as a
     64-char '0'/'1' string (row-major) — integer-exact, so the oracle
     reproduces it from the md5 pixel definition; near-dup images then
-    bucket by Hamming distance exactly like SimHash fingerprints."""
+    bucket by Hamming distance exactly like SimHash fingerprints.
+    ``strict=False`` drops undecodable payloads (:func:`per_payload_decoder`)."""
+    import numpy as np
+
     from .png_codec import decode_png
 
-    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    decode = per_payload_decoder(
+        lambda b: decode_png(b)[:, :, 0].astype(np.uint32), strict
+    )
 
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_ids, out_hashes = [], []
         for pdf in batches:
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                arr = decode_png(b)[:, :, 0].astype(np.uint32)
+                arr = decode(b)
+                if arr is None:
+                    continue
                 h, w = arr.shape
                 bs = arr.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
                 total = int(arr.sum())
@@ -482,18 +511,27 @@ def image_thumbnail_px(
     out_side: int = 4,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """Resize: decode → exact box-average downsample (floor mean) →
     long-format (ty, tx, value) rows. The arithmetic resize is what a
     feature-extraction stage feeds a model; floor-mean keeps it
-    integer-exact for the oracle."""
+    integer-exact for the oracle. ``strict=False`` drops undecodable
+    payloads (:func:`per_payload_decoder`)."""
     from .png_codec import box_downsample, decode_png
+
+    decode = per_payload_decoder(
+        lambda b: box_downsample(decode_png(b), out_side, out_side)[:, :, 0],
+        strict,
+    )
 
     def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                t = box_downsample(decode_png(b), out_side, out_side)[:, :, 0]
+                t = decode(b)
+                if t is None:
+                    continue
                 for ty in range(out_side):
                     for tx in range(out_side):
                         rows.append((i, ty, tx, int(t[ty, tx])))
@@ -569,31 +607,34 @@ def audio_sample_sums(
     path) and emit exact integer signal features: sum of squares (for
     RMS), peak amplitude, and sign-change zero crossings.
     ``strict=False`` drops undecodable payloads instead of failing the
-    task (same 100 TB posture as :func:`image_pixel_sums`)."""
+    task (:func:`per_payload_decoder` — same posture as
+    :func:`image_pixel_sums`)."""
     import io
     import wave
 
-    catch: tuple = () if strict else (Exception,)
+    import numpy as np
+
+    def read_wav(b: bytes) -> "np.ndarray":
+        with wave.open(io.BytesIO(b), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                # raise (not assert — python -O strips asserts and
+                # stereo would be read as garbage mono)
+                raise ValueError(
+                    f"unsupported WAV: width={w.getsampwidth()} "
+                    f"channels={w.getnchannels()} (need 16-bit mono)"
+                )
+            return np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+
+    decode = per_payload_decoder(read_wav, strict)
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    with wave.open(io.BytesIO(b), "rb") as w:
-                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                            # raise (not assert — python -O strips asserts
-                            # and stereo would be read as garbage mono)
-                            raise ValueError(
-                                f"unsupported WAV: width={w.getsampwidth()} "
-                                f"channels={w.getnchannels()} (need 16-bit mono)"
-                            )
-                        v = np.frombuffer(
-                            w.readframes(w.getnframes()), dtype="<i2"
-                        ).astype(np.int64)
-                except catch:  # empty in strict mode → propagates
+                v = decode(b)
+                if v is None:
                     continue
                 neg = v < 0
                 rows.append(

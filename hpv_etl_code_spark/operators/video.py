@@ -147,18 +147,26 @@ def sample_frames_avi(
     every_n: int = 2,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    strict: bool = True,
 ) -> DataFrame:
     """REAL frame sampling: demux the AVI container (stdlib RIFF walk)
     and keep every ``every_n``-th frame payload — one row per sampled
     frame. Narrow map; at 100 TB this is the standard frame-extraction
     stage in front of any vision featurizer (the payloads here are PNG,
-    so the downstream decode is also real)."""
+    so the downstream decode is also real). ``strict=False`` drops
+    undemuxable payloads (``multimodal.per_payload_decoder``)."""
+    from .multimodal import per_payload_decoder
+
+    demux = per_payload_decoder(lambda b: demux_avi_frames(bytes(b)), strict)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                for idx, frame in enumerate(demux_avi_frames(bytes(b))):
+                frames = demux(b)
+                if frames is None:
+                    continue
+                for idx, frame in enumerate(frames):
                     if idx % every_n == 0:
                         rows.append((i, idx, frame))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
@@ -178,25 +186,40 @@ FRAME_SUMS_SCHEMA = StructType(
 
 
 def frame_pixel_sums(
-    df: DataFrame, id_col: str = "doc_id", frame_col: str = "frame"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame",
+    frame_idx_col: str = "frame_idx",
+    strict: bool = True,
 ) -> DataFrame:
     """Decode sampled PNG frames and emit exact integer pixel sums per
-    (doc, frame) — the featurization stage after :func:`sample_frames_avi`."""
+    (doc, frame) — the featurization stage after :func:`sample_frames_avi`.
+    ``strict=False`` drops undecodable frames
+    (``multimodal.per_payload_decoder``)."""
+    import numpy as np
+
+    from .multimodal import per_payload_decoder
     from .png_codec import decode_png
 
-    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    decode = per_payload_decoder(
+        lambda b: decode_png(bytes(b)).astype(np.uint64), strict
+    )
 
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in batches:
-            for i, fi, b in zip(pdf[id_col], pdf["frame_idx"], pdf[frame_col]):
-                px = decode_png(bytes(b)).astype(np.uint64)
+            for i, fi, b in zip(
+                pdf[id_col], pdf[frame_idx_col], pdf[frame_col]
+            ):
+                px = decode(b)
+                if px is None:
+                    continue
                 rows.append((i, fi, int(px.sum()), int((px * px).sum())))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "sum_px", "sumsq_px"]
             )
             rows = []
 
-    return df.select(id_col, "frame_idx", frame_col).mapInPandas(
+    return df.select(id_col, frame_idx_col, frame_col).mapInPandas(
         sums, FRAME_SUMS_SCHEMA
     )

@@ -47,6 +47,7 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CACHE:
+        _prune_dead_entries()
         d = load_table(spark, sf_dir, "documents")
         base = d.select(
             "doc_id",
@@ -63,6 +64,25 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("sig", minhash_signature(F.col("toks"), _NUM_HASHES))
         _CACHE[key] = base.persist()
     return _CACHE[key]
+
+
+def _prune_dead_entries() -> None:
+    """Drop cache entries whose SparkSession has been stopped — a
+    long-lived driver that cycles get_spark()/spark.stop() (repeated
+    bench invocations, notebook restarts) must neither accumulate
+    handles for dead sessions nor ever be handed a DataFrame bound to a
+    stopped SparkContext (a fresh session gets a fresh applicationId,
+    so a stale same-key hit is impossible; this is pure leak hygiene).
+    Called on cache misses — the cheap path stays dict-lookup-only."""
+    dead = []
+    for key, df in _CACHE.items():
+        try:
+            if df.sparkSession.sparkContext._jsc.sc().isStopped():
+                dead.append(key)
+        except Exception:  # noqa: BLE001 — unreachable JVM == dead session
+            dead.append(key)
+    for key in dead:
+        _CACHE.pop(key, None)
 
 
 def clear_cache() -> None:

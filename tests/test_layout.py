@@ -190,3 +190,23 @@ def test_global_index_rejects_non_numeric_key(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with _pytest.raises(TypeError, match="must be numeric"):
         global_row_index(df, "k")
+
+
+def test_global_index_nan_keys_numbered_last(spark):
+    """Float NaN keys are kept (no silent row loss) and numbered last —
+    Spark sorts NaN above every value — with bucket bounds computed
+    over finite values only (a NaN-poisoned max() would otherwise NULL
+    every bucket)."""
+    from hpv_etl_code_spark.operators.layout import global_row_index
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0,), (nan,), (5.0,), (nan,), (None,), (3.0,)], "k double"
+    )
+    got = [(r.k, r.global_idx) for r in global_row_index(df, "k").collect()]
+    assert sorted(idx for _, idx in got) == [1, 2, 3, 4, 5, 6]
+    # NULL first, finite in order, NaN last — row_number() parity
+    assert [idx for k, idx in got if k is None] == [1]
+    finite = {k: idx for k, idx in got if k is not None and k == k}
+    assert finite == {1.0: 2, 3.0: 3, 5.0: 4}
+    assert sorted(idx for k, idx in got if k is not None and k != k) == [5, 6]

@@ -234,3 +234,96 @@ def test_image_pixel_sums_permissive_drops_corrupt(spark, sf_dir):
     assert min_id not in {r.doc_id for r in out.collect()}
     with _pytest.raises(Exception):  # noqa: B017 — strict surfaces the task error
         image_pixel_sums(mixed, strict=True).count()
+
+
+def test_permissive_decode_uniform_across_operators(spark, sf_dir):
+    """The per_payload_decoder seam covers EVERY payload-decoding
+    operator: aHash, thumbnail, AVI demux and per-frame decode all drop
+    corrupt payloads under strict=False and raise under strict=True."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.multimodal import (
+        image_ahash,
+        image_thumbnail_px,
+        render_doc_png,
+    )
+    from hpv_etl_code_spark.operators.video import (
+        frame_pixel_sums,
+        render_doc_avi,
+        sample_frames_avi,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(4)
+
+    def corrupt_min(df, col="payload"):
+        min_id = df.agg(F.min("doc_id")).first()[0]
+        return min_id, df.withColumn(
+            col,
+            F.when(
+                F.col("doc_id") == min_id, F.substring(F.col(col), 1, 10)
+            ).otherwise(F.col(col)),
+        )
+
+    bad_id, pngs = corrupt_min(render_doc_png(d))
+    got = image_ahash(pngs, strict=False)
+    assert got.count() == 3 and bad_id not in {r.doc_id for r in got.collect()}
+    with _pytest.raises(Exception):  # noqa: B017
+        image_ahash(pngs, strict=True).count()
+
+    thumbs = image_thumbnail_px(pngs, strict=False)
+    assert {r.doc_id for r in thumbs.collect()} == {
+        r.doc_id for r in got.collect()
+    }
+    with _pytest.raises(Exception):  # noqa: B017
+        image_thumbnail_px(pngs, strict=True).count()
+
+    bad_vid, avis = corrupt_min(render_doc_avi(d, n_frames=4))
+    frames = sample_frames_avi(avis, every_n=2, strict=False)
+    assert bad_vid not in {r.doc_id for r in frames.collect()}
+    with _pytest.raises(Exception):  # noqa: B017
+        sample_frames_avi(avis, every_n=2, strict=True).count()
+
+    good_frames = sample_frames_avi(render_doc_avi(d, n_frames=4), every_n=2)
+    bad_frame_id, mixed = corrupt_min(good_frames, col="frame")
+    fsums = frame_pixel_sums(mixed, strict=False)
+    # both of the bad doc's sampled frames were corrupted and drop;
+    # every other doc's frames survive
+    assert fsums.count() == good_frames.count() - 2
+    assert bad_frame_id not in {r.doc_id for r in fsums.collect()}
+    with _pytest.raises(Exception):  # noqa: B017
+        frame_pixel_sums(mixed, strict=True).count()
+
+
+def test_shared_cache_prunes_dead_session_entries(spark, sf_dir):
+    """Entries whose session has been stopped are evicted on the next
+    cache miss — a driver cycling get_spark()/stop() must not leak
+    persisted-DataFrame handles (review finding, round 3)."""
+    from hpv_etl_code_spark.plans import shared_cache
+
+    class _DeadDF:  # stands in for a DataFrame of a stopped session
+        @property
+        def sparkSession(self):
+            raise RuntimeError("SparkContext was shut down")
+
+        def unpersist(self):
+            pass
+
+    shared_cache._CACHE[("dead-app", "sf")] = _DeadDF()
+    # force the miss path (prune runs on misses only): evict any live
+    # entry a previous test may have built for this (session, sf)
+    live_key = (spark.sparkContext.applicationId, sf_dir)
+    evicted = shared_cache._CACHE.pop(live_key, None)
+    if evicted is not None:
+        evicted.unpersist()
+    try:
+        live = shared_cache.enriched_documents(spark, sf_dir)
+        assert ("dead-app", "sf") not in shared_cache._CACHE
+        assert live.count() > 0
+        # live entry survives a subsequent prune
+        shared_cache._prune_dead_entries()
+        key = (spark.sparkContext.applicationId, sf_dir)
+        assert key in shared_cache._CACHE
+    finally:
+        shared_cache.clear_cache()
