@@ -26,6 +26,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         search_queries,
         scale_queries,
         stream_queries,
+        temporal_graph_queries,
         text_queries,
         tpch_queries,
         tpch_queries2,
@@ -55,3 +56,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     behavior_queries.register_entries(register)
     quality_queries.register_entries(register)
     image_queries.register_entries(register)
+    temporal_graph_queries.register_entries(register)

@@ -1,0 +1,323 @@
+"""Temporal-join, sessionization, graph and frequency-sketch entries.
+
+Four operator families a 100 TB event/fact warehouse runs constantly,
+each with the Spark plan shape that survives scale:
+
+- ``interval_containment_join`` — point-in-interval lookup (which
+  purchases landed inside an error window) as a BANDED equi-join:
+  quantize time, replicate the bounded-length interval side into the
+  buckets it overlaps, equi-join on the bucket, exact-filter. Never a
+  broadcast-nested-loop over raw non-equi predicates.
+- ``sessionize_events`` — batch gaps-and-islands sessionization in ONE
+  exchange: the lag window, the running session counter and the final
+  per-session aggregate all cluster by ``user_id``, so Catalyst plans a
+  single hash exchange for the whole chain.
+- ``copurchase_triangles`` — triangle counting on the co-purchase
+  graph, edges oriented by id so every triangle is counted exactly
+  once; at production scale the orientation key becomes the vertex
+  DEGREE (same plan, bounded per-vertex fan-out on skewed graphs).
+- ``cms_frequency_portable`` — a Count-Min frequency sketch (depth 4 ×
+  width 256, portable md5 hash family) built in one mergeable pass and
+  probed for a fixed key set, PLUS the exact counts side-by-side. The
+  md5-hex-prefix hash (`conv(substr(md5(x),1,15),16,10)`, same family
+  as the portable MinHash) makes every counter bit-reproducible in
+  DuckDB, so the oracle certifies sketch construction and probe — the
+  frequency-sketch sibling of ``kmv_distinct_portable``.
+
+The reference engine has none of these (a 205-line pandas Excel
+pipeline, `/root/reference/src/main.py`); they are north-star extension
+surface like the dedup/ANN families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+WINDOW_SECONDS = 600  # error-window length for the containment join
+SESSION_GAP_SECONDS = 1800
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_KEYS = 16  # probe partkeys 1..16
+
+
+def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside the 10-minute window after an error — the
+    point-in-interval join (IP-range lookup, calendar containment,
+    sensor-window attribution all share this shape).
+
+    Naively this is a non-equi theta join (broadcast-nested-loop at
+    best, cartesian at worst). Because the intervals have BOUNDED
+    length (600 s), the banded idiom applies: an interval starting in
+    time bucket b (bucket width = the max interval length) overlaps
+    only buckets {b, b+1}, so replicating the interval side ×2 and
+    equi-joining on the point's single bucket finds every containment
+    with one hash exchange; a point matches a given interval in exactly
+    one bucket (its own), so no pair dedup is needed.
+
+    Semantics are defined in the epoch-SECONDS domain on both engines
+    (Spark ``unix_timestamp`` ≡ DuckDB ``floor(epoch(ts))``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts"))
+
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        epoch.alias("e_start"),
+        F.explode(
+            F.array(
+                F.floor(epoch / WINDOW_SECONDS),
+                F.floor(epoch / WINDOW_SECONDS) + 1,
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        epoch.alias("p_at"),
+        F.floor(epoch / WINDOW_SECONDS).alias("bucket"),
+    )
+    return (
+        purchases.join(errors, "bucket")
+        .filter(
+            (F.col("p_at") >= F.col("e_start"))
+            & (F.col("p_at") < F.col("e_start") + WINDOW_SECONDS)
+        )
+        .select(
+            "err_event_id",
+            "purchase_event_id",
+            (F.col("p_at") - F.col("e_start")).alias("secs_after"),
+        )
+    )
+
+
+INTERVAL_CONTAINMENT_SQL = f"""
+WITH e AS (
+  SELECT event_id AS err_event_id, FLOOR(epoch(ts))::BIGINT AS e_start
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS purchase_event_id, FLOOR(epoch(ts))::BIGINT AS p_at
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_event_id, purchase_event_id, p_at - e_start AS secs_after
+FROM p JOIN e ON p_at >= e_start AND p_at < e_start + {WINDOW_SECONDS}
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    when a user's inter-event gap exceeds 30 minutes; emit per-session
+    (user, start, events, duration).
+
+    The whole chain — ``lag`` to flag session starts, the running sum
+    that numbers sessions, the per-session aggregate — clusters by
+    ``user_id``, and grouping on ``(user_id, session_idx)`` is
+    satisfied by the hash partitioning on ``user_id`` alone, so
+    Catalyst plans ONE exchange for all three steps. This is the batch
+    twin of the streaming ``session_window`` entries (same session
+    boundaries; stream ≡ batch is the invariant the streaming tests
+    pin)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("at")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("at")
+    gapped = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("at") - F.lag("at").over(by_user) > SESSION_GAP_SECONDS, 1
+        )
+        .when(F.lag("at").over(by_user).isNull(), 1)
+        .otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return gapped.groupBy("user_id", "sid").agg(
+        F.min("at").alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("at") - F.min("at")).alias("duration_secs"),
+    ).select("user_id", "session_start_epoch", "n_events", "duration_secs")
+
+
+SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS at FROM events
+), flagged AS (
+  SELECT user_id, at,
+    CASE WHEN lag(at) OVER w IS NULL
+           OR at - lag(at) OVER w > {SESSION_GAP_SECONDS}
+         THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY at)
+), numbered AS (
+  SELECT user_id, at,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY at
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(at) AS session_start_epoch,
+       COUNT(*)::BIGINT AS n_events,
+       (MAX(at) - MIN(at))::BIGINT AS duration_secs
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts are
+    adjacent when some order contains both).
+
+    Edges are ORIENTED (pa < pb) at build time, so each triangle
+    {a,b,c} materializes exactly once as (a→b, b→c, a→c) — no /6
+    correction, no duplicate intermediates. The two-hop join
+    (e1.pb = e2.pa) then closing join is the standard distributed
+    triangle enumeration; at production scale the orientation key
+    switches from id to DEGREE (low→high), which provably bounds the
+    per-vertex fan-out on power-law graphs — same plan, different
+    orientation column. Output: two (metric, value) rows — edge count
+    and triangle count (a union of two scalar aggregates; a crossJoin
+    of the two 1-row frames would be equivalent but trips the
+    nested-loop lint rule this repo enforces on itself)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, "y")
+    triangles = wedges.join(e3, ["x", "z"])
+    n_edges = edges.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_edges").alias("metric"), "value"
+    )
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_triangles").alias("metric"), "value"
+    )
+    return n_edges.unionByName(n_tri)
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT 'n_edges' AS metric, COUNT(*)::BIGINT AS value FROM e
+UNION ALL
+SELECT 'n_triangles' AS metric, COUNT(*)::BIGINT AS value
+FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+          JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+def _cms_bucket(depth_col, key_col):
+    """Portable CMS hash: md5-hex-prefix of 'd:key' mod width — the
+    same md5-60bit family as the portable MinHash/KMV entries, so
+    DuckDB reproduces every counter exactly."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        depth_col.cast("string"), F.lit(":"), key_col.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def cms_frequency_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over ``lineitem.l_partkey`` —
+    depth 4 × width 256 counters built in ONE mergeable pass (the
+    groupBy is the per-partition partial-agg + merge; counters are a
+    1 KB summary regardless of input size) — probed for partkeys
+    1..16. ``est_count = min_d counter[d][h_d(k)]`` upper-bounds the
+    true count (CMS guarantee); the exact counts ride along so the
+    output certifies both the sketch arithmetic AND the bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    counters = (
+        li.select(
+            F.explode(depths).alias("d"), F.col("l_partkey").alias("k")
+        )
+        .select("d", _cms_bucket(F.col("d"), F.col("k")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.range(1, CMS_PROBE_KEYS + 1).select(
+        F.col("id").alias("partkey"),
+        F.explode(depths).alias("d"),
+    ).select(
+        "partkey", "d", _cms_bucket(F.col("d"), F.col("partkey")).alias("bucket")
+    )
+    est = (
+        probes.join(counters, ["d", "bucket"])
+        .groupBy("partkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        li.filter(
+            (F.col("l_partkey") >= 1) & (F.col("l_partkey") <= CMS_PROBE_KEYS)
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(exact, "partkey", "left")
+        .select(
+            "partkey",
+            "est_count",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+        )
+    )
+
+
+CMS_FREQUENCY_SQL = f"""
+WITH counters AS (
+  SELECT d.d,
+    ('0x' || substr(md5(d.d::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT
+      % {CMS_WIDTH} AS bucket,
+    COUNT(*)::BIGINT AS c
+  FROM lineitem CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+  GROUP BY 1, 2
+), probes AS (
+  SELECT k.partkey, d.d,
+    ('0x' || substr(md5(d.d::VARCHAR || ':' || k.partkey::VARCHAR), 1, 15))::BIGINT
+      % {CMS_WIDTH} AS bucket
+  FROM (SELECT unnest(generate_series(1, {CMS_PROBE_KEYS})) AS partkey) k
+  CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+), est AS (
+  SELECT partkey, MIN(c) AS est_count
+  FROM probes JOIN counters USING (d, bucket) GROUP BY partkey
+), exact AS (
+  SELECT l_partkey AS partkey, COUNT(*)::BIGINT AS true_count
+  FROM lineitem WHERE l_partkey BETWEEN 1 AND {CMS_PROBE_KEYS}
+  GROUP BY 1
+)
+SELECT partkey, est_count, COALESCE(true_count, 0) AS true_count
+FROM est LEFT JOIN exact USING (partkey)
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register(
+        "interval_containment_join",
+        interval_containment_join,
+        INTERVAL_CONTAINMENT_SQL,
+    )
+    register("sessionize_events", sessionize_events, SESSIONIZE_SQL)
+    register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)
+    register("cms_frequency_portable", cms_frequency_portable, CMS_FREQUENCY_SQL)

@@ -249,3 +249,41 @@ def test_corpus_entries_read_from_shared_cache(spark, sf_dir):
     enriched_documents(spark, sf_dir).count()  # materialize the cache
     for name in ("dedup_minhash_lsh", "llm_corpus_pipeline", "dedup_incremental_fast"):
         assert "InMemoryTableScan" in _plan(spark, sf_dir, name), name
+
+
+# ----- round-3 temporal/graph/sketch entries -----
+
+
+def test_interval_containment_is_banded_equi_join(spark, sf_dir):
+    """The point-in-interval join must compile to a hash EQUI join on
+    the time bucket — never BroadcastNestedLoopJoin/CartesianProduct
+    (what a naive non-equi theta join falls back to)."""
+    plan = _plan(spark, sf_dir, "interval_containment_join")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # the banded equi join survives
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """lag window + running session counter + per-session aggregate all
+    cluster by user_id: Catalyst must plan exactly ONE hash exchange."""
+    df = catalog.entries()["sessionize_events"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangles_no_nested_loop(spark, sf_dir):
+    """Oriented-edge triangle enumeration is equi-joins all the way
+    down; the two scalar counts union instead of cross-joining."""
+    from hpv_etl_code_spark.plans.lint import assert_scalable
+
+    df = catalog.entries()["copurchase_triangles"].fn(spark, sf_dir)
+    assert_scalable(df)
+
+
+def test_cms_probe_side_is_broadcast(spark, sf_dir):
+    """The 64-row probe set must broadcast onto the sketch counters —
+    the 1 KB sketch and the probe list are both metadata-sized, and the
+    one real exchange is the counter aggregation over the fact."""
+    plan = _plan(spark, sf_dir, "cms_frequency_portable")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
