@@ -314,8 +314,100 @@ FROM d JOIN err ON err.vec_id = d.vec_id
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 — ORACLE-CHECKED: seeded-sample
+    codebooks (codeword (j,k) = block j of the k-th lowest-id vector),
+    argmin encoding, the query-side ADC table and the compressed-domain
+    ranking are all reproduced exactly by the SQL twin. The exact
+    distance rides along as the re-rank certificate
+    (operators/pq.py — the third ANN family after LSH and IVF)."""
+    from ..operators.pq import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    return pq_topk(e, q, k=5, m=4, ksub=16)
+
+
+def _ann_pq_oracle_sql(dim: int = 64, m: int = 4, ksub: int = 16, k: int = 5) -> str:
+    """DuckDB twin of ann_pq_topk: codebook from the ksub lowest-id
+    vectors' block slices; argmin encode and the ADC estimate via the
+    same ROW_NUMBER-over-cross-join pattern as the IVF twin."""
+    sub = dim // m
+    bdist = (
+        f"list_dot_product("
+        f"list_transform(range(1, {sub + 1}), i -> b.bv[i] - cw.c[i]), "
+        f"list_transform(range(1, {sub + 1}), i -> b.bv[i] - cw.c[i]))"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS k, v
+  FROM d ORDER BY vec_id LIMIT {ksub}
+),
+cw AS (  -- codeword (j, k) = block j of seed k
+  SELECT j.j, s.k,
+    list_transform(range(j.j * {sub} + 1, j.j * {sub} + {sub + 1}),
+                   i -> s.v[i]) AS c
+  FROM seeds s CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j
+),
+blocks AS (
+  SELECT vec_id, j.j,
+    list_transform(range(j.j * {sub} + 1, j.j * {sub} + {sub + 1}),
+                   i -> v[i]) AS bv
+  FROM d CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j
+),
+codes AS (  -- argmin codeword per (vector, block), ties -> lowest k
+  SELECT vec_id, j, k, cd FROM (
+    SELECT b.vec_id, b.j, cw.k, {bdist} AS cd,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.j
+                         ORDER BY {bdist} ASC, cw.k ASC) AS rk
+    FROM blocks b JOIN cw ON cw.j = b.j
+  ) WHERE rk = 1
+),
+adc AS (  -- query ADC table: distance to EVERY codeword
+  SELECT b.vec_id AS query_id, b.j, cw.k, {bdist} AS qd
+  FROM blocks b JOIN cw ON cw.j = b.j
+  WHERE b.vec_id < 4
+),
+-- the ADC tables and code lists pivot to ordered columns/lists so the
+-- estimate can sum its {m} lookups in the SAME left-to-right order as
+-- the Spark fold (float addition is not associative; a GROUP BY SUM
+-- would add in engine-chosen order and can diverge in the last ulp)
+adct AS (
+  SELECT query_id,
+    {", ".join(f"MAX(CASE WHEN j = {j} THEN qds END) AS a{j}" for j in range(m))}
+  FROM (SELECT query_id, j, list(qd ORDER BY k) AS qds
+        FROM adc GROUP BY query_id, j)
+  GROUP BY query_id
+),
+codesl AS (
+  SELECT vec_id, list(k ORDER BY j) AS cl FROM codes GROUP BY vec_id
+),
+est AS (  -- compressed-domain estimate: m table lookups + ordered adds
+  SELECT a.query_id, c.vec_id AS neighbor_id,
+    {" + ".join(f"a.a{j}[c.cl[{j + 1}] + 1]" for j in range(m))} AS est_d2
+  FROM codesl c CROSS JOIN adct a
+  WHERE a.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT e.query_id, e.neighbor_id, e.est_d2,
+    list_dot_product(
+      list_transform(range(1, {dim + 1}), i -> dq.v[i] - dn.v[i]),
+      list_transform(range(1, {dim + 1}), i -> dq.v[i] - dn.v[i])) AS true_d2,
+    ROW_NUMBER() OVER (PARTITION BY e.query_id
+                       ORDER BY e.est_d2 ASC, e.neighbor_id ASC) AS rk
+  FROM est e JOIN d dq ON dq.vec_id = e.query_id
+             JOIN d dn ON dn.vec_id = e.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(est_d2, 6) AS est_d2,
+       ROUND(true_d2, 6) AS true_d2, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("ann_ivf_topk", ann_ivf_topk, _ann_ivf_oracle_sql())
+    register("ann_pq_topk", ann_pq_topk, _ann_pq_oracle_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
     register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)

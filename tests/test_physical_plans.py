@@ -287,3 +287,13 @@ def test_cms_probe_side_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cms_frequency_portable")
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_pq_corpus_never_shuffles_before_topk(spark, sf_dir):
+    """PQ ADC scoring: the encoded corpus is a narrow map (broadcast
+    codebook, broadcast query ADC tables); the ONLY hash exchange is
+    the per-query top-k window."""
+    df = catalog.entries()["ann_pq_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
