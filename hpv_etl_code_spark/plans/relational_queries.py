@@ -484,7 +484,32 @@ FROM events
 """
 
 
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — each
+    high-balance customer's 3 most recent orders. Catalyst DECORRELATES
+    the per-row subquery into a per-key row_number window + ONE join
+    (no per-customer re-execution; the plan is the same shape as the
+    hand-written window top-k) — the optimizer surface this entry pins.
+    DuckDB runs the identical LATERAL SQL natively as the oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
+LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_orderdate FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey LIMIT 3
+) o
+WHERE c.c_acctbal > 9000
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("lateral_topk_orders", lateral_topk_orders, LATERAL_TOPK_SQL)
     register("scalar_subquery_above_avg", scalar_subquery_above_avg, SCALAR_SUBQUERY_SQL)
     register("in_subquery_big_spenders", in_subquery_big_spenders, IN_SUBQUERY_SQL)
     register("asof_join_next_purchase", asof_join_next_purchase, ASOF_FORWARD_SQL)

@@ -297,3 +297,14 @@ def test_pq_corpus_never_shuffles_before_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lateral_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated LATERAL LIMIT subquery must compile to ONE join
+    over a per-key window (WindowGroupLimit-pruned) — never a
+    per-outer-row re-execution or nested loop."""
+    plan = _plan(spark, sf_dir, "lateral_topk_orders")
+    assert "Window" in plan
+    assert plan.count("Join") >= 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "WindowGroupLimit" in plan  # LIMIT pushed into the window
