@@ -1,0 +1,263 @@
+"""Skyline, bitmap-distinct and time-weighted-average entries.
+
+Three OLAP operator families with distinct optimizer/scale shapes not
+yet exercised by the catalog:
+
+- ``skyline_parts`` — the Pareto frontier (skyline) query: parts no
+  other part beats on BOTH price (maximize) and size (minimize). The
+  naive formulation is a quadratic self-theta-join; the distributed
+  textbook shape is shrink-then-refine, realized here declaratively:
+  collapse to per-price minima (hash agg), range-bucket the price
+  levels, resolve dominance with bucket-partitioned windows plus a
+  metadata-sized cross-bucket prefix — the same two-phase idiom as
+  ``operators/layout.py::global_row_index`` — then broadcast the
+  (provably tiny) surviving frontier back onto the base table.
+- ``bitmap_distinct_events`` — exact distinct counting through 63-bit
+  bitmap words (the bitmap-index technique behind roaring-bitmap
+  COUNT(DISTINCT) in ClickHouse/Druid): distinct user counts shuffle as
+  |universe|/63 OR-able words instead of raw ids, stay mergeable across
+  partitions/time-slices, and popcount out exactly. The exact
+  ``count(distinct)`` rides along so the entry certifies the bitmap
+  arithmetic end-to-end (bits 0..62 only: ``1::BIGINT << 63`` overflows
+  DuckDB and flips the sign bit in two's-complement engines).
+- ``twap_events`` — time-weighted average over an irregular event
+  series (the TWAP/telemetry-averaging primitive): each observation
+  weighted by its holding time until the next event. The lead window,
+  the weighted sums and the final per-user aggregate all cluster by
+  ``user_id`` — ONE planned exchange, same single-exchange chain as
+  ``sessionize_events``. Weighted sums go through exact decimals
+  (``functions/numeric.py`` discipline): DECIMAL(20,8) × integer
+  seconds is exact, so the sum is order-independent and the oracle
+  matches bit-for-bit.
+
+The reference engine has none of these (a 205-line pandas Excel
+pipeline, `/root/reference/src/main.py`); they are north-star extension
+surface like the dedup/ANN families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+SKYLINE_BUCKETS = 32
+BITMAP_WORD_BITS = 63  # bits 0..62 — bit 63 is the sign bit / DuckDB overflow
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of ``part``: maximize ``p_retailprice``,
+    minimize ``p_size``. A part is dominated iff some other part is at
+    least as good on both dimensions and strictly better on one.
+
+    Shrink-then-refine, never the quadratic self-join:
+
+    1. SHRINK — collapse to price levels: per distinct price, the best
+       (minimum) size. Hash aggregation; at 100 TB this is the big
+       reduction (|distinct prices| ≪ |rows|).
+    2. BUCKET — range-bucket the price levels (``width_bucket`` over
+       broadcast min/max bounds). Dominance along the price axis then
+       decomposes: a price level is beaten either by a higher price in
+       its OWN bucket (bucket-partitioned running-min window, parallel)
+       or by ANY price in a strictly higher bucket (running min over
+       the ≤``SKYLINE_BUCKETS``-row bucket-minimum table — the only
+       single-partition step, metadata-sized by construction).
+    3. REFINE — surviving price levels (the frontier is provably small:
+       one survivor per distinct price at most, strictly decreasing
+       size) broadcast-join back to ``part`` to emit every part sitting
+       exactly on the frontier (same-price-same-size ties all survive:
+       neither strictly beats the other).
+    """
+    part = load_table(spark, sf_dir, "part")
+    levels = part.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("best_size")
+    )
+    bounds = levels.agg(
+        F.min("p_retailprice").alias("__lo"), F.max("p_retailprice").alias("__hi")
+    )
+    bucketed = levels.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.width_bucket(
+            F.col("p_retailprice"),
+            F.col("__lo"),
+            F.col("__hi") + 1,
+            F.lit(SKYLINE_BUCKETS),
+        ),
+    ).drop("__lo", "__hi")
+
+    # min best_size among all price levels in STRICTLY higher buckets:
+    # a running min over the bucket-minimum table, ordered by bucket
+    # descending (metadata-sized — ≤ SKYLINE_BUCKETS rows)
+    above = (
+        bucketed.groupBy("__bucket")
+        .agg(F.min("best_size").alias("__bmin"))
+        .withColumn(
+            "__above",
+            F.min("__bmin").over(
+                Window.orderBy(F.desc("__bucket")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__bucket", "__above")
+    )
+
+    # min best_size among strictly higher prices in the SAME bucket —
+    # partitioned by bucket, so every data-sized window runs in parallel
+    # (prices are distinct post-shrink, so the rows frame is exactly the
+    # strictly-higher-price set)
+    in_bucket = F.min("best_size").over(
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        bucketed.join(F.broadcast(above), "__bucket")
+        .withColumn("__prefix", F.least(in_bucket, F.col("__above")))
+        # least() skips NULLs, so __prefix is the min over every
+        # strictly-higher price level, NULL only for the global max price.
+        # A level survives iff nothing above it has size <= best_size.
+        .filter(F.col("__prefix").isNull() | (F.col("__prefix") > F.col("best_size")))
+        # rename to break lineage with part's own columns (frontier is
+        # derived FROM part — without the rename the join-back is an
+        # ambiguous self-reference)
+        .select(
+            F.col("p_retailprice").alias("__f_price"),
+            F.col("best_size").alias("__f_size"),
+        )
+    )
+    return part.join(
+        F.broadcast(frontier),
+        (F.col("p_retailprice") == F.col("__f_price"))
+        & (F.col("p_size") == F.col("__f_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+def bitmap_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, computed exactly through bitmap
+    words: user u sets bit ``u % 63`` of word ``u DIV 63``; words OR
+    together per (event_type, word); popcounts sum to the exact
+    distinct count.
+
+    Why this beats ``count(distinct)`` at 100 TB: the shuffle carries
+    at most |user universe|/63 words per group (bounded, dense,
+    OR-mergeable) instead of every raw id, partial aggregation combines
+    words map-side, and per-day word tables can be OR-merged later into
+    any coarser rollup without touching raw data — the re-aggregation
+    property COUNT(DISTINCT) lacks. The exact ``count(distinct)`` rides
+    along, so the oracle certifies bitmap == exact on every row.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id DIV {BITMAP_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    per_type = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("bitmap_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return per_type.join(exact, "event_type").select(
+        "event_type", "bitmap_distinct", "n_words", "exact_distinct"
+    )
+
+
+BITMAP_DISTINCT_SQL = f"""
+WITH w AS (
+  SELECT event_type, user_id // {BITMAP_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS word
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, SUM(bit_count(word))::BIGINT AS bitmap_distinct,
+         COUNT(*)::BIGINT AS n_words
+  FROM w GROUP BY 1
+), x AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT event_type, bitmap_distinct, n_words, exact_distinct
+FROM b JOIN x USING (event_type)
+"""
+
+
+def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each observation
+    holds until the user's next event and is weighted by that holding
+    time (the TWAP primitive of telemetry/market pipelines — a plain
+    ``avg`` over-weights bursts of rapid-fire events).
+
+    The lead window, both weighted sums and the grouping all cluster by
+    ``user_id``, so Catalyst plans ONE hash exchange for the whole
+    chain (same shape as ``sessionize_events``). Each user's last event
+    has no holding time and drops out of both sums (NULL-skipping sum,
+    identical in the oracle); single-event users yield NULL. Weighted
+    sums follow the exact-decimal discipline: DECIMAL(20,8) value ×
+    integer seconds is exact, so the shuffle-order-independent sum
+    converts to the same IEEE double on both engines. Ties on ``ts``
+    break by ``event_id`` in both engines, making lead() deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("at"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("at", "event_id")
+    dt = (F.lead("at").over(w) - F.col("at")).alias("dt")
+    held = ev.select("user_id", "value", dt)
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dt").alias("held_secs"),
+            (
+                F.sum(F.col("value").cast("decimal(20,8)") * F.col("dt")).cast(
+                    "double"
+                )
+                / F.sum("dt")
+            ).alias("twap_raw"),
+        )
+        .select(
+            "user_id",
+            "held_secs",
+            F.round("twap_raw", 6).alias("twap_value"),
+        )
+    )
+
+
+TWAP_EVENTS_SQL = """
+WITH h AS (
+  SELECT user_id, value,
+         lead(FLOOR(epoch(ts))::BIGINT) OVER
+           (PARTITION BY user_id ORDER BY FLOOR(epoch(ts))::BIGINT, event_id)
+           - FLOOR(epoch(ts))::BIGINT AS dt
+  FROM events
+)
+SELECT user_id, SUM(dt)::BIGINT AS held_secs,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(20,8)) * dt) AS VARCHAR) AS DOUBLE)
+             / SUM(dt), 6) AS twap_value
+FROM h GROUP BY user_id
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register("skyline_parts", skyline_parts, SKYLINE_PARTS_SQL)
+    register("bitmap_distinct_events", bitmap_distinct_events, BITMAP_DISTINCT_SQL)
+    register("twap_events", twap_events, TWAP_EVENTS_SQL)

@@ -1,0 +1,124 @@
+"""Plan + semantics tests for the skyline / bitmap-distinct / TWAP
+entries (plans/olap_queries.py). Oracle equivalence at sf0.001 is
+covered by test_catalog_oracle.py's parameterization; these tests lock
+the SCALE properties and the tie semantics the oracle can't see."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark import catalog
+from hpv_etl_code_spark.plans.lint import assert_scalable
+from hpv_etl_code_spark.plans.olap_queries import skyline_parts
+from hpv_etl_code_spark.plans import olap_queries
+
+
+def _df(spark, sf_dir, name):
+    return catalog.entries()[name].fn(spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_olap_entries_pass_scale_lint(spark, sf_dir):
+    for name in ("skyline_parts", "bitmap_distinct_events", "twap_events"):
+        assert_scalable(_df(spark, sf_dir, name))
+
+
+def test_skyline_joins_all_broadcast(spark, sf_dir):
+    """Bounds, cross-bucket prefix and the frontier join-back are all
+    metadata-sized broadcasts — the base table is never shuffled for a
+    join (its only exchange is the per-price shrink aggregation)."""
+    plan = _plan(_df(spark, sf_dir, "skyline_parts"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_ties_and_dominance(spark):
+    """Same-price-same-size ties ALL survive (neither strictly beats
+    the other); strictly-dominated rows drop; cross-bucket dominance
+    (max price in the top bucket kills everything below with size >=
+    its own) is honored."""
+    rows = [
+        Row(p_partkey=1, p_retailprice=100.0, p_size=5),
+        Row(p_partkey=2, p_retailprice=100.0, p_size=5),   # tie of 1 — survives
+        Row(p_partkey=3, p_retailprice=100.0, p_size=7),   # same price, worse size
+        Row(p_partkey=4, p_retailprice=90.0, p_size=5),    # dominated by 1 (price)
+        Row(p_partkey=5, p_retailprice=90.0, p_size=3),    # frontier (better size)
+        Row(p_partkey=6, p_retailprice=10.0, p_size=1),    # frontier (best size)
+        Row(p_partkey=7, p_retailprice=10.0, p_size=4),    # dominated by 5
+    ]
+    spark.createDataFrame(rows).createOrReplaceTempView("__sky_parts")
+
+    # run the same logic against the in-memory table by monkey-free
+    # indirection: write it as parquet and point the entry at it
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.table("__sky_parts").write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r.p_partkey
+            for r in skyline_parts(spark, d).collect()
+        }
+    assert got == {1, 2, 5, 6}
+
+
+def test_bitmap_equals_exact_everywhere(spark, sf_dir):
+    out = _df(spark, sf_dir, "bitmap_distinct_events").collect()
+    assert out, "expected at least one event_type"
+    for r in out:
+        assert r.bitmap_distinct == r.exact_distinct, r
+        assert r.n_words >= 1
+
+
+def test_twap_single_exchange_chain(spark, sf_dir):
+    """lead-window + weighted sums + groupBy all cluster by user_id:
+    exactly ONE exchange in the whole plan."""
+    plan = _plan(_df(spark, sf_dir, "twap_events"))
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_twap_semantics_holding_time(spark):
+    """Three events at t=0,10,40 with values 1,4,7: TWAP weights value
+    1 by 10 s and value 4 by 30 s; the final observation has no holding
+    time. Single-event users yield NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, ts=base, user_id=1, event_type="x", value=1.0, props="{}"),
+        Row(
+            event_id=2,
+            ts=base + dt.timedelta(seconds=10),
+            user_id=1,
+            event_type="x",
+            value=4.0,
+            props="{}",
+        ),
+        Row(
+            event_id=3,
+            ts=base + dt.timedelta(seconds=40),
+            user_id=1,
+            event_type="x",
+            value=7.0,
+            props="{}",
+        ),
+        Row(event_id=4, ts=base, user_id=2, event_type="x", value=9.0, props="{}"),
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: r for r in olap_queries.twap_events(spark, d).collect()}
+    assert got[1].held_secs == 40
+    assert abs(got[1].twap_value - (1.0 * 10 + 4.0 * 30) / 40) < 1e-9
+    assert got[2].held_secs is None and got[2].twap_value is None
