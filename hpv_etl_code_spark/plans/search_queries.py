@@ -14,9 +14,10 @@ sort. At 100 TB nothing here shuffles the corpus at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import cosine
 from ..operators.textops import tokens
 from ..sources.registry import load_table
 
@@ -153,6 +154,116 @@ WHERE round(abs(e.value - m.med) / ({MAD_CONSISTENCY} * d.mad), 6) > {MAD_K}
 """
 
 
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+HYBRID_POOL = 20  # per-branch candidate pool
+HYBRID_TOP_K = 10
+HYBRID_QUERY_VEC = 0  # vec_id used as the dense query
+
+
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse a lexical (BM25) ranking over ``documents``
+    with a dense (cosine) ranking over ``embeddings`` by Reciprocal Rank
+    Fusion — ``score(d) = Σ_branch 1/(RRF_K + rank_branch(d))``, the
+    standard fusion rule modern RAG stacks run over a keyword index plus
+    a vector index.
+
+    Scale shape: each branch is independently scalable (BM25 computes
+    with no corpus explode + TakeOrderedAndProject; the dense branch
+    broadcasts ONE query vector and TakeOrderedAndProject's the scored
+    corpus — the corpus never shuffles). Fusion then operates on two
+    k-row candidate pools — metadata-sized, so the rank windows and the
+    full-outer merge are free. A doc missing from one branch simply
+    contributes nothing for it (the COALESCE(0) in the score).
+
+    Determinism: both branch ranks order by (rounded score DESC, id),
+    and the fused score is arithmetic on integer ranks — exactly
+    reproducible by the oracle."""
+    lex_pool = bm25_topk_docs(spark, sf_dir).limit(HYBRID_POOL)
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    dense_pool = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .join(F.broadcast(qv))  # 1-row broadcast: the query vector
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(HYBRID_POOL)
+    )
+    dense = dense_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .alias("vec_rank"),
+    )
+
+    # fuse by UNION + groupBy rather than a full-outer join: Spark can't
+    # broadcast full-outer (it would sort-merge even two 20-row pools),
+    # while the union aggregates in one metadata-sized exchange; the
+    # per-doc RRF sum has ≤2 addends, so IEEE addition order is moot
+    both = lex.select(
+        "doc_id", F.lit("lex").alias("branch"), F.col("lex_rank").alias("rk")
+    ).unionByName(
+        dense.select(
+            "doc_id", F.lit("vec").alias("branch"), F.col("vec_rank").alias("rk")
+        )
+    )
+    fused = both.groupBy("doc_id").agg(
+        F.max(F.when(F.col("branch") == "lex", F.col("rk"))).alias("lex_rank"),
+        F.max(F.when(F.col("branch") == "vec", F.col("rk"))).alias("vec_rank"),
+        F.round(F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("rk"))), 6).alias(
+            "rrf_score"
+        ),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(HYBRID_TOP_K)
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+WITH lex_pool AS (
+  SELECT * FROM ({_bm25_sql()}) LIMIT {HYBRID_POOL}
+), lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_pool
+), dense_pool AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding, q.embedding) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.embedding, q.embedding))), 6) AS cos
+  FROM embeddings e, (SELECT embedding FROM embeddings
+                      WHERE vec_id = {HYBRID_QUERY_VEC}) q
+  WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+  ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}
+), dense AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM dense_pool
+), both_b AS (
+  SELECT doc_id, 'lex' AS branch, lex_rank AS rk FROM lex
+  UNION ALL
+  SELECT doc_id, 'vec' AS branch, vec_rank AS rk FROM dense
+)
+SELECT doc_id,
+       MAX(CASE WHEN branch = 'lex' THEN rk END) AS lex_rank,
+       MAX(CASE WHEN branch = 'vec' THEN rk END) AS vec_rank,
+       round(SUM(1.0::DOUBLE / ({RRF_K} + rk)), 6) AS rrf_score
+FROM both_b GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOP_K}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("bm25_topk_docs", bm25_topk_docs, _bm25_sql(), headline=True)
     register("mad_outliers_events", mad_outliers_events, MAD_OUTLIERS_SQL)
+    register("hybrid_rrf_docs", hybrid_rrf_docs, _hybrid_rrf_sql())

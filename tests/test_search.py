@@ -69,3 +69,37 @@ def test_mad_plan_keeps_fact_unshuffled(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_hybrid_rrf_fuses_both_branches(spark, sf_dir):
+    """Every fused doc must carry at least one branch rank; the RRF
+    score of a doc ranked in BOTH branches beats a doc ranked only in
+    one at equal ranks; output caps at HYBRID_TOP_K."""
+    from hpv_etl_code_spark.plans.search_queries import (
+        HYBRID_TOP_K,
+        RRF_K,
+        hybrid_rrf_docs,
+    )
+
+    out = hybrid_rrf_docs(spark, sf_dir).collect()
+    assert 0 < len(out) <= HYBRID_TOP_K
+    for r in out:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expected = sum(
+            1.0 / (RRF_K + rk) for rk in (r.lex_rank, r.vec_rank) if rk is not None
+        )
+        assert abs(r.rrf_score - round(expected, 6)) < 1e-9
+
+
+def test_hybrid_rrf_plan_is_scalable(spark, sf_dir):
+    """Both candidate branches stay top-k (TakeOrderedAndProject), the
+    dense branch broadcasts the single query vector, and the corpus is
+    never sort-merge-joined; the whole plan passes the scale lint."""
+    from hpv_etl_code_spark.plans.lint import assert_scalable
+    from hpv_etl_code_spark.plans.search_queries import hybrid_rrf_docs
+
+    df = hybrid_rrf_docs(spark, sf_dir)
+    assert_scalable(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
