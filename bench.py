@@ -3,9 +3,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice — one warm-up (JVM/codegen/scan cache) and
-one timed run — and timed via a full materialization (count of the
-result) so the entire plan executes.
+Each query is executed three times — one warm-up (JVM/codegen/scan
+cache) then two timed runs, recording the MINIMUM — and timed via a
+full materialization (count of the result) so the entire plan executes.
+
+Min-of-2 (round 3 change; rounds 1-2 recorded a single timed run): on
+this container two back-to-back full sf0.1 runs of IDENTICAL code
+measured 28.8 s vs 37.3 s total — ±30% uniform drift from outside-VM
+load — which made the per-query regression guard flap on sub-second
+entries. The minimum is the standard noise-robust estimator for
+wall-clock microbenchmarks (load only ever ADDS time); deltas vs the
+r2 single-run numbers therefore carry a small systematic improvement
+that is methodology, not plan changes — see ADJUDICATED.md.
 """
 
 from __future__ import annotations
@@ -34,9 +43,12 @@ def main() -> None:
     for name, fn in catalog.headline_queries().items():
         try:
             fn(spark, sf_dir).count()  # warm-up
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
