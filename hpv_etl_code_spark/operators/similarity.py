@@ -282,3 +282,89 @@ def neardup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def knn_graph_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Exact cosine k-NN GRAPH (every vector's k nearest neighbors —
+    the kNN join feeding graph clustering, UMAP, label propagation),
+    via block-pair partitioning + hierarchical top-k.
+
+    Pairing reuses the :func:`neardup_pairs_blocked` layout (each
+    unordered block pair meets in exactly one join group, working set =
+    two id-hash blocks), then mirrors each pair into both directed
+    roles with an ``explode`` — a NARROW generator, so the join's
+    (p, q) hash partitioning survives. That makes stage-1 top-k free of
+    shuffle: its window clusters by (p, q, src), which the existing
+    (p, q) partitioning already satisfies — Catalyst plans a local sort
+    only. Stage 2 re-ranks the ≤ n_blocks·k survivors per source — the
+    only pair-sized data NEVER shuffled is the full similarity stream;
+    what does shuffle is k·n_blocks rows per vector, independent of n.
+
+    Compute is inherently O(n²/B) per task (exact kNN join); the plan
+    bounds MEMORY and SHUFFLE, which is what breaks first at scale.
+    Zero-norm vectors have no defined cosine and are excluded up front
+    (both as sources and as neighbors), mirroring the oracle's
+    norm-positive filter.
+    """
+    d = (
+        df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+        .withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    )
+    a = d.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__b").alias("p"),
+        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
+    )
+    b = d.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
+        F.col("__b").alias("q"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    # one row per unordered pair (the neardup filter), then explode into
+    # both directed roles — narrow, partitioning-preserving
+    directed = (
+        a.join(b, ["p", "q"])
+        .filter((F.col("p") < F.col("q")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn("__cos", sim)
+        .select(
+            "p",
+            "q",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e"),
+            "__cos",
+        )
+        .select("p", "q", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"), "__cos")
+    )
+    stage1 = Window.partitionBy("p", "q", "src").orderBy(
+        F.col("__cos").desc(), "dst"
+    )
+    survivors = directed.withColumn(
+        "__r1", F.row_number().over(stage1)
+    ).filter(F.col("__r1") <= k)
+    stage2 = Window.partitionBy("src").orderBy(F.col("__cos").desc(), "dst")
+    return (
+        survivors.withColumn("rk", F.row_number().over(stage2).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", F.round("__cos", 6).alias("cosine"), "rk")
+    )

@@ -22,6 +22,7 @@ from ..functions.vector import (
 from ..operators.similarity import (
     ann_topk,
     brute_force_topk,
+    knn_graph_topk,
     neardup_pairs_blocked,
     neardup_pairs_exact,
     neardup_pairs_lsh,
@@ -405,10 +406,45 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+KNN_GRAPH_K = 3
+KNN_GRAPH_BLOCKS = 4
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph over all embeddings — every vector's 3
+    nearest neighbors (operators/similarity.py::knn_graph_topk): the
+    kNN-join output that feeds graph clustering / label propagation.
+    Block-pair partitioned with hierarchical top-k; the full pair
+    stream is never shuffled (plan-asserted in tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_topk(e, k=KNN_GRAPH_K, n_blocks=KNN_GRAPH_BLOCKS)
+
+
+KNN_GRAPH_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+)
+SELECT src, dst, ROUND(c, 6) AS cosine, rk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+        b.vec_id ASC)::INT AS rk
+  FROM d a JOIN d b ON a.vec_id != b.vec_id
+)
+WHERE rk <= {KNN_GRAPH_K}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("ann_ivf_topk", ann_ivf_topk, _ann_ivf_oracle_sql())
     register("ann_pq_topk", ann_pq_topk, _ann_pq_oracle_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
+    register("knn_graph", knn_graph, KNN_GRAPH_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
     register("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_SQL)
     # same oracle as the crossJoin twin — same output, scale-shaped plan

@@ -233,3 +233,65 @@ def test_pq_codes_compress_64x(clustered):
     seed_codes = {r.neighbor_id: r.codes for r in rows if r.neighbor_id < 16}
     for sid, codes in seed_codes.items():
         assert codes == [sid] * 4, f"seed {sid} -> {codes}"
+
+
+def test_knn_graph_matches_brute_force(spark, sf_dir):
+    """The blocked hierarchical top-k must equal the naive
+    window-over-all-pairs graph exactly (ranks, ids, rounded cosines)."""
+    from pyspark.sql import Window
+
+    from hpv_etl_code_spark.functions.vector import cosine, l2_norm, to_double_array
+    from hpv_etl_code_spark.operators.similarity import knn_graph_topk
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = knn_graph_topk(e, k=3, n_blocks=4)
+
+    d = e.select(
+        F.col("vec_id").alias("id"), to_double_array("embedding").alias("v")
+    ).filter(l2_norm(F.col("v")) > 0)
+    a = d.select(F.col("id").alias("src"), F.col("v").alias("va"))
+    b = d.select(F.col("id").alias("dst"), F.col("v").alias("vb"))
+    naive = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .withColumn("c", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("src").orderBy(F.col("c").desc(), "dst"))
+            .cast("int"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", F.round("c", 6).alias("cosine"), "rk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_knn_graph_stage1_reuses_join_partitioning(spark, sf_dir):
+    """With broadcast off (the at-scale join shape), the plan must show
+    exactly three hash exchanges — the two (p, q) join inputs and the
+    (src) stage-2 re-rank. No (p, q, src) exchange: stage-1 top-k runs
+    on the join's partitioning, so the full pair stream never shuffles."""
+    import re
+
+    from hpv_etl_code_spark.plans.vector_queries import knn_graph
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            knn_graph(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert len(keys) == 3, keys
+    pq = [k for k in keys if k.startswith("p#")]
+    src = [k for k in keys if k.startswith("src#")]
+    assert len(pq) == 2 and len(src) == 1, keys
