@@ -257,7 +257,114 @@ FROM h GROUP BY user_id
 """
 
 
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test of ``value`` per event type — the A/B
+    experiment readout (unequal variances, unequal n). Arms are a
+    deterministic 50/50 portable-md5 split of ``user_id`` (same hash
+    family as ``split_assign`` — subset-invariant, re-runnable,
+    engine-reproducible, unlike any RNG split).
+
+    One grouped pass collects the sufficient statistics (n, Σx, Σx²)
+    per (event_type, arm) — Σx and Σx² through exact decimals
+    (DECIMAL(12,2) inputs ⇒ DECIMAL(25,4) squares, both summed
+    exactly), so the moments are shuffle-order-independent; a second
+    metadata-sized pivot puts both arms on one row and the t statistic
+    and Welch–Satterthwaite df are pure double arithmetic written
+    identically in the oracle. At 100 TB: one partial-agg exchange on
+    (event_type, arm); everything after is per-group scalar math.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    arm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    vdec = F.col("value").cast("decimal(12,2)")
+    per_arm = (
+        ev.withColumn("arm", arm)
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).cast("double").alias("sx"),
+            F.sum(vdec * vdec).cast("double").alias("sxx"),
+        )
+    )
+
+    def pick(col: str, a: int):
+        return F.max(F.when(F.col("arm") == a, F.col(col))).alias(f"{col}{a}")
+
+    wide = per_arm.groupBy("event_type").agg(
+        pick("n", 0), pick("sx", 0), pick("sxx", 0),
+        pick("n", 1), pick("sx", 1), pick("sxx", 1),
+    )
+    m0 = F.col("sx0") / F.col("n0")
+    m1 = F.col("sx1") / F.col("n1")
+    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    se2 = v0 / F.col("n0") + v1 / F.col("n1")
+    t = (m1 - m0) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v0 / F.col("n0")) * (v0 / F.col("n0")) / (F.col("n0") - 1)
+        + (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+    )
+    return wide.select(
+        "event_type",
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        F.round(m0, 6).alias("mean_a"),
+        F.round(m1, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+AB_WELCH_SQL = """
+WITH per_arm AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+         COUNT(*)::BIGINT AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS VARCHAR) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM per_arm GROUP BY 1
+)
+SELECT event_type, n0 AS n_a, n1 AS n_b,
+       round(sx0 / n0, 6) AS mean_a,
+       round(sx1 / n1, 6) AS mean_b,
+       round((sx1 / n1 - sx0 / n0) /
+             sqrt((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
+                  + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1), 6) AS t_stat,
+       round(((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
+              + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
+             * ((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
+                + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
+             / (((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0)
+                * ((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0) / (n0 - 1)
+                + ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
+                  * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)),
+             6) AS welch_df
+FROM wide
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("skyline_parts", skyline_parts, SKYLINE_PARTS_SQL)
     register("bitmap_distinct_events", bitmap_distinct_events, BITMAP_DISTINCT_SQL)
     register("twap_events", twap_events, TWAP_EVENTS_SQL)
+    register("ab_welch_ttest", ab_welch_ttest, AB_WELCH_SQL)

@@ -122,3 +122,48 @@ def test_twap_semantics_holding_time(spark):
     assert got[1].held_secs == 40
     assert abs(got[1].twap_value - (1.0 * 10 + 4.0 * 30) / 40) < 1e-9
     assert got[2].held_secs is None and got[2].twap_value is None
+
+
+def test_welch_ttest_against_scipy_formula(spark, sf_dir):
+    """Cross-check the SQL-shaped Welch computation against a direct
+    NumPy implementation on the same deterministic arm split."""
+    import numpy as np
+    import pandas as pd
+
+    from hpv_etl_code_spark.plans.olap_queries import ab_welch_ttest
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    got = {r.event_type: r for r in ab_welch_ttest(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).toPandas()
+    import hashlib
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+
+    pdf["arm"] = pdf["user_id"].map(arm)
+    for et, g in pdf.groupby("event_type"):
+        a = g[g.arm == 0]["value"].to_numpy()
+        b = g[g.arm == 1]["value"].to_numpy()
+        v0, v1 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v0 / len(a) + v1 / len(b)
+        t = (b.mean() - a.mean()) / np.sqrt(se2)
+        dof = se2**2 / (
+            (v0 / len(a)) ** 2 / (len(a) - 1) + (v1 / len(b)) ** 2 / (len(b) - 1)
+        )
+        r = got[et]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.t_stat - t) < 1e-4, (et, r.t_stat, t)
+        assert abs(r.welch_df - dof) < max(1e-3, abs(dof) * 1e-5), (et, r.welch_df, dof)
+
+
+def test_welch_single_fact_exchange(spark, sf_dir):
+    """Sufficient statistics in one (event_type, arm) grouped pass;
+    the pivot regroups metadata-sized rows — the plan never shuffles
+    the fact twice and passes the scale lint."""
+    from hpv_etl_code_spark.plans.lint import assert_scalable
+    from hpv_etl_code_spark.plans.olap_queries import ab_welch_ttest
+
+    df = ab_welch_ttest(spark, sf_dir)
+    assert_scalable(df)
