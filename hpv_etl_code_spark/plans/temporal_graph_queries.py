@@ -312,6 +312,70 @@ FROM est LEFT JOIN exact USING (partkey)
 """
 
 
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage: each event opens a 600 s
+    activity interval [t, t+600); overlapping or touching intervals
+    merge, and the output is the number of merged spans and the total
+    covered seconds per user (the uptime/coverage primitive — SLA
+    windows, sensor liveness, ad-exposure time all reduce to this).
+
+    This is gaps-and-islands ON INTERVALS (its point-event sibling is
+    ``sessionize_events``): sorted by start within the user, a row
+    opens a new span iff its start exceeds the running maximum END of
+    all earlier intervals (plain ``>``, so touching spans merge under
+    half-open semantics); a running sum over the open-flags numbers the
+    spans; per-span coverage is max(end) − min(start). Every window and
+    both aggregations cluster by ``user_id`` — ONE planned exchange for
+    the whole chain. Span segmentation is insensitive to the ordering
+    of equal starts, so the result is deterministic without a tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + WINDOW_SECONDS).alias("e"),
+    )
+    by_start = Window.partitionBy("user_id").orderBy("s")
+    rme = F.max("e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "opens", F.when(rme.isNull() | (F.col("s") > rme), 1).otherwise(0)
+    ).withColumn(
+        "span",
+        F.sum("opens").over(by_start.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy("user_id", "span").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("covered").cast("long").alias("covered_secs"),
+    )
+
+
+INTERVAL_UNION_SQL = f"""
+WITH iv AS (
+  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS s,
+         FLOOR(epoch(ts))::BIGINT + {WINDOW_SECONDS} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS opens
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), numbered AS (
+  SELECT user_id, s, e,
+    SUM(opens) OVER (PARTITION BY user_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS span
+  FROM flagged
+), spans AS (
+  SELECT user_id, span, MAX(e) - MIN(s) AS covered
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_spans, SUM(covered)::BIGINT AS covered_secs
+FROM spans GROUP BY 1
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "interval_containment_join",
@@ -321,3 +385,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("sessionize_events", sessionize_events, SESSIONIZE_SQL)
     register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)
     register("cms_frequency_portable", cms_frequency_portable, CMS_FREQUENCY_SQL)
+    register("interval_union_length", interval_union_length, INTERVAL_UNION_SQL)

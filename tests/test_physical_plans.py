@@ -308,3 +308,41 @@ def test_lateral_subquery_is_decorrelated(spark, sf_dir):
     assert plan.count("Join") >= 1
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "WindowGroupLimit" in plan  # LIMIT pushed into the window
+
+
+def test_interval_union_single_exchange(spark, sf_dir):
+    """Interval-merge windows and both aggregations cluster by user_id:
+    exactly ONE hash exchange for the whole chain."""
+    df = catalog.entries()["interval_union_length"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_union_merges_touching_spans(spark, tmp_path):
+    """Overlap and touch merge; a gap opens a new span: events at
+    t=0, 300, 1200 with 600 s intervals give spans [0,900) and
+    [1200,1800) — 2 spans, 1500 covered seconds."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hpv_etl_code_spark.plans.temporal_graph_queries import (
+        interval_union_length,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=base + dt.timedelta(seconds=s), user_id=1,
+            event_type="x", value=1.0, props="{}")
+        for i, s in enumerate((0, 300, 1200))
+    ]
+    # touching case: second user with events at exactly 600 s apart
+    rows += [
+        Row(event_id=10 + i, ts=base + dt.timedelta(seconds=s), user_id=2,
+            event_type="x", value=1.0, props="{}")
+        for i, s in enumerate((0, 600))
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in interval_union_length(spark, str(tmp_path)).collect()}
+    assert (got[1].n_spans, got[1].covered_secs) == (2, 1500)
+    assert (got[2].n_spans, got[2].covered_secs) == (1, 1200)
