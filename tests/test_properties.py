@@ -308,3 +308,94 @@ def test_morton_matches_bitwise_reference(spark_session_holder, pts):
     rows = df.select("x", "y", morton_z16(F.col("x"), F.col("y")).alias("z")).collect()
     for r in rows:
         assert r.z == _morton_ref(r.x, r.y)
+
+
+# --- skyline: blocked shrink/refine ≡ brute-force dominance ------------
+
+_sky_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**4),   # price (as int; cast)
+        st.integers(min_value=1, max_value=50),      # size
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_sky_rows)
+def test_skyline_matches_bruteforce_dominance(spark_session_holder, tmp_path_factory, rows):
+    """The bucketed two-phase skyline must equal the quadratic
+    NOT-EXISTS definition on arbitrary (price, size) multisets —
+    including duplicate points (ties all survive) and single-bucket
+    degenerate ranges."""
+    import os
+
+    from hpv_etl_code_spark.plans.olap_queries import skyline_parts
+
+    spark = spark_session_holder
+    data = [
+        (i + 1, float(p), s) for i, (p, s) in enumerate(rows)
+    ]
+    expected = {
+        (pk, p, s)
+        for (pk, p, s) in data
+        if not any(
+            (q >= p and t <= s and (q > p or t < s)) for (_, q, t) in data
+        )
+    }
+    d = tmp_path_factory.mktemp("sky")
+    spark.createDataFrame(
+        data, "p_partkey long, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(os.path.join(str(d), "part.parquet"))
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in skyline_parts(spark, str(d)).collect()
+    }
+    assert got == expected
+
+
+# --- interval union: coverage invariants -------------------------------
+
+_iv_offsets = st.lists(
+    st.integers(min_value=0, max_value=5000), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(offsets=_iv_offsets)
+def test_interval_union_matches_bruteforce(spark_session_holder, tmp_path_factory, offsets):
+    """covered_secs must equal the size of the set-union of the
+    intervals and n_spans the number of its connected components —
+    checked against a literal second-by-interval union in Python."""
+    import datetime as dt
+    import os
+
+    from hpv_etl_code_spark.plans.temporal_graph_queries import (
+        WINDOW_SECONDS,
+        interval_union_length,
+    )
+
+    spark = spark_session_holder
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "x", 0.0, "{}")
+        for i, s in enumerate(offsets)
+    ]
+    # brute force: merge sorted half-open intervals
+    ivs = sorted((s, s + WINDOW_SECONDS) for s in offsets)
+    spans = []
+    for s, e in ivs:
+        if spans and s <= spans[-1][1]:
+            spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+        else:
+            spans.append((s, e))
+    d = tmp_path_factory.mktemp("iv")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(str(d), "events.parquet"))
+    r = interval_union_length(spark, str(d)).collect()[0]
+    assert r.n_spans == len(spans)
+    assert r.covered_secs == sum(e - s for s, e in spans)
