@@ -1,7 +1,9 @@
-"""Skyline, bitmap-distinct and time-weighted-average entries.
+"""Skyline, bitmap-distinct, TWAP, Welch-t and PSI-drift entries.
 
-Three OLAP operator families with distinct optimizer/scale shapes not
-yet exercised by the catalog:
+OLAP/statistics operator families with distinct optimizer/scale shapes
+not exercised elsewhere in the catalog (see also ``ab_welch_ttest`` —
+the A/B readout — and ``psi_value_drift`` — the drift monitor — defined
+below with their own docstrings):
 
 - ``skyline_parts`` — the Pareto frontier (skyline) query: parts no
   other part beats on BOTH price (maximize) and size (minimize). The
@@ -363,8 +365,116 @@ FROM wide
 """
 
 
+PSI_BUCKETS = 10
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of ``events.value`` between the first
+    and second half of the observed time range — the industry-standard
+    training-data drift monitor (PSI < 0.1 stable, > 0.25 drifted).
+
+    Value space is cut into ``PSI_BUCKETS`` equal-width bins over
+    broadcast global bounds. Binning runs entirely in INTEGER space —
+    values are exact cents (2-decimal inputs through DECIMAL(12,2)),
+    bin = ((cents − lo)·B) DIV (hi − lo + 1) + 1 — so bucket membership
+    is bit-identical across engines with no float-rounding seam (DuckDB
+    also has no width_bucket). Each bin's share in period A vs B is
+    Laplace-smoothed ((n+1)/(N+B) — keeps ln defined on empty bins
+    deterministically, no epsilon constants), and the per-bin PSI term
+    is (p−q)·ln(p/q). Output: one row per bin plus a TOTAL row
+    (bucket = −1) whose sum goes through exact decimals so it is
+    shuffle-order-independent.
+
+    Scale shape: two 1-row broadcast aggregates (bounds+midpoint,
+    period totals) and ONE grouped count pass over the fact; everything
+    downstream is arithmetic on ≤ PSI_BUCKETS metadata rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("at"),
+    )
+    bounds = ev.agg(
+        F.min("cents").alias("__lo"),
+        F.max("cents").alias("__hi"),
+        F.min("at").alias("__t0"),
+        F.max("at").alias("__t1"),
+    )
+    counted = (
+        ev.join(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"((cents - __lo) * {PSI_BUCKETS}) DIV (__hi - __lo + 1) + 1"
+            ),
+        )
+        .withColumn("__mid", F.expr("(__t0 + __t1) DIV 2"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("at") <= F.col("__mid"), 1).otherwise(0)).alias(
+                "n_a"
+            ),
+            F.sum(F.when(F.col("at") > F.col("__mid"), 1).otherwise(0)).alias(
+                "n_b"
+            ),
+        )
+    )
+    totals = counted.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    p = (F.col("n_a") + 1) / (F.col("__ta") + PSI_BUCKETS)
+    q = (F.col("n_b") + 1) / (F.col("__tb") + PSI_BUCKETS)
+    terms = (
+        counted.join(F.broadcast(totals))
+        .withColumn("__term", (p - q) * F.log(p / q))
+        .select("bucket", "n_a", "n_b", "__term")
+    )
+    per_bucket = terms.select(
+        "bucket", "n_a", "n_b", F.round("__term", 6).alias("psi_term")
+    )
+    total = terms.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("psi_term"),
+    )
+    return per_bucket.unionByName(total)
+
+
+PSI_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         FLOOR(epoch(ts))::BIGINT AS at
+  FROM events
+), bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+         MIN(at) AS t0, MAX(at) AS t1 FROM ev
+), counted AS (
+  SELECT ((cents - lo) * {PSI_BUCKETS}) // (hi - lo + 1) + 1 AS bucket,
+         SUM(CASE WHEN at <= (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN at > (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM ev, bounds GROUP BY 1
+), totals AS (
+  SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb FROM counted
+), terms AS (
+  SELECT bucket, n_a, n_b,
+    ((n_a + 1)::DOUBLE / (ta + {PSI_BUCKETS}) - (n_b + 1)::DOUBLE / (tb + {PSI_BUCKETS}))
+      * ln(((n_a + 1)::DOUBLE / (ta + {PSI_BUCKETS}))
+           / ((n_b + 1)::DOUBLE / (tb + {PSI_BUCKETS}))) AS term
+  FROM counted, totals
+)
+SELECT bucket, n_a, n_b, round(term, 6) AS psi_term FROM terms
+UNION ALL
+SELECT -1::BIGINT AS bucket, SUM(n_a)::BIGINT, SUM(n_b)::BIGINT,
+       round(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+FROM terms
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("skyline_parts", skyline_parts, SKYLINE_PARTS_SQL)
     register("bitmap_distinct_events", bitmap_distinct_events, BITMAP_DISTINCT_SQL)
     register("twap_events", twap_events, TWAP_EVENTS_SQL)
     register("ab_welch_ttest", ab_welch_ttest, AB_WELCH_SQL)
+    register("psi_value_drift", psi_value_drift, PSI_DRIFT_SQL)

@@ -29,7 +29,13 @@ def _plan(df) -> str:
 
 
 def test_olap_entries_pass_scale_lint(spark, sf_dir):
-    for name in ("skyline_parts", "bitmap_distinct_events", "twap_events"):
+    for name in (
+        "skyline_parts",
+        "bitmap_distinct_events",
+        "twap_events",
+        "ab_welch_ttest",
+        "psi_value_drift",
+    ):
         assert_scalable(_df(spark, sf_dir, name))
 
 
@@ -167,3 +173,32 @@ def test_welch_single_fact_exchange(spark, sf_dir):
 
     df = ab_welch_ttest(spark, sf_dir)
     assert_scalable(df)
+
+
+def test_psi_zero_drift_on_identical_periods(spark, tmp_path):
+    """If both halves of the time range see the same value
+    distribution, every PSI term is 0 and the total is 0."""
+    import datetime as dt
+
+    from hpv_etl_code_spark.plans.olap_queries import psi_value_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # same multiset of values in hour 0 and in hour 10
+    for half, off in ((0, 0), (1, 36000)):
+        for i, v in enumerate((1.0, 2.5, 2.5, 7.75, 9.0)):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=off + i), 1, "x", v, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = psi_value_drift(spark, str(tmp_path)).collect()
+    for r in out:
+        assert r.psi_term == 0.0, r
+    total = [r for r in out if r.bucket == -1][0]
+    assert total.n_a == 5 and total.n_b == 5
