@@ -43,8 +43,13 @@ def main() -> None:
     for name, fn in catalog.headline_queries().items():
         try:
             fn(spark, sf_dir).count()  # warm-up
+            # SPARK_GRAFT_BENCH_RUNS: timed-run count (default 2, min
+            # recorded). The sf1 rehearsal uses 1 — its heavy entries
+            # run minutes each, and the scaling exponents it measures
+            # tolerate noise the per-round sf0.1 guard cannot.
+            n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
             best = float("inf")
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
