@@ -75,11 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     "range_join_events",
     "merge_upsert_orders",
     "sql_grouping_sets",
-    "window_analytics",
     "nullsafe_join_segments",
-    "latest_per_key",
     "deterministic_sample",
-    "profile_customers",
     # reference-parity reshaping / rollup
     "unpivot_part",
     "pivot_lineitem_status",
@@ -93,14 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     # joins
     "join_broadcast_dims",
     "join_fact_fact",
-    "join_left_outer",
     "join_semi_anti",
     "salted_fact_join",
     # set ops / function batteries (three batteries stand in for the
     # scalar-function families; their siblings live in the long tail,
     # covered by the in-repo sf0.001 mirror)
     "setop_union_distinct",
-    "part_funcs_battery",
     "date_funcs_battery",
     "agg_battery",
     # portable KMV sketch holds the sketch-family slot (exact DuckDB
@@ -118,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H headline shapes
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     # text + dedup
     "text_metrics",
     "dedup_exact_content",
@@ -138,6 +132,16 @@ _PRIORITY: tuple[str, ...] = (
     "stream_windows",
     "multimodal_binary_stats",
     "image_pixel_stats",
+    # continuation-3 showcase families (each oracle-green in the sf0.01
+    # mirror before entering the window; displaced siblings remain
+    # oracle-checked in the tail): Pareto skyline, bitmap-word distinct,
+    # Welch A/B, PSI drift, hybrid RRF retrieval, exact kNN graph
+    "skyline_parts",
+    "bitmap_distinct_events",
+    "ab_welch_ttest",
+    "psi_value_drift",
+    "hybrid_rrf_docs",
+    "knn_graph",
 )
 
 
