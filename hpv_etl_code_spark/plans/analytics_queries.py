@@ -127,6 +127,83 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def incremental_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer
+    (n_orders, total_spend) view updated from a CDC changelog WITHOUT
+    re-reading changed base rows — the warehouse pattern behind
+    incremental materialized views / Delta Live aggregates.
+
+    Changelog (same deterministic convention as ``merge_upsert_orders``):
+    every 7th order repriced ×2 (UPDATE), every 1000th+3 inserted under
+    a new key (INSERT), every 11th+5 not-updated order removed (DELETE).
+    Each change row contributes a SIGNED delta — update: (0, new−old);
+    insert: (+1, +price); delete: (−1, −price) — aggregated per
+    customer and union-merged with the base view; groups whose count
+    reaches 0 drop out. Spend deltas ride through exact decimals, so
+    applying deltas in any shuffle order lands bit-identically on the
+    oracle's FULL RECOMPUTE of the view from the post-change table —
+    the equivalence that makes incremental maintenance trustworthy.
+
+    At 100 TB the base view is O(|customers|) and the delta pass reads
+    ONLY the changelog: no fact rescan, one union + re-aggregation on
+    the view's own grouping key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+
+    base_view = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(price).alias("spend")
+    )
+    updates = o.filter(key % 7 == 0).select(
+        "o_custkey",
+        F.lit(0).cast("long").alias("dn"),
+        ((F.col("o_totalprice") * 2).cast("decimal(12,2)") - price).alias(
+            "dspend"
+        ),
+    )
+    inserts = o.filter(key % 1000 == 3).select(
+        "o_custkey", F.lit(1).cast("long").alias("dn"), price.alias("dspend")
+    )
+    deletes = o.filter((key % 7 != 0) & (key % 11 == 5)).select(
+        "o_custkey", F.lit(-1).cast("long").alias("dn"), (-price).alias("dspend")
+    )
+    delta = (
+        updates.unionByName(inserts)
+        .unionByName(deletes)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n"), F.sum("dspend").alias("spend"))
+    )
+    return (
+        base_view.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("spend").alias("spend_dec"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+        )
+    )
+
+
+INCREMENTAL_MATVIEW_SQL = """
+WITH final_t AS (
+  SELECT o_custkey, CAST(o_totalprice * 2 AS DECIMAL(12,2)) AS p
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+  FROM orders WHERE o_orderkey % 1000 = 3
+  UNION ALL
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5
+)
+SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+       CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS total_spend
+FROM final_t GROUP BY 1
+"""
+
+
 MERGE_UPSERT_SQL = """
 WITH updates AS (
   SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
@@ -286,6 +363,11 @@ r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
 
 def register_entries(register) -> None:  # noqa: ANN001
     register("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_SQL)
+    register(
+        "incremental_matview_orders",
+        incremental_matview_orders,
+        INCREMENTAL_MATVIEW_SQL,
+    )
     register("per_group_trend", per_group_trend, PER_GROUP_TREND_SQL)
     register("window_analytics", window_analytics, WINDOW_ANALYTICS_SQL)
     register("resample_ffill_hourly", resample_ffill_hourly, RESAMPLE_FFILL_SQL)

@@ -202,3 +202,41 @@ def test_psi_zero_drift_on_identical_periods(spark, tmp_path):
         assert r.psi_term == 0.0, r
     total = [r for r in out if r.bucket == -1][0]
     assert total.n_a == 5 and total.n_b == 5
+
+
+def test_incremental_matview_never_rescans_kept_base_rows(spark, sf_dir):
+    """The delta branch must read only changed keys (pushed filters on
+    the changelog scans) and the maintained view must equal the
+    recompute-from-final-table baseline exactly."""
+    from hpv_etl_code_spark.functions.numeric import dsum
+    from hpv_etl_code_spark.plans.analytics_queries import (
+        incremental_matview_orders,
+    )
+    from hpv_etl_code_spark.plans.lint import assert_scalable
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    df = incremental_matview_orders(spark, sf_dir)
+    assert_scalable(df)
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    final_t = (
+        o.filter(key % 7 == 0)
+        .select("o_custkey", (F.col("o_totalprice") * 2).alias("p"))
+        .unionByName(
+            o.filter(key % 1000 == 3).select(
+                "o_custkey", F.col("o_totalprice").alias("p")
+            )
+        )
+        .unionByName(
+            o.filter((key % 7 != 0) & (key % 11 != 5)).select(
+                "o_custkey", F.col("o_totalprice").alias("p")
+            )
+        )
+    )
+    recomputed = final_t.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("p").alias("total_spend")
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, recomputed.collect()))
+    assert got == want
