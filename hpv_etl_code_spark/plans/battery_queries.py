@@ -301,6 +301,170 @@ GROUP BY l_returnflag
 """
 
 
+def sampled_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation by BOTTOM-K uniform sampling, portable hash
+    family: per event type, the 32 events with the smallest 60-bit md5
+    hash of ``event_id`` form a deterministic uniform sample (the
+    bottom-k trick — the SAMPLE ITSELF is mergeable: union two groups'
+    bottom-k sets and keep the k smallest, same algebra as the KMV
+    sketch next door), and the sample median estimates the group
+    median. The exact median rides along, so the entry certifies both
+    the sampling mechanics and the estimator error on real data.
+
+    Scale story: where exact percentiles need the whole value set per
+    group on one reducer (or multi-pass histograms), bottom-k carries
+    k rows per group through any merge topology, re-aggregable across
+    partitions/days — and unlike rand()-based sampling it is exactly
+    reproducible (no RNG state, subset-invariant, engine-portable).
+    WindowGroupLimit prunes the rank filter before the shuffle.
+    """
+    from pyspark.sql import Window
+
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("event_type", "value", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sample = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sample_med = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.median("value"), 6).alias("sample_median"),
+    )
+    exact_med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("exact_median")
+    )
+    return sample_med.join(exact_med, "event_type").select(
+        "event_type", "n_sample", "sample_median", "exact_median"
+    )
+
+
+SAMPLED_QUANTILE_SQL = """
+WITH h AS (
+  SELECT event_type, value,
+    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_sample,
+         round(median(value), 6) AS sample_median
+  FROM r WHERE rn <= 32 GROUP BY 1
+), x AS (
+  SELECT event_type, round(median(value), 6) AS exact_median
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_sample, sample_median, exact_median
+FROM s JOIN x USING (event_type)
+"""
+
+
+def kmv_set_algebra_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA, portable hash family: distinct-count
+    estimates for purchase-users (A), error-users (B), their UNION
+    (merge = keep the k smallest of the combined hash sets — the
+    defining mergeability of KMV) and their INTERSECTION by
+    inclusion–exclusion (est_a + est_b − est_union), each next to its
+    exact counterpart. This is the sketch-algebra layer on top of
+    ``kmv_distinct_portable``: per-segment sketches built once can
+    answer overlap/reach questions without re-touching raw data.
+
+    Plan shape: each bottom-k is ``orderBy(h).limit(k)`` —
+    TakeOrderedAndProject (per-partition heaps + merge), never a global
+    sort; the three sketch summaries and two exact counts are 1-row
+    aggregates combined by broadcast (the documented 1-row scalar
+    idiom). Estimator arithmetic is IEEE double, floored — identical in
+    the oracle."""
+    k = 64
+    two60 = float(2**60)
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    a_h = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(h.alias("h"))
+        .distinct()
+    )
+    b_h = (
+        ev.filter(F.col("event_type") == "error").select(h.alias("h")).distinct()
+    )
+    u_h = a_h.union(b_h).distinct()
+
+    def sketch(df, name):
+        n = F.count(F.lit(1))
+        est = F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(two60) / F.max("h").cast("double")
+        )
+        return (
+            df.orderBy("h")
+            .limit(k)
+            .agg(F.floor(est).cast("bigint").alias(f"est_{name}"))
+        )
+
+    def exact(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(f"exact_{name}"))
+
+    row = (
+        sketch(a_h, "a")
+        .join(F.broadcast(sketch(b_h, "b")))
+        .join(F.broadcast(sketch(u_h, "union")))
+        .join(F.broadcast(exact(a_h, "a")))
+        .join(F.broadcast(exact(b_h, "b")))
+        .join(F.broadcast(exact(u_h, "union")))
+    )
+    return row.select(
+        "est_a",
+        "exact_a",
+        "est_b",
+        "exact_b",
+        "est_union",
+        "exact_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+    )
+
+
+KMV_SET_ALGEBRA_SQL = """
+WITH a_h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase'
+), b_h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'error'
+), u_h AS (
+  SELECT h FROM a_h UNION SELECT h FROM b_h
+), sa AS (
+  SELECT FLOOR(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+         ELSE 63.0 * 1152921504606846976.0 / MAX(h)::DOUBLE END)::BIGINT AS est_a
+  FROM (SELECT h FROM a_h ORDER BY h LIMIT 64)
+), sb AS (
+  SELECT FLOOR(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+         ELSE 63.0 * 1152921504606846976.0 / MAX(h)::DOUBLE END)::BIGINT AS est_b
+  FROM (SELECT h FROM b_h ORDER BY h LIMIT 64)
+), su AS (
+  SELECT FLOOR(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+         ELSE 63.0 * 1152921504606846976.0 / MAX(h)::DOUBLE END)::BIGINT AS est_union
+  FROM (SELECT h FROM u_h ORDER BY h LIMIT 64)
+), xa AS (SELECT COUNT(*)::BIGINT AS exact_a FROM a_h
+), xb AS (SELECT COUNT(*)::BIGINT AS exact_b FROM b_h
+), xu AS (SELECT COUNT(*)::BIGINT AS exact_union FROM u_h)
+SELECT est_a, exact_a, est_b, exact_b, est_union, exact_union,
+       est_a + est_b - est_union AS est_intersection,
+       exact_a + exact_b - exact_union AS exact_intersection
+FROM sa, sb, su, xa, xb, xu
+"""
+
+
 def posexplode_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator + map-function surface: ``posexplode`` (index-preserving
     lateral explode — the position column is what ordinary ``explode``
@@ -368,6 +532,16 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("percentile_battery", percentile_battery, PERCENTILE_SQL)
     register("approx_sketches", approx_sketches, None)
     register("kmv_distinct_portable", kmv_distinct_portable, KMV_DISTINCT_SQL)
+    register(
+        "sampled_quantile_portable",
+        sampled_quantile_portable,
+        SAMPLED_QUANTILE_SQL,
+    )
+    register(
+        "kmv_set_algebra_portable",
+        kmv_set_algebra_portable,
+        KMV_SET_ALGEBRA_SQL,
+    )
     register("corr_battery", corr_battery, CORR_BATTERY_SQL)
     register("posexplode_map_battery", posexplode_map_battery, POSEXPLODE_MAP_SQL)
     register("stack_unpivot_part", stack_unpivot_part, STACK_UNPIVOT_SQL)

@@ -44,6 +44,63 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOURNEY_STEPS = 3
+
+
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's first three events (by
+    time, event_id tiebreak) joined into a 'view>click>purchase'-style
+    path string, then the user count per distinct path — the entry
+    point of product-analytics journey/sankey reports.
+
+    Plan shape: the per-user rank filter compiles to WindowGroupLimit
+    (per-partition top-k pruning BEFORE the shuffle completes — only
+    ≤ 3 rows per user survive), the ordered path assembly is
+    ``sort_array(collect_list(struct(...)))`` on the same user_id
+    clustering (deterministic ordered aggregation — plain collect_list
+    order is not defined), and the final per-path count is one more
+    metadata-sized aggregation. Nothing touches the event payload.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("at"),
+        "event_id",
+        "event_type",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("at", "event_id")
+    )
+    first_n = ev.withColumn("rk", rk).filter(F.col("rk") <= JOURNEY_STEPS)
+    paths = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+USER_JOURNEY_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY FLOOR(epoch(ts))::BIGINT, event_id) AS rk
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM ranked WHERE rk <= {JOURNEY_STEPS} GROUP BY 1
+)
+SELECT path, COUNT(*)::BIGINT AS n_users FROM p GROUP BY 1
+"""
+
+
 FUNNEL_SQL = """
 WITH firsts AS (
   SELECT user_id,
@@ -232,6 +289,7 @@ FROM counted
 
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
+    register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)
     register("cohort_retention", cohort_retention, COHORT_SQL)
     register("conversion_lag_stats", conversion_lag_stats, CONVERSION_LAG_SQL)
     register("weekly_top_movers", weekly_top_movers, WEEKLY_MOVERS_SQL)

@@ -240,3 +240,37 @@ def test_incremental_matview_never_rescans_kept_base_rows(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, recomputed.collect()))
     assert got == want
+
+
+def test_journey_sampling_sketch_entries_scale_lint(spark, sf_dir):
+    """The continuation-3b entries pass the scale lint; journey paths
+    keep the WindowGroupLimit pruning and the set-algebra bottom-k
+    compiles to TakeOrderedAndProject, not a global sort."""
+    from hpv_etl_code_spark.plans.lint import assert_scalable
+
+    for name in (
+        "user_journey_paths",
+        "sampled_quantile_portable",
+        "kmv_set_algebra_portable",
+        "incremental_matview_orders",
+    ):
+        assert_scalable(_df(spark, sf_dir, name))
+
+    journey = _plan(_df(spark, sf_dir, "user_journey_paths"))
+    assert "WindowGroupLimit" in journey
+    algebra = _plan(_df(spark, sf_dir, "kmv_set_algebra_portable"))
+    assert "TakeOrderedAndProject" in algebra
+
+
+def test_kmv_set_algebra_invariants(spark, sf_dir):
+    """Sketch-algebra sanity on real data: union estimate is at least
+    each side's estimate under exact-mode (n<k groups are exact), and
+    exact inclusion-exclusion holds by construction."""
+    r = _df(spark, sf_dir, "kmv_set_algebra_portable").collect()[0]
+    assert r.exact_intersection == r.exact_a + r.exact_b - r.exact_union
+    assert r.exact_union >= max(r.exact_a, r.exact_b)
+    # estimator is exact when a set has fewer than k=64 distinct members
+    if r.exact_a < 64:
+        assert r.est_a == r.exact_a
+    if r.exact_union < 64:
+        assert r.est_union == r.exact_union
