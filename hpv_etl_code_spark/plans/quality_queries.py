@@ -172,8 +172,85 @@ WHERE rn <= {STRATUM_K}
 """
 
 
+
+
+def feature_scaling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization — the three scalers every
+    training-data pipeline applies before modeling: min-max to [0,1],
+    z-score (exact-decimal moments, Welch-style sufficient statistics),
+    and percent_rank. All per ``event_type``.
+
+    Scale shape: ONE grouped pass collects (n, min, max, Σx, Σx²) per
+    group — metadata-sized, broadcast back onto the never-shuffled
+    fact for the arithmetic scalers; percent_rank is the one
+    genuinely rank-based scaler and clusters by the same key (its
+    window is the plan's only fact exchange). Degenerate groups
+    (constant value → zero range/variance) yield NULL rather than a
+    division blow-up, identically in the oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    vdec = F.col("value").cast("decimal(12,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum(vdec).cast("double").alias("sx"),
+        F.sum(vdec * vdec).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mean = F.col("sx") / F.col("n")
+    minmax = F.when(
+        F.col("hi") != F.col("lo"),
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+    )
+    zscore = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
+    pr = F.percent_rank().over(
+        Window.partitionBy("event_type").orderBy("value")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(minmax, 6).alias("minmax"),
+            F.round(zscore, 6).alias("zscore"),
+            F.round(pr, 6).alias("pct_rank"),
+        )
+    )
+
+
+FEATURE_SCALING_SQL = """
+WITH stats AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+         MIN(value) AS lo, MAX(value) AS hi,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS VARCHAR) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+  round(CASE WHEN hi <> lo THEN (value - lo) / (hi - lo) END, 6) AS minmax,
+  round(CASE WHEN (sxx - sx * sx / n) / (n - 1) > 0
+        THEN (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) END, 6)
+    AS zscore,
+  round(percent_rank() OVER (PARTITION BY e.event_type ORDER BY value), 6)
+    AS pct_rank
+FROM events e JOIN stats USING (event_type)
+"""
+
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
+    register(
+        "feature_scaling_battery", feature_scaling_battery, FEATURE_SCALING_SQL
+    )
     register("split_documents", split_documents, SPLIT_SQL)
     register("reconcile_orders_drift", reconcile_orders_drift, RECONCILE_SQL)
     register(
