@@ -206,21 +206,26 @@ def neardup_pairs_blocked(
     )
     # side A joins every block pair (its own block, q) for q >= its block;
     # side B every (p, its own block) for p <= its block — each unordered
-    # block pair meets exactly once.
+    # block pair meets exactly once. Partition count pinned to one per
+    # block pair: AQE would coalesce this exchange by its (small)
+    # pre-join bytes and the join's O(n²/B²)-per-group fan-out would
+    # land in a handful of partitions (see knn_graph_topk — measured
+    # >6 min vs seconds at 20k vectors).
+    n_out = n_blocks * (n_blocks + 1) // 2
     a = d.select(
         F.col("id").alias("id_a"),
         F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),
         F.col("__b").alias("p"),
         F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
-    )
+    ).repartition(n_out, "p", "q")
     b = d.select(
         F.col("id").alias("id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
         F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
         F.col("__b").alias("q"),
-    )
+    ).repartition(n_out, "p", "q")
     denom = F.col("__na") * F.col("__nb")
     sim = F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom)
     # cross-block pairs (p < q) appear exactly once with the lower-block
