@@ -407,7 +407,7 @@ FROM ranked WHERE rk <= {k}
 
 
 KNN_GRAPH_K = 3
-KNN_GRAPH_BLOCKS = 4
+KNN_GRAPH_BLOCKS = 32
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +415,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest neighbors (operators/similarity.py::knn_graph_topk): the
     kNN-join output that feeds graph clustering / label propagation.
     Block-pair partitioned with hierarchical top-k; the full pair
-    stream is never shuffled (plan-asserted in tests/test_similarity.py)."""
+    stream is never shuffled (plan-asserted in tests/test_similarity.py).
+
+    B=32 blocks -> 528 independent join groups: the unordered-pair
+    count (and thus the O(n^2) dot-product compute, which dominates)
+    is IDENTICAL for every B -- each pair meets exactly once -- so B
+    only trades ~B/2x replication of the (small) vector rows for
+    parallelism and bounded per-task working sets. Exact kNN graph is
+    inherently quadratic compute; at corpus scale the ANN entries
+    (LSH/IVF/PQ) are the production path and this is the ground-truth
+    builder run on samples."""
     e = load_table(spark, sf_dir, "embeddings")
     return knn_graph_topk(e, k=KNN_GRAPH_K, n_blocks=KNN_GRAPH_BLOCKS)
 
