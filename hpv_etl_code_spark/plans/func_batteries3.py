@@ -12,21 +12,34 @@ from ..sources.registry import load_table
 
 
 def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality (<=>): match customers on a nullable derived
-    key where NULL must equal NULL (plain = would drop those rows)."""
+    """Null-safe equality (<=>) as a JOIN KEY: customers carry a
+    nullable derived key (segment initial for positive balances, else
+    NULL) and join to a key-level dimension where NULL must match NULL
+    — plain ``=`` would silently drop every NULL-keyed customer.
+
+    The dimension side is the key-level aggregate itself (≤ 6 rows,
+    broadcast), so the null-safe join is hash-based and fact-sized.
+    A previous formulation self-joined the fact on this 6-ary key —
+    semantically quadratic (~3.7 G joined rows at sf1 before the
+    count); redesigned after the sf1 full-catalog sweep flagged it.
+    The output proves the NULL row matched: per key, the number of
+    fact rows the join retained equals the dimension's member count.
+    """
     c = load_table(spark, sf_dir, "customer")
-    # nullable key: segment initial for positive balances, else NULL
     keyed = c.select(
         "c_custkey",
         F.when(F.col("c_acctbal") >= 0, F.substring("c_mktsegment", 1, 1)).alias("k"),
     )
-    a = keyed.select(F.col("c_custkey").alias("id_a"), F.col("k").alias("k_a"))
-    b = keyed.select(F.col("c_custkey").alias("id_b"), F.col("k").alias("k_b"))
+    dim = keyed.groupBy(F.col("k").alias("dk")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+    )
     return (
-        a.join(b, F.col("k_a").eqNullSafe(F.col("k_b")))
-        .groupBy("k_a")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .withColumnRenamed("k_a", "k")
+        keyed.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_joined"),
+            F.max("n_members").cast("long").alias("n_members"),
+        )
     )
 
 
@@ -35,10 +48,12 @@ WITH keyed AS (
   SELECT c_custkey,
     CASE WHEN c_acctbal >= 0 THEN substring(c_mktsegment, 1, 1) END AS k
   FROM customer
+), dim AS (
+  SELECT k AS dk, COUNT(*)::BIGINT AS n_members FROM keyed GROUP BY 1
 )
-SELECT a.k AS k, COUNT(*) AS n_pairs
-FROM keyed a JOIN keyed b ON a.k IS NOT DISTINCT FROM b.k
-GROUP BY a.k
+SELECT k, COUNT(*)::BIGINT AS n_joined, MAX(n_members)::BIGINT AS n_members
+FROM keyed JOIN dim ON k IS NOT DISTINCT FROM dk
+GROUP BY k
 """
 
 
