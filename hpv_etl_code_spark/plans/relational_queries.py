@@ -544,10 +544,19 @@ def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth histogram. Integer-exact, so DuckDB's recursive CTE must
     reproduce it bit-for-bit — the hierarchy/transitive-closure surface
     (org charts, BOM explosion, graph reachability) that previously
-    needed driver-side iteration."""
+    needed driver-side iteration.
+
+    The cumulative-row guard (``spark.sql.cteRecursionRowLimit``,
+    default 1M) is sized here to |nodes| × max depth: the chain
+    key → key/2 emits one row per node per level, so the working set
+    is ~n·log2(max key) — 2.6M rows at sf1's 150k customers, which
+    tripped the default guard in the full-catalog sf1 sweep. Sizing
+    the guard to the known recursion volume (rather than disabling it)
+    keeps runaway-recursion protection."""
     from ..sources.registry import register_views
 
     register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
     return spark.sql(
         """
         WITH RECURSIVE anc(node, a, d) AS (
