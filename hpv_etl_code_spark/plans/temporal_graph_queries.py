@@ -168,16 +168,20 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-purchase graph (parts are
     adjacent when some order contains both).
 
-    Edges are ORIENTED (pa < pb) at build time, so each triangle
-    {a,b,c} materializes exactly once as (a→b, b→c, a→c) — no /6
-    correction, no duplicate intermediates. The two-hop join
-    (e1.pb = e2.pa) then closing join is the standard distributed
-    triangle enumeration; at production scale the orientation key
-    switches from id to DEGREE (low→high), which provably bounds the
-    per-vertex fan-out on power-law graphs — same plan, different
-    orientation column. Output: two (metric, value) rows — edge count
-    and triangle count (a union of two scalar aggregates; a crossJoin
-    of the two 1-row frames would be equivalent but trips the
+    Edges are oriented by DEGREE (low→high, id tiebreak — a total
+    order, so orientation is acyclic and each triangle materializes
+    exactly once as x→y, y→z, x→z). Degree orientation bounds every
+    vertex's out-fan to O(√m) on any graph, which bounds the wedge
+    join to O(m^1.5) — the Ortmann/Brandes result that makes
+    distributed triangle counting viable on skewed graphs. The sf1
+    sweep measured why it matters here: the co-purchase graph's hub
+    parts give id-orientation Σdeg² wedge blow-up (117 s at 6M
+    lineitem rows) vs seconds degree-oriented, for the IDENTICAL
+    output (triangle count is orientation-invariant, so the oracle is
+    unchanged). Degrees ride along the edge list via two broadcast
+    joins of the ≤|parts|-row degree table. Output: two
+    (metric, value) rows — a union of two scalar aggregates (a
+    crossJoin of 1-row frames would be equivalent but trips the
     nested-loop lint rule this repo enforces on itself)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
@@ -188,11 +192,43 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
-    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(F.broadcast(deg.withColumnRenamed("v", "pa")), "pa")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            F.broadcast(
+                deg.select(F.col("v").alias("pb"), F.col("deg").alias("deg_b"))
+            ),
+            "pb",
+        )
+    )
+    # orient low-(deg, id) → high-(deg, id)
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    # Wedge-join inputs get pinned partition counts: AQE would coalesce
+    # these exchanges by their edge-list bytes, but the join fans out
+    # O(Σ outdeg²) wedges — the same fan-out pathology fixed in the
+    # kNN-graph block-pair join (explicit counts are AQE-exempt).
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")).repartition(
+        256, "y"
+    )
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")).repartition(
+        256, "y"
+    )
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     wedges = e1.join(e2, "y")
-    triangles = wedges.join(e3, ["x", "z"])
+    triangles = wedges.join(e3.repartition(256, "x", "z"), ["x", "z"])
     n_edges = edges.agg(F.count(F.lit(1)).alias("value")).select(
         F.lit("n_edges").alias("metric"), "value"
     )
