@@ -346,3 +346,19 @@ def test_interval_union_merges_touching_spans(spark, tmp_path):
     got = {r.user_id: r for r in interval_union_length(spark, str(tmp_path)).collect()}
     assert (got[1].n_spans, got[1].covered_secs) == (2, 1500)
     assert (got[2].n_spans, got[2].covered_secs) == (1, 1200)
+
+
+@pytest.mark.parametrize(
+    ("entry", "n_pins"),
+    [("knn_graph", 2), ("embedding_neardup_blocked", 2), ("copurchase_triangles", 3)],
+)
+def test_fanout_join_inputs_keep_pinned_partition_counts(spark, sf_dir, entry, n_pins):
+    """Regression guard for the AQE fan-out pathology found in the sf1
+    sweep: high-fan-out join inputs (block pairs, triangle wedges) must
+    keep their EXPLICIT partition counts — REPARTITION_BY_NUM is exempt
+    from AQE coalescing, a bare repartition is not. Losing a pin
+    re-opens the quadratic-output-into-three-partitions failure
+    (>560 s measured at 20k vectors)."""
+    df = catalog.entries()[entry].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") >= n_pins, entry
