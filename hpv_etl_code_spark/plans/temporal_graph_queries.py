@@ -412,6 +412,100 @@ FROM spans GROUP BY 1
 """
 
 
+JOINSIZE_CMS_WIDTH = 1024
+
+
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation: |orders ⋈ lineitem on
+    orderkey| estimated as the Count-Min inner product
+    ``min_d Σ_w cms_o[d][w]·cms_l[d][w]`` — the AMS/CMS technique an
+    optimizer uses to predict join cardinality from per-table sketches
+    WITHOUT touching the other table (the estimate is an upper bound in
+    expectation; collisions only ever add). The exact join count rides
+    along, so the entry certifies sketch construction, the inner
+    product, and the bound on real data.
+
+    Everything is INTEGER arithmetic in the portable md5 hash family —
+    counters, products, sums — so the oracle reproduces the estimate
+    bit-for-bit. Scale shape: each side's sketch is one mergeable
+    grouped pass (4×1024 counters, ~32 KB); the "join" of sketches is
+    4096 rows. Per-table sketches maintained incrementally make the
+    estimate free at plan time — the point of the technique.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cms(df, key):
+        depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+        return (
+            df.select(F.explode(depths).alias("d"), F.col(key).alias("k"))
+            .select(
+                "d",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("d").cast("string"),
+                                    F.lit(":"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % JOINSIZE_CMS_WIDTH
+                ).alias("w"),
+            )
+            .groupBy("d", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    a = cms(o, "o_orderkey").withColumnRenamed("c", "ca")
+    b = cms(li, "l_orderkey").withColumnRenamed("c", "cb")
+    est = (
+        a.join(b, ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
+    exact = (
+        o.select(F.col("o_orderkey").alias("k"))
+        .join(li.select(F.col("l_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.join(F.broadcast(exact))
+
+
+JOIN_SIZE_CMS_SQL = f"""
+WITH a AS (
+  SELECT d.d,
+    ('0x' || substr(md5(d.d::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 15))::BIGINT
+      % {JOINSIZE_CMS_WIDTH} AS w,
+    COUNT(*)::BIGINT AS ca
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+  GROUP BY 1, 2
+), b AS (
+  SELECT d.d,
+    ('0x' || substr(md5(d.d::VARCHAR || ':' || l_orderkey::VARCHAR), 1, 15))::BIGINT
+      % {JOINSIZE_CMS_WIDTH} AS w,
+    COUNT(*)::BIGINT AS cb
+  FROM lineitem CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d
+  GROUP BY 1, 2
+), est AS (
+  SELECT MIN(ip)::BIGINT AS est_join_size
+  FROM (SELECT a.d, SUM(ca * cb) AS ip FROM a JOIN b USING (d, w) GROUP BY 1)
+), exact AS (
+  SELECT COUNT(*)::BIGINT AS exact_join_size
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT est_join_size, exact_join_size FROM est, exact
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "interval_containment_join",
@@ -422,3 +516,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)
     register("cms_frequency_portable", cms_frequency_portable, CMS_FREQUENCY_SQL)
     register("interval_union_length", interval_union_length, INTERVAL_UNION_SQL)
+    register("join_size_estimate_cms", join_size_estimate_cms, JOIN_SIZE_CMS_SQL)

@@ -274,3 +274,23 @@ def test_kmv_set_algebra_invariants(spark, sf_dir):
         assert r.est_a == r.exact_a
     if r.exact_union < 64:
         assert r.est_union == r.exact_union
+
+
+def test_join_size_cms_upper_bounds_and_is_tight(spark, sf_dir):
+    """CMS inner product can only over-count (hash collisions add), so
+    est >= exact; the expected overshoot is the ADDITIVE term
+    |A|·|B|/width (independent of the true join size — dominant when
+    the join is sparse), so assert est <= exact + 3·|A|·|B|/width."""
+    from hpv_etl_code_spark.plans.temporal_graph_queries import (
+        JOINSIZE_CMS_WIDTH,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    r = _df(spark, sf_dir, "join_size_estimate_cms").collect()[0]
+    assert r.est_join_size >= r.exact_join_size
+    n_a = load_table(spark, sf_dir, "orders").count()
+    n_b = load_table(spark, sf_dir, "lineitem").count()
+    assert (
+        r.est_join_size
+        <= r.exact_join_size + 3 * n_a * n_b // JOINSIZE_CMS_WIDTH
+    ), r
