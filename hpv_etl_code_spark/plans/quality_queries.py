@@ -246,11 +246,70 @@ FROM events e JOIN stats USING (event_type)
 
 
 
+_FD_CANDIDATES = (
+    # (name, determinant, dependent) — candidates a profiler must judge
+    # with evidence. Note: on this synthetic corpus even the
+    # composite-key candidate FAILS (duplicate (orderkey, linenumber)
+    # pairs carry different quantities) — exactly the kind of
+    # key-assumption break the profiler exists to surface before a
+    # pipeline dedupes or merges on a phantom key.
+    ("orderkey,linenumber->quantity", ("l_orderkey", "l_linenumber"), "l_quantity"),
+    ("orderkey->returnflag", ("l_orderkey",), "l_returnflag"),
+    ("partkey->suppkey", ("l_partkey",), "l_suppkey"),
+)
+
+
+def fd_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate X → Y,
+    measure how badly it fails — the metadata-discovery primitive
+    behind schema inference, key detection and normalization advice.
+
+    Per candidate, one grouped pass computes (groups, violating groups
+    where count(distinct Y) > 1, total excess distinct values); an FD
+    HOLDS iff violations are zero. Exact integer counts (bit-stable in
+    the oracle); each candidate is a single partial-aggregated shuffle
+    on its determinant — the same cost as any grouped count, whatever
+    the table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for name, det, dep in _FD_CANDIDATES:
+        g = li.groupBy(*det).agg(F.countDistinct(dep).alias("ndv"))
+        frames.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("ndv") > 1).cast("long")).alias("n_violating"),
+                F.sum(F.col("ndv") - 1).cast("long").alias("excess_values"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _fd_sql() -> str:
+    parts = []
+    for name, det, dep in _FD_CANDIDATES:
+        det_cols = ", ".join(det)
+        parts.append(f"""
+SELECT '{name}' AS fd, COUNT(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       SUM(ndv - 1)::BIGINT AS excess_values
+FROM (SELECT {det_cols}, COUNT(DISTINCT {dep}) AS ndv
+      FROM lineitem GROUP BY {det_cols})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+FD_PROFILE_SQL = _fd_sql()
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
     register(
         "feature_scaling_battery", feature_scaling_battery, FEATURE_SCALING_SQL
     )
+    register("fd_profile_lineitem", fd_profile_lineitem, FD_PROFILE_SQL)
     register("split_documents", split_documents, SPLIT_SQL)
     register("reconcile_orders_drift", reconcile_orders_drift, RECONCILE_SQL)
     register(
