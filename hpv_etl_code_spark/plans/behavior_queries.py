@@ -44,6 +44,58 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement ratio product
+    teams track (avg daily actives ÷ weekly actives; 1.0 = every
+    weekly user active every day).
+
+    Two grouped distinct counts (day grain, week grain) + one
+    metadata-sized join on the week key. ``date_trunc('week')`` is ISO
+    Monday in both engines; the ratio divides an exact integer sum by
+    exact integer counts, rounded to 6dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    dau = ev.groupBy("wk", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    weekly_dau = dau.groupBy("wk").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        weekly_dau.join(wau, "wk")
+        .select(
+            F.col("wk").cast("date").alias("week"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau_sum") / F.col("n_days"), 6).alias("avg_dau"),
+            F.round(
+                F.col("dau_sum") / F.col("n_days") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+DAU_WAU_SQL = """
+WITH base AS (
+  SELECT user_id, date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day
+  FROM events
+), dau AS (
+  SELECT wk, day, COUNT(DISTINCT user_id) AS dau FROM base GROUP BY 1, 2
+), wau AS (
+  SELECT wk, COUNT(DISTINCT user_id)::BIGINT AS wau FROM base GROUP BY 1
+), wd AS (
+  SELECT wk, SUM(dau) AS dau_sum, COUNT(*) AS n_days FROM dau GROUP BY 1
+)
+SELECT wd.wk::DATE AS week, wau,
+       round(dau_sum::DOUBLE / n_days, 6) AS avg_dau,
+       round(dau_sum::DOUBLE / n_days / wau, 6) AS stickiness
+FROM wd JOIN wau USING (wk)
+"""
+
+
 JOURNEY_STEPS = 3
 
 
@@ -290,6 +342,7 @@ FROM counted
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
     register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)
+    register("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_SQL)
     register("cohort_retention", cohort_retention, COHORT_SQL)
     register("conversion_lag_stats", conversion_lag_stats, CONVERSION_LAG_SQL)
     register("weekly_top_movers", weekly_top_movers, WEEKLY_MOVERS_SQL)
