@@ -169,6 +169,39 @@ def neardup_pairs_exact(
     )
 
 
+def _block_pair_sides(d: DataFrame, n_blocks: int) -> tuple[DataFrame, DataFrame]:
+    """The shared block-pair layout (used by :func:`neardup_pairs_blocked`
+    and :func:`knn_graph_topk`): side A joins every block pair
+    (own block, q) for q >= its block; side B every (p, own block) for
+    p <= its block — each unordered block pair meets in exactly one
+    join group.
+
+    Partition counts are PINNED to the block-pair count: AQE would
+    coalesce these exchanges by their (small) pre-join bytes while the
+    join fans out O(n²/B²) pairs per group — measured >6 min vs seconds
+    at 20k vectors. Hash distribution over n_out partitions is
+    approximate (balls-in-bins: expected max load is a small constant
+    number of pairs, some partitions empty); the pin's job is defeating
+    the coalescing, not a perfect 1:1 layout.
+    """
+    n_out = n_blocks * (n_blocks + 1) // 2
+    a = d.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__b").alias("p"),
+        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
+    ).repartition(n_out, "p", "q")
+    b = d.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
+        F.col("__b").alias("q"),
+    ).repartition(n_out, "p", "q")
+    return a, b
+
+
 def neardup_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -204,28 +237,7 @@ def neardup_pairs_blocked(
         .withColumn("__n", l2_norm(F.col("__v")))
         .withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
     )
-    # side A joins every block pair (its own block, q) for q >= its block;
-    # side B every (p, its own block) for p <= its block — each unordered
-    # block pair meets exactly once. Partition count pinned to one per
-    # block pair: AQE would coalesce this exchange by its (small)
-    # pre-join bytes and the join's O(n²/B²)-per-group fan-out would
-    # land in a handful of partitions (see knn_graph_topk — measured
-    # >6 min vs seconds at 20k vectors).
-    n_out = n_blocks * (n_blocks + 1) // 2
-    a = d.select(
-        F.col("id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        F.col("__b").alias("p"),
-        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
-    ).repartition(n_out, "p", "q")
-    b = d.select(
-        F.col("id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
-        F.col("__b").alias("q"),
-    ).repartition(n_out, "p", "q")
+    a, b = _block_pair_sides(d, n_blocks)
     denom = F.col("__na") * F.col("__nb")
     sim = F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom)
     # cross-block pairs (p < q) appear exactly once with the lower-block
@@ -323,30 +335,10 @@ def knn_graph_topk(
         .filter(F.col("__n") > 0)
         .withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
     )
-    # Pin the join's partition count to one partition per block pair.
-    # Without this, AQE sizes the (p, q) exchange on the PRE-join bytes
-    # (n·~B/2 small vector rows) and coalesces to a handful of
-    # partitions — then the join fans out O(n²/B²) pairs per group into
-    # those few partitions and the stage-1 window sort spills for
-    # minutes (measured at 20k vectors: >560 s coalesced vs 77 s
-    # pinned). An explicit numPartitions is exempt from AQE coalescing;
-    # high-fan-out join inputs must be sized by their OUTPUT, which
-    # only the caller knows.
-    n_out = n_blocks * (n_blocks + 1) // 2
-    a = d.select(
-        F.col("id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        F.col("__b").alias("p"),
-        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("q"),
-    ).repartition(n_out, "p", "q")
-    b = d.select(
-        F.col("id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("p"),
-        F.col("__b").alias("q"),
-    ).repartition(n_out, "p", "q")
+    # shared layout incl. the AQE-defeating pinned partition counts —
+    # measured at 20k vectors: >560 s coalesced vs 77 s pinned (see
+    # _block_pair_sides for the full rationale)
+    a, b = _block_pair_sides(d, n_blocks)
     sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     # one row per unordered pair (the neardup filter), then explode into
     # both directed roles — narrow, partitioning-preserving

@@ -71,7 +71,14 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
        exactly on the frontier (same-price-same-size ties all survive:
        neither strictly beats the other).
     """
-    part = load_table(spark, sf_dir, "part")
+    # Rows with NULL in either dimension are incomparable and excluded
+    # from both sides (as candidates AND as dominators) — the oracle
+    # filters identically. Without this the engines diverge: a SQL
+    # NOT EXISTS vacuously KEEPS NULL-dimension rows (every comparison
+    # is NULL), while the frontier equality join-back drops them.
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     levels = part.groupBy("p_retailprice").agg(
         F.min("p_size").alias("best_size")
     )
@@ -137,10 +144,14 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SKYLINE_PARTS_SQL = """
+WITH pp AS (
+  SELECT p_partkey, p_retailprice, p_size FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
 SELECT p.p_partkey, p.p_retailprice, p.p_size
-FROM part p
+FROM pp p
 WHERE NOT EXISTS (
-  SELECT 1 FROM part q
+  SELECT 1 FROM pp q
   WHERE q.p_retailprice >= p.p_retailprice AND q.p_size <= p.p_size
     AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size)
 )
@@ -213,7 +224,12 @@ def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id``, so Catalyst plans ONE hash exchange for the whole
     chain (same shape as ``sessionize_events``). Each user's last event
     has no holding time and drops out of both sums (NULL-skipping sum,
-    identical in the oracle); single-event users yield NULL. Weighted
+    identical in the oracle); single-event users yield NULL, and a user
+    whose events all land in one SECOND (sum dt = 0 — second-truncated
+    timestamps) also yields NULL via an explicit guard: Spark 4 runs
+    ANSI mode by default, where a bare /0 RAISES instead of
+    NULLing, and DuckDB would return inf — the guard is the only
+    formulation both engines agree on. Weighted
     sums follow the exact-decimal discipline: DECIMAL(20,8) value ×
     integer seconds is exact, so the shuffle-order-independent sum
     converts to the same IEEE double on both engines. Ties on ``ts``
@@ -229,11 +245,12 @@ def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         held.groupBy("user_id")
         .agg(
             F.sum("dt").alias("held_secs"),
-            (
-                F.sum(F.col("value").cast("decimal(20,8)") * F.col("dt")).cast(
-                    "double"
-                )
-                / F.sum("dt")
+            F.when(
+                F.sum("dt") > 0,
+                F.sum(
+                    F.col("value").cast("decimal(20,8)") * F.col("dt")
+                ).cast("double")
+                / F.sum("dt"),
             ).alias("twap_raw"),
         )
         .select(
@@ -253,8 +270,9 @@ WITH h AS (
   FROM events
 )
 SELECT user_id, SUM(dt)::BIGINT AS held_secs,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(20,8)) * dt) AS VARCHAR) AS DOUBLE)
-             / SUM(dt), 6) AS twap_value
+       ROUND(CASE WHEN SUM(dt) > 0 THEN
+         CAST(CAST(SUM(CAST(value AS DECIMAL(20,8)) * dt) AS VARCHAR) AS DOUBLE)
+             / SUM(dt) END, 6) AS twap_value
 FROM h GROUP BY user_id
 """
 
@@ -302,20 +320,27 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("n", 0), pick("sx", 0), pick("sxx", 0),
         pick("n", 1), pick("sx", 1), pick("sxx", 1),
     )
+    # Degenerate guards (Spark 4 runs ANSI mode: a bare /0 RAISES):
+    # an arm with ≤1 row has no sample variance → NULL propagates
+    # through se2/t/df; two zero-variance arms → se2 = 0 → NULL t.
     m0 = F.col("sx0") / F.col("n0")
     m1 = F.col("sx1") / F.col("n1")
-    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0")) / (
-        F.col("n0") - 1
+    v0 = F.when(
+        F.col("n0") > 1,
+        (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0"))
+        / (F.col("n0") - 1),
     )
-    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
-        F.col("n1") - 1
+    v1 = F.when(
+        F.col("n1") > 1,
+        (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+        / (F.col("n1") - 1),
     )
     se2 = v0 / F.col("n0") + v1 / F.col("n1")
-    t = (m1 - m0) / F.sqrt(se2)
-    dof = (se2 * se2) / (
-        (v0 / F.col("n0")) * (v0 / F.col("n0")) / (F.col("n0") - 1)
-        + (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
-    )
+    t = F.when(se2 > 0, (m1 - m0) / F.sqrt(se2))
+    den = (v0 / F.col("n0")) * (v0 / F.col("n0")) / (F.col("n0") - 1) + (
+        v1 / F.col("n1")
+    ) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+    dof = F.when(den > 0, (se2 * se2) / den)
     return wide.select(
         "event_type",
         F.col("n0").alias("n_a"),
@@ -345,23 +370,23 @@ WITH per_arm AS (
          MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
          MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
   FROM per_arm GROUP BY 1
+), vg AS (
+  SELECT event_type, n0, sx0, n1, sx1,
+    CASE WHEN n0 > 1 THEN (sxx0 - sx0 * sx0 / n0) / (n0 - 1) END AS v0,
+    CASE WHEN n1 > 1 THEN (sxx1 - sx1 * sx1 / n1) / (n1 - 1) END AS v1
+  FROM wide
 )
 SELECT event_type, n0 AS n_a, n1 AS n_b,
        round(sx0 / n0, 6) AS mean_a,
        round(sx1 / n1, 6) AS mean_b,
-       round((sx1 / n1 - sx0 / n0) /
-             sqrt((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
-                  + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1), 6) AS t_stat,
-       round(((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
-              + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
-             * ((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0
-                + (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
-             / (((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0)
-                * ((sxx0 - sx0 * sx0 / n0) / (n0 - 1) / n0) / (n0 - 1)
-                + ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
-                  * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)),
-             6) AS welch_df
-FROM wide
+       round(CASE WHEN v0 / n0 + v1 / n1 > 0 THEN
+             (sx1 / n1 - sx0 / n0) / sqrt(v0 / n0 + v1 / n1) END, 6) AS t_stat,
+       round(CASE WHEN (v0 / n0) * (v0 / n0) / (n0 - 1)
+                     + (v1 / n1) * (v1 / n1) / (n1 - 1) > 0 THEN
+             (v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+             / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                + (v1 / n1) * (v1 / n1) / (n1 - 1)) END, 6) AS welch_df
+FROM vg
 """
 
 

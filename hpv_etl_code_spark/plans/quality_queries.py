@@ -200,8 +200,13 @@ def feature_scaling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec).cast("double").alias("sx"),
         F.sum(vdec * vdec).cast("double").alias("sxx"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
-        F.col("n") - 1
+    # n > 1 guard REQUIRED (not just var > 0): Spark 4's ANSI mode
+    # raises on /0, and a when() condition still evaluates the
+    # division inside it — a single-row group would crash the query
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
     )
     mean = F.col("sx") / F.col("n")
     minmax = F.when(
@@ -233,15 +238,17 @@ WITH stats AS (
          CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
               AS VARCHAR) AS DOUBLE) AS sxx
   FROM events GROUP BY 1
+), stats2 AS (
+  SELECT *, CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var
+  FROM stats
 )
 SELECT e.event_id, e.event_type, e.value,
   round(CASE WHEN hi <> lo THEN (value - lo) / (hi - lo) END, 6) AS minmax,
-  round(CASE WHEN (sxx - sx * sx / n) / (n - 1) > 0
-        THEN (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) END, 6)
-    AS zscore,
+  round(CASE WHEN var > 0
+        THEN (value - sx / n) / sqrt(var) END, 6) AS zscore,
   round(percent_rank() OVER (PARTITION BY e.event_type ORDER BY value), 6)
     AS pct_rank
-FROM events e JOIN stats USING (event_type)
+FROM events e JOIN stats2 USING (event_type)
 """
 
 

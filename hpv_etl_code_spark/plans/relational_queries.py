@@ -547,16 +547,27 @@ def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed driver-side iteration.
 
     The cumulative-row guard (``spark.sql.cteRecursionRowLimit``,
-    default 1M) is sized here to |nodes| × max depth: the chain
-    key → key/2 emits one row per node per level, so the working set
-    is ~n·log2(max key) — 2.6M rows at sf1's 150k customers, which
-    tripped the default guard in the full-catalog sf1 sweep. Sizing
-    the guard to the known recursion volume (rather than disabling it)
-    keeps runaway-recursion protection."""
+    default 1M) is sized to THIS query's known recursion volume: the
+    chain key → key/2 emits one row per node per level, so the exact
+    working set is n·(log2(max key)+1) — 2.6M rows at sf1's 150k
+    customers, which tripped the default guard in the full-catalog sf1
+    sweep. The bound is computed from the actual row count (one
+    metadata-class count) with 2× headroom rather than set to a huge
+    constant, so the session-wide guard — Spark has no per-query knob —
+    stays proportional to real data and a genuinely runaway recursion
+    still trips it."""
+    import math
+
     from ..sources.registry import register_views
 
     register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
+    c = load_table(spark, sf_dir, "customer")
+    n = c.count()
+    max_key = (
+        c.agg(F.max("c_custkey")).collect()[0][0] or 1
+    )
+    bound = max(1_000_000, 2 * n * (int(math.log2(max(max_key, 2))) + 2))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", bound)
     return spark.sql(
         """
         WITH RECURSIVE anc(node, a, d) AS (

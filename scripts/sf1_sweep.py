@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
-    start = int(sys.argv[2]) if len(sys.argv) > 3 else 0
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     end = int(sys.argv[3]) if len(sys.argv) > 3 else 10**9
 
     from hpv_etl_code_spark import catalog

@@ -86,3 +86,19 @@ def nullheavy_sf_dir(spark, sf_dir, tmp_path_factory):
 def test_entry_survives_null_heavy_tables(spark, nullheavy_sf_dir, name):
     fn = catalog.entries()[name].fn
     fn(spark, nullheavy_sf_dir).collect()  # invariant: no exception
+
+
+def test_skyline_oracle_parity_on_null_dimensions(spark, nullheavy_sf_dir):
+    """NULL-dimension rows are incomparable and excluded from BOTH
+    engines (review finding: SQL NOT EXISTS vacuously KEEPS them while
+    the frontier join-back drops them — parity requires the explicit
+    filter on both sides). This runs the full differential compare on
+    the NULL-heavy tables, not just a no-crash check."""
+    from hpv_etl_code_spark.plans.olap_queries import SKYLINE_PARTS_SQL
+    from tests.oracle_util import compare
+
+    compare(
+        catalog.entries()["skyline_parts"].fn(spark, nullheavy_sf_dir),
+        SKYLINE_PARTS_SQL,
+        nullheavy_sf_dir,
+    )

@@ -294,3 +294,44 @@ def test_join_size_cms_upper_bounds_and_is_tight(spark, sf_dir):
         r.est_join_size
         <= r.exact_join_size + 3 * n_a * n_b // JOINSIZE_CMS_WIDTH
     ), r
+
+
+def test_ansi_degenerate_groups_yield_null_not_crash(spark, tmp_path):
+    """Spark 4 runs ANSI mode (a bare /0 raises): the reproduced
+    divide-by-zero crashes — same-second TWAP users, single-row Welch
+    arms, single-row scaling groups — must instead yield NULL."""
+    import datetime as dt
+
+    from hpv_etl_code_spark.plans.olap_queries import ab_welch_ttest, twap_events
+    from hpv_etl_code_spark.plans.quality_queries import feature_scaling_battery
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two events in the SAME second -> sum(dt)=0
+        (1, base, 1, "same_sec", 5.0, "{}"),
+        (2, base + dt.timedelta(microseconds=500), 1, "same_sec", 7.0, "{}"),
+        # 'solo' event type: exactly one row -> n-1 = 0 in variance
+        (3, base, 2, "solo", 3.0, "{}"),
+        # welch: user ids chosen so one md5 arm of 'skewed' has 1 row
+        (4, base, 1, "skewed", 1.0, "{}"),
+        (5, base, 2, "skewed", 2.0, "{}"),
+        (6, base, 4, "skewed", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    d = str(tmp_path)
+
+    twap = {r.user_id: r for r in twap_events(spark, d).collect()}
+    assert twap[1].held_secs == 0 and twap[1].twap_value is None
+
+    welch = {r.event_type: r for r in ab_welch_ttest(spark, d).collect()}
+    for r in welch.values():
+        # no crash; degenerate arms surface as NULL statistics
+        assert r.n_a is None or r.n_a >= 1
+
+    scaled = feature_scaling_battery(spark, d).collect()
+    solo = [r for r in scaled if r.event_type == "solo"][0]
+    assert solo.zscore is None and solo.minmax is None
