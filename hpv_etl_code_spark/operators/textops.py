@@ -118,8 +118,19 @@ def lang_id(col: Column | str) -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical form for exact-dedup: lowercase, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Canonical form for exact-dedup: lowercase, collapse whitespace,
+    trim. The whitespace class is EXPLICIT ``[ \\t\\n\\r\\f\\x0B]`` —
+    Java's ``\\s`` includes vertical tab but RE2's (DuckDB) does not,
+    so the shorthand silently breaks cross-engine fingerprint parity on
+    control characters (found by the adversarial-unicode tests).
+    Remaining known engine boundary, documented rather than papered
+    over: locale-tailored case folding (Turkish dotted İ, titlecase
+    ligatures) differs between Java's and DuckDB's ``lower`` — both
+    agree on ASCII and common accented Latin, which is the portability
+    contract the fingerprint family promises."""
+    return F.trim(
+        F.regexp_replace(F.lower(col), r"[ \t\n\r\f\x0B]+", " ")
+    )
 
 
 def fingerprint_md5(col: Column | str) -> Column:

@@ -117,7 +117,7 @@ WITH base AS (
   SELECT doc_id, text, lang, source, dtoks,
     {quality} AS quality,
     len(tk)::INT AS n_tokens,
-    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
   FROM base
 ), gated AS (
   SELECT * FROM scored

@@ -241,7 +241,7 @@ SELECT doc_id,
     WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
     ELSE 'fr'
   END AS lang_pred,
-  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
 FROM s
 """
 

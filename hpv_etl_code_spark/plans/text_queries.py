@@ -133,7 +133,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_FINGERPRINT_SQL = """
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
 
@@ -145,7 +145,7 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_CONTENT_SQL = """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
   MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
 """
