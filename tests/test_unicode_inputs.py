@@ -99,3 +99,24 @@ def test_portable_hash_parity_on_unicode(spark, sf_dir, tmp_path_factory):
         load_table(spark, sf_dir, t).write.parquet(str(d / f"{t}.parquet"))
     entry = catalog.entries()["dedup_exact_content"]
     compare(entry.fn(spark, str(d)), entry.oracle, str(d))
+
+
+def test_winnowing_parity_on_unicode(spark, sf_dir, tmp_path_factory):
+    """Winnowing fingerprints hash raw tokens (no case folding), so
+    parity must hold on the FULL adversarial corpus including the
+    casing-trap text — md5 over UTF-8 bytes is engine-stable."""
+    from hpv_etl_code_spark.sources.registry import load_table
+    from tests.oracle_util import compare
+
+    d = tmp_path_factory.mktemp("uni_winnow")
+    rows = [
+        (i, t, "xx", "synthetic", None) for i, t in enumerate(WEIRD_TEXTS)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        load_table(spark, sf_dir, t).write.parquet(str(d / f"{t}.parquet"))
+    entry = catalog.entries()["text_winnowing"]
+    compare(entry.fn(spark, str(d)), entry.oracle, str(d))
