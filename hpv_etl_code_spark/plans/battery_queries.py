@@ -317,6 +317,11 @@ def sampled_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/days — and unlike rand()-based sampling it is exactly
     reproducible (no RNG state, subset-invariant, engine-portable).
     WindowGroupLimit prunes the rank filter before the shuffle.
+
+    Determinism: the sample window orders by ``(h, event_id)`` in BOTH
+    engines — a duplicate event_id (or a 60-bit hash collision) at the
+    k=32 boundary would otherwise make row_number engine-nondeterministic
+    and flip the oracle hash.
     """
     from pyspark.sql import Window
 
@@ -325,8 +330,8 @@ def sampled_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    hashed = ev.select("event_type", "value", h.alias("h"))
-    w = Window.partitionBy("event_type").orderBy("h")
+    hashed = ev.select("event_type", "value", "event_id", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
     sample = hashed.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
@@ -344,12 +349,12 @@ def sampled_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLED_QUANTILE_SQL = """
 WITH h AS (
-  SELECT event_type, value,
+  SELECT event_type, value, event_id,
     ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
   FROM events
 ), r AS (
   SELECT event_type, value,
-    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
   FROM h
 ), s AS (
   SELECT event_type, COUNT(*)::BIGINT AS n_sample,

@@ -171,8 +171,18 @@ def bitmap_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     any coarser rollup without touching raw data — the re-aggregation
     property COUNT(DISTINCT) lacks. The exact ``count(distinct)`` rides
     along, so the oracle certifies bitmap == exact on every row.
+
+    Precondition: ``user_id >= 0``. For negative ids Spark's DIV
+    (truncate toward zero) diverges from DuckDB's ``//`` (floor) and a
+    negative shift position is undefined, so both sides filter to the
+    non-negative domain explicitly; ids from a signed source should be
+    pre-hashed into non-negatives (e.g. ``abs(xxhash64(id))``).
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id") >= 0)
+    )
     words = (
         ev.select(
             "event_type",
@@ -200,14 +210,14 @@ BITMAP_DISTINCT_SQL = f"""
 WITH w AS (
   SELECT event_type, user_id // {BITMAP_WORD_BITS} AS word_idx,
          bit_or(1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS word
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id >= 0 GROUP BY 1, 2
 ), b AS (
   SELECT event_type, SUM(bit_count(word))::BIGINT AS bitmap_distinct,
          COUNT(*)::BIGINT AS n_words
   FROM w GROUP BY 1
 ), x AS (
   SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
-  FROM events GROUP BY 1
+  FROM events WHERE user_id >= 0 GROUP BY 1
 )
 SELECT event_type, bitmap_distinct, n_words, exact_distinct
 FROM b JOIN x USING (event_type)

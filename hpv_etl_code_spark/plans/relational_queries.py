@@ -551,35 +551,49 @@ def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain key → key/2 emits one row per node per level, so the exact
     working set is n·(log2(max key)+1) — 2.6M rows at sf1's 150k
     customers, which tripped the default guard in the full-catalog sf1
-    sweep. The bound is computed from the actual row count (one
-    metadata-class count) with 2× headroom rather than set to a huge
-    constant, so the session-wide guard — Spark has no per-query knob —
-    stays proportional to real data and a genuinely runaway recursion
-    still trips it."""
+    sweep. The bound is computed from the actual row count with 2×
+    headroom rather than set to a huge constant, so the guard stays
+    proportional to real data and a genuinely runaway recursion still
+    trips it. Because the knob is session-wide (Spark has no per-query
+    limit), the override is SCOPED: the recursion executes inside this
+    call — one stats job (count+max fused), raise guard, run, restore
+    the prior value in a ``finally`` — and the tiny depth histogram
+    (≤ log2(max key)+1 rows) is returned as a local DataFrame, so no
+    raised guard or conf mutation leaks into later queries on the
+    shared session."""
     import math
 
     from ..sources.registry import register_views
 
     register_views(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
-    n = c.count()
-    max_key = (
-        c.agg(F.max("c_custkey")).collect()[0][0] or 1
-    )
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"), F.max("c_custkey").alias("mk")
+    ).collect()[0]
+    n, max_key = stats["n"], stats["mk"] or 1
     bound = max(1_000_000, 2 * n * (int(math.log2(max(max_key, 2))) + 2))
-    spark.conf.set("spark.sql.cteRecursionRowLimit", bound)
-    return spark.sql(
-        """
-        WITH RECURSIVE anc(node, a, d) AS (
-          SELECT c_custkey, c_custkey, 0 FROM customer
-          UNION ALL
-          SELECT node, a DIV 2, d + 1 FROM anc WHERE a > 1
-        )
-        SELECT depth, COUNT(*) AS n_nodes
-        FROM (SELECT node, MAX(d) AS depth FROM anc GROUP BY node)
-        GROUP BY depth
-        """
-    )
+    conf_key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, bound)
+    try:
+        rows = spark.sql(
+            """
+            WITH RECURSIVE anc(node, a, d) AS (
+              SELECT c_custkey, c_custkey, 0 FROM customer
+              UNION ALL
+              SELECT node, a DIV 2, d + 1 FROM anc WHERE a > 1
+            )
+            SELECT depth, COUNT(*) AS n_nodes
+            FROM (SELECT node, MAX(d) AS depth FROM anc GROUP BY node)
+            GROUP BY depth
+            """
+        ).collect()
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    return spark.createDataFrame(rows, schema="depth INT, n_nodes BIGINT")
 
 
 RECURSIVE_ANCESTOR_SQL = """

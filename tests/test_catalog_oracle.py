@@ -34,8 +34,17 @@ def test_gate_window_composition():
 
     es = catalog.entries()
     names = list(es)
-    assert len(catalog._PRIORITY) == 50
-    assert names[:50] == list(catalog._PRIORITY)
+    window = catalog._PRIORITY + catalog._rotation_window()
+    assert len(window) == 50
+    assert names[:50] == list(window)
+    # rotation invariants: halves are disjoint from the pinned core and
+    # from each other, so every pooled entry is in-window every other
+    # round (ADVICE r3)
+    pool = catalog._ROTATION_POOL
+    assert len(pool) == 2 * catalog._ROTATION_SLOTS
+    assert not set(pool) & set(catalog._PRIORITY)
+    assert len(set(pool)) == len(pool)
+    assert all(n in es for n in pool)
     rows_only = [n for n in names[:50] if es[n].oracle is None]
     # round 3: the window is fully oracle-dense — the sketch slot is
     # held by the portable KMV entry (exact DuckDB twin);
