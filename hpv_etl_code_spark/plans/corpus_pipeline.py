@@ -37,27 +37,17 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed base, so the per-entry cost is the join topology, not a
     corpus re-tokenization.
     """
-    from ..operators.dedup import minhash_lsh_pairs_from_base
-    from .shared_cache import enriched_documents
+    from ..operators.dedup import minhash_lsh_pairs_grouped
+    from .shared_cache import pipeline_exact_deduped, pipeline_grouped
 
-    e = enriched_documents(spark, sf_dir)
-    # narrow gates first (no shuffle): quality floor + language allowlist
-    gated = e.filter(
-        (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "es", "fr")
-    )
-    # exact dedup: keep the min doc_id per content fingerprint (same
-    # semantics as exact_dedup_keepers — the fingerprint column is
-    # already on the cached frame)
-    keepers = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    exact_deduped = gated.join(
-        keepers.select("doc_id"), "doc_id", "left_semi"
-    )
-    # near-dup removal last, on the smallest set, from the shared
-    # signatures (greedy lowest-id-wins, as lsh_dedup_keepers)
-    pairs = minhash_lsh_pairs_from_base(
-        exact_deduped.select(F.col("doc_id").alias("id"), "toks", "sig"),
-        threshold=0.9,
-        max_bucket=100_000,
+    # narrow gates + exact dedup come persisted from the shared cache
+    # (quality floor, language allowlist, min-id-per-fingerprint keeper)
+    exact_deduped = pipeline_exact_deduped(spark, sf_dir)
+    # near-dup removal last, on the smallest set, over the identical-
+    # tokset-collapsed base (greedy lowest-id-wins, as lsh_dedup_keepers)
+    members, groups = pipeline_grouped(spark, sf_dir)
+    pairs = minhash_lsh_pairs_grouped(
+        members, groups, threshold=0.9, max_bucket=100_000
     )
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact_deduped.join(doomed, "doc_id", "left_anti").select(

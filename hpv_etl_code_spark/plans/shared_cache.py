@@ -40,29 +40,91 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``fp`` — raw md5(text) (``build_corpus_index`` fingerprint)
     - ``toks`` — xxhash64-hashed distinct token set (long array)
     - ``sig`` — 16-hash MinHash signature over ``toks``
+    - ``gkey`` — identical-tokset group key (``xxhash64(array_sort(toks))``,
+      the :func:`~..operators.dedup.tokset_groups` collapse key)
 
     The persist is MEMORY_AND_DISK (default): at bench scale it is a few
     hundred MB; a cluster deployment would write it to parquet instead
     (same columns round-trip — they are all plain types).
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "enriched")
     if key not in _CACHE:
         _prune_dead_entries()
         d = load_table(spark, sf_dir, "documents")
-        base = d.select(
-            "doc_id",
-            "text",
-            "lang",
-            "source",
-            textops.quality_score("text").alias("quality"),
-            textops.token_count("text").alias("n_tokens"),
-            textops.fingerprint_md5("text").alias("fingerprint"),
-            F.md5(F.col("text")).alias("fp"),
-            F.array_distinct(
-                F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
-            ).alias("toks"),
-        ).withColumn("sig", minhash_signature(F.col("toks"), _NUM_HASHES))
+        base = (
+            d.select(
+                "doc_id",
+                "text",
+                "lang",
+                "source",
+                textops.quality_score("text").alias("quality"),
+                textops.token_count("text").alias("n_tokens"),
+                textops.fingerprint_md5("text").alias("fingerprint"),
+                F.md5(F.col("text")).alias("fp"),
+                F.array_distinct(
+                    F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
+                ).alias("toks"),
+            )
+            .withColumn("sig", minhash_signature(F.col("toks"), _NUM_HASHES))
+            .withColumn("gkey", F.xxhash64(F.array_sort("toks")))
+        )
         _CACHE[key] = base.persist()
+    return _CACHE[key]
+
+
+def grouped_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The identical-tokset collapse of the full signed corpus
+    (``operators.dedup.tokset_groups``), both halves persisted:
+    ``members`` (doc_id → gkey, tiny) and ``groups`` (one row per
+    distinct tokset with its shared toks/sig and member count). The LSH
+    plan references ``groups`` from many branches — persisting it is
+    what keeps the collapse a win (an unpersisted grouped aggregate is
+    recomputed per branch). At 100 TB both are parquet artifacts written
+    next to the signed base."""
+    from ..operators.dedup import tokset_groups
+
+    key = (spark.sparkContext.applicationId, sf_dir, "groups")
+    if key not in _CACHE:
+        e = enriched_documents(spark, sf_dir)
+        members, groups = tokset_groups(
+            e.select(F.col("doc_id").alias("id"), "toks", "sig", "gkey")
+        )
+        _CACHE[key] = (members.persist(), groups.persist())
+    return _CACHE[key]
+
+
+def pipeline_exact_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline's gated + exact-deduped frame (quality floor,
+    language allowlist, min-id-per-fingerprint keeper), persisted — the
+    LSH stage and the final survivor projection both read it."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pipeline_exact")
+    if key not in _CACHE:
+        e = enriched_documents(spark, sf_dir)
+        gated = e.filter(
+            (F.col("quality") >= 0.2) & F.col("lang").isin("en", "de", "es", "fr")
+        )
+        keepers = gated.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        _CACHE[key] = gated.join(
+            keepers.select("doc_id"), "doc_id", "left_semi"
+        ).persist()
+    return _CACHE[key]
+
+
+def pipeline_grouped(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Identical-tokset collapse of :func:`pipeline_exact_deduped`
+    (the corpus pipeline's LSH input), persisted like
+    :func:`grouped_corpus`."""
+    from ..operators.dedup import tokset_groups
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pipeline_groups")
+    if key not in _CACHE:
+        base = pipeline_exact_deduped(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), "toks", "sig", "gkey"
+        )
+        members, groups = tokset_groups(base)
+        _CACHE[key] = (members.persist(), groups.persist())
     return _CACHE[key]
 
 
@@ -75,7 +137,8 @@ def _prune_dead_entries() -> None:
     so a stale same-key hit is impossible; this is pure leak hygiene).
     Called on cache misses — the cheap path stays dict-lookup-only."""
     dead = []
-    for key, df in _CACHE.items():
+    for key, val in _CACHE.items():
+        df = val[0] if isinstance(val, tuple) else val
         try:
             if df.sparkSession.sparkContext._jsc.sc().isStopped():
                 dead.append(key)
@@ -87,9 +150,10 @@ def _prune_dead_entries() -> None:
 
 def clear_cache() -> None:
     """Unpersist and drop all cached frames (tests / session teardown)."""
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
+    for val in _CACHE.values():
+        for df in val if isinstance(val, tuple) else (val,):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
     _CACHE.clear()

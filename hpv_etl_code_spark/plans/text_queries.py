@@ -21,7 +21,7 @@ from ..operators.dedup import (
     exact_dedup_keepers,
     jaccard,
     minhash_lsh_pairs,
-    minhash_lsh_pairs_from_base,
+    minhash_lsh_pairs_grouped,
     minhash_lsh_pairs_portable,
     simhash_near_pairs,
     simhash_near_pairs_portable,
@@ -207,18 +207,22 @@ FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures).
 
-    Runs from the session-cached signed base (plans/shared_cache.py) —
+    Runs from the session-cached GROUPED base (plans/shared_cache.py):
     the token/signature stage is shared with the corpus pipeline and
-    incremental dedup instead of being recomputed per entry; banding,
-    candidate join and Jaccard refine are unchanged."""
+    incremental dedup, and documents with identical token sets are
+    collapsed to one representative before banding
+    (operators/dedup.py::minhash_lsh_pairs_grouped — output-equivalent,
+    verified pair-for-pair in tests/test_dedup.py); banding, candidate
+    join and Jaccard refine are unchanged."""
     # the synthetic corpus is pathologically dense (small shared vocab →
     # most pairs are similar); hot buckets are chunk-split across tasks
-    # (hot_bucket_mode="chunk") so output stays complete without a
-    # single-task pair explosion
-    base = enriched_documents_cache(spark, sf_dir).select(
-        F.col("doc_id").alias("id"), "toks", "sig"
+    # so output stays complete without a single-task pair explosion
+    from .shared_cache import grouped_corpus  # local: avoids import cycle
+
+    members, groups = grouped_corpus(spark, sf_dir)
+    return minhash_lsh_pairs_grouped(
+        members, groups, threshold=0.8, max_bucket=100_000
     )
-    return minhash_lsh_pairs_from_base(base, threshold=0.8, max_bucket=100_000)
 
 
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

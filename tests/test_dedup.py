@@ -101,6 +101,40 @@ def test_chunked_hot_buckets_equal_unlimited(spark, sf_dir):
     assert chunked == unlimited and chunked
 
 
+def test_grouped_collapse_equals_uncollapsed(spark, sf_dir):
+    """The identical-tokset collapse (tokset_groups +
+    minhash_lsh_pairs_grouped) must reproduce the uncollapsed chunk-mode
+    output pair-for-pair INCLUDING est/jaccard values, at several
+    max_bucket settings (hot-classification is gn-weighted)."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        minhash_lsh_pairs_from_base,
+        minhash_lsh_pairs_grouped,
+        minhash_signature,
+        tokset_groups,
+    )
+    from hpv_etl_code_spark.operators.textops import distinct_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sig", minhash_signature(F.col("toks"), 16))
+    members, groups = tokset_groups(base)
+    for mb in (10, 200, 10_000_000):
+        flat = minhash_lsh_pairs_from_base(
+            base, threshold=0.8, max_bucket=mb, hot_bucket_mode="chunk"
+        )
+        grouped = minhash_lsh_pairs_grouped(
+            members, groups, threshold=0.8, max_bucket=mb
+        )
+        rows = lambda df: {tuple(r) for r in df.collect()}
+        assert rows(flat) == rows(grouped) and flat.count() > 0
+
+
 def test_drop_mode_discards_hot_buckets(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     dropped = minhash_lsh_pairs(

@@ -313,7 +313,7 @@ def test_shared_cache_prunes_dead_session_entries(spark, sf_dir):
     shared_cache._CACHE[("dead-app", "sf")] = _DeadDF()
     # force the miss path (prune runs on misses only): evict any live
     # entry a previous test may have built for this (session, sf)
-    live_key = (spark.sparkContext.applicationId, sf_dir)
+    live_key = (spark.sparkContext.applicationId, sf_dir, "enriched")
     evicted = shared_cache._CACHE.pop(live_key, None)
     if evicted is not None:
         evicted.unpersist()
@@ -323,7 +323,7 @@ def test_shared_cache_prunes_dead_session_entries(spark, sf_dir):
         assert live.count() > 0
         # live entry survives a subsequent prune
         shared_cache._prune_dead_entries()
-        key = (spark.sparkContext.applicationId, sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir, "enriched")
         assert key in shared_cache._CACHE
     finally:
         shared_cache.clear_cache()
