@@ -128,6 +128,38 @@ def pipeline_grouped(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     return _CACHE[key]
 
 
+def incremental_grouped(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Frames for the grouped incremental-dedup entry
+    (``operators.dedup.incremental_survivors_grouped``): ``(new_docs,
+    batch_groups, corpus_fps, corpus_groups)`` over the doc_id%5
+    batch/corpus split. Both group frames are persisted (each is
+    referenced by several plan branches); new_docs/corpus_fps read the
+    persisted enriched frame directly."""
+    from ..operators.dedup import tokset_groups
+
+    key = (spark.sparkContext.applicationId, sf_dir, "incr_groups")
+    if key not in _CACHE:
+        e = enriched_documents(spark, sf_dir)
+        newe = e.filter(F.col("doc_id") % 5 == 0)
+        corpus = e.filter(F.col("doc_id") % 5 != 0)
+        sel = lambda df: df.select(  # noqa: E731
+            F.col("doc_id").alias("id"), "toks", "sig", "gkey"
+        )
+        _, batch_groups = tokset_groups(sel(newe))
+        _, corpus_groups = tokset_groups(sel(corpus))
+        new_docs = newe.select(F.col("doc_id").alias("id"), "text", "fp", "gkey")
+        corpus_fps = corpus.select("fp")
+        _CACHE[key] = (
+            new_docs,
+            batch_groups.persist(),
+            corpus_fps,
+            corpus_groups.persist(),
+        )
+    return _CACHE[key]
+
+
 def _prune_dead_entries() -> None:
     """Drop cache entries whose SparkSession has been stopped — a
     long-lived driver that cycles get_spark()/spark.stop() (repeated

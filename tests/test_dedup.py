@@ -135,6 +135,40 @@ def test_grouped_collapse_equals_uncollapsed(spark, sf_dir):
         assert rows(flat) == rows(grouped) and flat.count() > 0
 
 
+def test_incremental_grouped_equals_flat_fast(spark, sf_dir):
+    """incremental_survivors_grouped must reproduce the flat fast-family
+    dedup_incremental_survivors survivor set exactly (same batch/corpus
+    split as the dedup_incremental_fast entry)."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental_survivors,
+        incremental_survivors_grouped,
+        tokset_groups,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    flat = dedup_incremental_survivors(
+        new, corpus, "doc_id", "text", threshold=0.8, hash_family="fast"
+    )
+
+    new_idx = build_corpus_index(new, "doc_id", "text", hash_family="fast")
+    corpus_idx = build_corpus_index(corpus, "doc_id", "text", hash_family="fast")
+    _, batch_groups = tokset_groups(new_idx.select("id", "toks", "sig"))
+    _, corpus_groups = tokset_groups(corpus_idx.select("id", "toks", "sig"))
+    new_docs = new_idx.withColumn(
+        "gkey", F.xxhash64(F.array_sort("toks"))
+    ).select("id", "text", "fp", "gkey")
+    grouped = incremental_survivors_grouped(
+        new_docs, batch_groups, corpus_idx.select("fp"), corpus_groups, threshold=0.8
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(flat) == rows(grouped) and flat.count() > 0
+
+
 def test_drop_mode_discards_hot_buckets(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     dropped = minhash_lsh_pairs(
