@@ -100,10 +100,13 @@ _PRIORITY: tuple[str, ...] = (
     # continuation-session families — one oracle rep each
     "bm25_topk_docs",
     "global_index_orders",
-    "scd2_user_events",
-    "dq_report_orders",
-    "reconcile_orders_drift",
-    "funnel_conversion",
+    # round-4 families: portable bloom semi-join, basket rules, grid
+    # spatial join, rolling z-score anomalies, corpus datasheet
+    "bloom_semijoin_portable",
+    "market_basket_rules",
+    "grid_neighbor_join",
+    "rolling_zscore_events",
+    "corpus_datasheet",
     # TPC-H headline shapes
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -130,7 +133,6 @@ _PRIORITY: tuple[str, ...] = (
     # mirror before entering the window; displaced siblings remain
     # oracle-checked in the tail): Pareto skyline, bitmap-word distinct,
     # Welch A/B, PSI drift, hybrid RRF retrieval, exact kNN graph
-    "skyline_parts",
     "ab_welch_ttest",
     "psi_value_drift",
     "hybrid_rrf_docs",
@@ -142,22 +144,17 @@ _PRIORITY: tuple[str, ...] = (
 # displaced by new showcases used to lose driver-level verification
 # permanently. The pool below holds oracle-green entries whose families
 # already have a pinned in-window representative; each round _ROUND is
-# bumped and a different half of the pool occupies the rotation slots,
-# so every pooled entry regains a driver-level oracle check every other
-# round. Out-of-window pool entries stay oracle-checked by the in-repo
-# mirror (tests/test_catalog_oracle.py + scripts/driver_emulation.py).
+# bumped and the rotation slots take the next cyclic slice of the pool,
+# so every pooled entry regains a driver-level oracle check every
+# ceil(len(pool)/slots) rounds. Out-of-window pool entries stay
+# oracle-checked by the in-repo mirror (tests/test_catalog_oracle.py +
+# scripts/driver_emulation.py).
 _ROUND = 4  # bump once per judged round
 _ROTATION_SLOTS = 7
 _ROTATION_POOL: tuple[str, ...] = (
-    # half A — in window when _ROUND is even
-    "window_analytics",
-    "latest_per_key",
-    "profile_customers",
-    "join_left_outer",
-    "part_funcs_battery",
-    "q6_forecast_revenue",
-    "deterministic_sample",
-    # half B — in window when _ROUND is odd
+    # ordered so round 4's slice (start (4*7) % 19 = 9) lands on the six
+    # entries ADVICE r3 flagged as evicted, restoring their driver-level
+    # check immediately; later rounds cycle through the rest
     "window_frames",
     "join_semi_anti",
     "setop_union_distinct",
@@ -165,13 +162,25 @@ _ROTATION_POOL: tuple[str, ...] = (
     "pivot_lineitem_status",
     "sampled_quantile_portable",
     "bitmap_distinct_events",
+    "scd2_user_events",
+    "dq_report_orders",
+    "window_analytics",
+    "latest_per_key",
+    "profile_customers",
+    "join_left_outer",
+    "part_funcs_battery",
+    "q6_forecast_revenue",
+    "deterministic_sample",
+    "reconcile_orders_drift",
+    "funnel_conversion",
+    "skyline_parts",
 )
 
 
 def _rotation_window() -> tuple[str, ...]:
-    n_halves = len(_ROTATION_POOL) // _ROTATION_SLOTS
-    start = (_ROUND % n_halves) * _ROTATION_SLOTS
-    return _ROTATION_POOL[start : start + _ROTATION_SLOTS]
+    n = len(_ROTATION_POOL)
+    start = (_ROUND * _ROTATION_SLOTS) % n
+    return tuple(_ROTATION_POOL[(start + i) % n] for i in range(_ROTATION_SLOTS))
 
 
 def _ensure_populated() -> None:

@@ -1,0 +1,558 @@
+"""Round-4 mining/index-structure entries: portable bloom-filter
+semi-join, market-basket association rules, grid-bucketed spatial
+neighbor join, rolling z-score anomaly detection, and the corpus
+datasheet report.
+
+Each entry is oracle-checked (DuckDB twin reproduces every value
+bit-for-bit — integer or exact-decimal arithmetic end-to-end, single
+IEEE operations where doubles are unavoidable). Reference scope: the
+reference pipeline (``/root/reference/src/main.py:87-119``) stops at
+grouped sums; these are the north-star extensions a 100 TB
+training-data/analytics platform layers on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# --------------------------------------------------------------- bloom
+
+_BLOOM_BITS = 1024  # deliberately small so false positives are visible
+_BLOOM_K = 3
+_WORD_BITS = 63  # bits 0..62 — bit 63 is the sign bit / DuckDB overflow
+
+
+def _bloom_pos(col, i: int):
+    """Portable hash position i for a key: 60-bit md5 prefix mod m —
+    identical in Spark and DuckDB (same family as kmv/minhash
+    portable)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+def bloom_semijoin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join with a PORTABLE filter: build a 1024-bit
+    k=3 bloom filter over the "hot customer" key set (c_acctbal >
+    9000), probe every distinct orders customer through it, and certify
+    the filter's algebra against the exact semi-join: zero false
+    negatives (the bloom guarantee — the oracle hash-locks n_false_neg
+    = 0) and a measured false-positive count.
+
+    The filter is a tiny table of (word_idx, word) 63-bit words built
+    with ``bit_or`` — order-independent, mergeable, broadcastable: at
+    100 TB this is Spark's runtime-filter pattern (build on the dim
+    side, broadcast ~128 bytes to every scan task, drop non-matching
+    fact rows before the shuffle); Spark injects the same shape
+    automatically via spark.sql.optimizer.runtime.bloomFilter.enabled,
+    asserted in tests/test_physical_plans.py. Probe-side bit tests are
+    3 broadcast lookups per key — the fact table is never shuffled.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    positions = F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+    words = (
+        keys.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr(f"pos DIV {_WORD_BITS}").alias("word_idx"),
+            F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+        ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probe_bits = probe.select(
+        "k", F.explode(positions).alias("pos")
+    ).select(
+        "k",
+        F.expr(f"pos DIV {_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    checked = probe_bits.join(F.broadcast(words), "word_idx", "left").select(
+        "k",
+        F.when(
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("bit_set"),
+    )
+    per_key = checked.groupBy("k").agg(
+        (F.sum("bit_set") == _BLOOM_K).cast("int").alias("bloom_pass")
+    )
+    marked = per_key.join(
+        F.broadcast(keys.withColumn("is_member", F.lit(1))), "k", "left"
+    ).select(
+        "bloom_pass", F.coalesce("is_member", F.lit(0)).alias("is_member")
+    )
+    summary = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 0) & (F.col("is_member") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return summary.crossJoin(F.broadcast(n_keys)).select(
+        "n_keys", "n_probed", "n_bloom_pass", "n_members", "n_false_pos", "n_false_neg"
+    )
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{i}:' || {expr}::VARCHAR), 1, 15))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+BLOOM_SEMIJOIN_SQL = f"""
+WITH keys AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+), key_bits AS (
+  SELECT k, unnest([{_bloom_pos_sql('k', 0)}, {_bloom_pos_sql('k', 1)},
+                    {_bloom_pos_sql('k', 2)}]) AS pos
+  FROM keys
+), words AS (
+  SELECT pos // {_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << (pos % {_WORD_BITS})::INT) AS word
+  FROM key_bits GROUP BY 1
+), probe AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probe_bits AS (
+  SELECT k, unnest([{_bloom_pos_sql('k', 0)}, {_bloom_pos_sql('k', 1)},
+                    {_bloom_pos_sql('k', 2)}]) AS pos
+  FROM probe
+), checked AS (
+  SELECT pb.k,
+    CASE WHEN w.word IS NOT NULL AND (w.word & (1::BIGINT << (pb.pos % {_WORD_BITS})::INT)) <> 0
+         THEN 1 ELSE 0 END AS bit_set
+  FROM probe_bits pb LEFT JOIN words w ON pb.pos // {_WORD_BITS} = w.word_idx
+), per_key AS (
+  SELECT k, CASE WHEN SUM(bit_set) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass
+  FROM checked GROUP BY k
+), marked AS (
+  SELECT p.bloom_pass, CASE WHEN kk.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM per_key p LEFT JOIN keys kk ON p.k = kk.k
+)
+SELECT (SELECT COUNT(*) FROM keys)::BIGINT AS n_keys,
+  COUNT(*)::BIGINT AS n_probed,
+  SUM(bloom_pass)::BIGINT AS n_bloom_pass,
+  SUM(is_member)::BIGINT AS n_members,
+  SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+  SUM(CASE WHEN bloom_pass = 0 AND is_member = 1 THEN 1 ELSE 0 END)::BIGINT AS n_false_neg
+FROM marked
+"""
+
+
+# ------------------------------------------------------ basket rules
+
+_MIN_SUPPORT_INV = 50  # support >= 1/50 = 2%, compared in integers
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (items = part brands
+    bought in one order): directional rules antecedent → consequent
+    with support, confidence and lift, at min support 2%.
+
+    Classic apriori pruning keeps this scalable: brands below the
+    support floor cannot be part of a frequent pair, so they are
+    dropped BEFORE the quadratic pair self-join (the frequent-item set
+    broadcasts); the basket build is one distinct over (order, brand)
+    with the part dim broadcast. All thresholds compare in integers
+    (``n * {_MIN_SUPPORT_INV} >= N``) — no float-boundary ambiguity —
+    and each output ratio is a single IEEE division, bit-identical in
+    the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    # N as a lazy one-row frame (no eager driver job at plan build)
+    n_frame = baskets.agg(F.countDistinct("oid").alias("n_orders"))
+
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = item_counts.crossJoin(F.broadcast(n_frame)).filter(
+        F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders")
+    )
+    fb = baskets.join(
+        F.broadcast(frequent.select("item")), "item", "left_semi"
+    )
+    pairs = (
+        fb.select("oid", F.col("item").alias("item_a"))
+        .join(fb.select("oid", F.col("item").alias("item_b")), "oid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(n_frame))
+        .filter(F.col("n_ab") * _MIN_SUPPORT_INV >= F.col("n_orders"))
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+        "n_orders",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_ab",
+            "n_orders",
+        )
+    )
+    na = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    nb = item_counts.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    return (
+        directed.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT oid) AS n_orders FROM baskets
+), item_counts AS (
+  SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+), frequent AS (
+  SELECT item FROM item_counts, n WHERE n_item * {_MIN_SUPPORT_INV} >= n_orders
+), fb AS (
+  SELECT b.oid, b.item FROM baskets b SEMI JOIN frequent f ON b.item = f.item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+  FROM fb a JOIN fb b ON a.oid = b.oid AND a.item < b.item
+  GROUP BY 1, 2
+), freq_pairs AS (
+  SELECT * FROM pairs, n WHERE n_ab * {_MIN_SUPPORT_INV} >= n_orders
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_ab, n_orders FROM freq_pairs
+  UNION ALL
+  SELECT item_b, item_a, n_ab, n_orders FROM freq_pairs
+)
+SELECT d.antecedent, d.consequent, d.n_ab,
+  ROUND(d.n_ab::DOUBLE / d.n_orders::DOUBLE, 6) AS support,
+  ROUND(d.n_ab::DOUBLE / ia.n_item::DOUBLE, 6) AS confidence,
+  ROUND((d.n_ab * d.n_orders)::DOUBLE / (ia.n_item * ib.n_item)::DOUBLE, 6) AS lift
+FROM directed d
+JOIN item_counts ia ON d.antecedent = ia.item
+JOIN item_counts ib ON d.consequent = ib.item
+"""
+
+
+# ------------------------------------------------------- spatial grid
+
+_GRID_CELL = 2
+_GRID_R2 = 4  # radius 2, compared as squared integer distance
+
+
+def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold spatial self-join via grid bucketing: points
+    on an integer plane (derived deterministically from events), pairs
+    within euclidean distance 2, candidates generated ONLY between
+    3×3 neighboring cells of side = radius.
+
+    The standard distributed spatial-join shape: each point has ONE
+    home cell; the probe side replicates each point to its 9 neighbor
+    cells; the equi-join on cell key makes candidate generation local
+    and skew-bounded (cell population), never all-pairs. Each qualifying
+    pair is emitted exactly once WITHOUT a dedup shuffle: a pair (a<b)
+    is kept only where a is the probe and b the home — the reverse
+    orientation is filtered, and since |Δcell| ≤ 1 whenever distance ≤
+    radius, coverage is complete (proved by the brute-force twin in
+    tests/test_mining.py). Integer coordinates end-to-end, so the
+    oracle is bit-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 97).alias("x"),
+        (F.col("event_id") % 89).alias("y"),
+    )
+    home = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {_GRID_CELL}").alias("cx"),
+        F.expr(f"y DIV {_GRID_CELL}").alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.expr(f"x DIV {_GRID_CELL}").alias("pcx"),
+        F.expr(f"y DIV {_GRID_CELL}").alias("pcy"),
+        offsets.alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("pcx") + F.col("o.dx")).alias("cx"),
+        (F.col("pcy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= _GRID_R2)
+        .select("id_a", "id_b", "dist2")
+    )
+
+
+GRID_NEIGHBOR_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS id, user_id % 97 AS x, event_id % 89 AS y
+  FROM events WHERE event_id % 7 = 0
+), probe AS (
+  SELECT p.id AS id_a, p.x AS xa, p.y AS ya,
+         p.x // {_GRID_CELL} + o.dx AS cx, p.y // {_GRID_CELL} + o.dy AS cy
+  FROM pts p CROSS JOIN (
+    SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                       (SELECT unnest([-1, 0, 1]) AS dy)
+  ) o
+), home AS (
+  SELECT id AS id_b, x AS xb, y AS yb,
+         x // {_GRID_CELL} AS cx, y // {_GRID_CELL} AS cy
+  FROM pts
+)
+SELECT id_a, id_b,
+  (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2
+FROM probe JOIN home USING (cx, cy)
+WHERE id_a < id_b
+  AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= {_GRID_R2}
+"""
+
+
+# ---------------------------------------------------- rolling z-score
+
+_Z_WINDOW = 12  # trailing observations per user
+_Z_MIN_N = 6
+_Z_CUT = 2.0
+
+
+def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: per user, each event's value
+    is z-scored against the TRAILING {_Z_WINDOW} observations (rows
+    between 12 preceding and 1 preceding — the causal frame: a point
+    never scores against itself or the future), flagged at |z| > 2;
+    output is the per-event-type anomaly census.
+
+    Determinism: the window mean/variance come from EXACT decimal sums
+    (value and value² as decimals — order-independent), and the final
+    mean/var/z arithmetic is a fixed chain of single IEEE operations
+    mirrored verbatim in the oracle. Ties in the event ordering break
+    on event_id in both engines. One hash exchange on user_id serves
+    the whole window chain; the frame aggregation is linear per user —
+    the same plan shape at 100 TB, with AQE handling user skew.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    vdec = F.col("value").cast("decimal(12,2)")
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(vdec).over(w).alias("s1"),
+        F.sum(vdec * vdec).over(w).alias("s2"),
+    ).filter(F.col("n") >= _Z_MIN_N)
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (F.col("s2").cast("double") - mean * mean * F.col("n").cast("double")) / (
+        F.col("n").cast("double") - F.lit(1.0)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    flagged = scored.filter(var > 1e-9).select(
+        "event_type", F.round(z, 6).alias("z")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum((F.abs("z") > _Z_CUT).cast("int")).cast("long").alias("n_anomalies"),
+        F.round(F.max("z"), 6).alias("max_z"),
+        F.round(F.min("z"), 6).alias("min_z"),
+    )
+
+
+ROLLING_ZSCORE_SQL = f"""
+WITH scored AS (
+  SELECT event_id, event_type, value,
+    COUNT(value) OVER w AS n,
+    SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
+    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type,
+    ROUND((value - s1::DOUBLE / n::DOUBLE)
+          / sqrt((s2::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) * n::DOUBLE)
+                 / (n::DOUBLE - 1.0)), 6) AS z
+  FROM scored
+  WHERE n >= {_Z_MIN_N}
+    AND (s2::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) * n::DOUBLE)
+        / (n::DOUBLE - 1.0) > 1e-9
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_scored,
+  SUM(CASE WHEN abs(z) > {_Z_CUT} THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+  ROUND(MAX(z), 6) AS max_z, ROUND(MIN(z), 6) AS min_z
+FROM z GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------- corpus datasheet
+
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card report of a training corpus, per (source, lang):
+    document/token volumes, exact-duplicate share (corpus-wide
+    fingerprint collisions attributed to each slice), quality mean and
+    low-quality share — the summary every corpus release ships with.
+
+    Plan: one narrow scan computes tokens/quality/fingerprint per doc;
+    corpus-wide duplicate groups come from a fingerprint aggregation
+    joined back (shuffle on the md5 key, partial-agg combined); the
+    final rollup is a single hash aggregate on (source, lang). Quality
+    aggregates go through exact decimals (quality is 6dp-rounded, so
+    the decimal cast is exact).
+    """
+    from ..functions.numeric import _dec
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        textops.token_count("text").alias("n_tokens"),
+        textops.quality_score("text").alias("quality"),
+        textops.fingerprint_md5("text").alias("fingerprint"),
+    )
+    fp_counts = scored.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("fp_n")
+    )
+    enriched = scored.join(fp_counts, "fingerprint")
+    return enriched.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("fp_n") > 1).cast("int")).cast("long").alias("n_dup_docs"),
+        F.round(F.sum(_dec("quality")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_quality"
+        ),
+        F.sum((F.col("quality") < 0.2).cast("int")).cast("long").alias("n_low_quality"),
+    )
+
+
+def _quality_sql_fragment() -> str:
+    from .text_queries import _STOP_SQL
+
+    return f"""
+  SELECT doc_id, source, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    ROUND(0.5 * (len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL['en']})) * 1.0
+                 / greatest(len(list_distinct(string_split(text, ' '))), 1))
+        + 0.3 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        + 0.2 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1)), 6) AS quality,
+    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+"""
+
+
+def _corpus_datasheet_sql() -> str:
+    return f"""
+WITH scored AS ({_quality_sql_fragment()}),
+fp_counts AS (
+  SELECT fingerprint, COUNT(*) AS fp_n FROM scored GROUP BY fingerprint
+), enriched AS (
+  SELECT s.*, f.fp_n FROM scored s JOIN fp_counts f USING (fingerprint)
+)
+SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+  SUM(n_tokens)::BIGINT AS total_tokens,
+  SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+  ROUND(CAST(CAST(SUM(CAST(quality AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+        / COUNT(*), 6) AS avg_quality,
+  SUM(CASE WHEN quality < 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_low_quality
+FROM enriched GROUP BY source, lang
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register(
+        "bloom_semijoin_portable",
+        bloom_semijoin_portable,
+        BLOOM_SEMIJOIN_SQL,
+        headline=True,
+    )
+    register(
+        "market_basket_rules", market_basket_rules, MARKET_BASKET_SQL, headline=True
+    )
+    register("grid_neighbor_join", grid_neighbor_join, GRID_NEIGHBOR_SQL)
+    register("rolling_zscore_events", rolling_zscore_events, ROLLING_ZSCORE_SQL)
+    register("corpus_datasheet", corpus_datasheet, _corpus_datasheet_sql())

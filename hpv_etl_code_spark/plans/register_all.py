@@ -18,6 +18,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         func_batteries3,
         image_queries,
         merged_queries,
+        mining_queries,
         olap_queries,
         packing_queries,
         parity_queries,
@@ -58,4 +59,5 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     quality_queries.register_entries(register)
     image_queries.register_entries(register)
     temporal_graph_queries.register_entries(register)
+    mining_queries.register_entries(register)
     olap_queries.register_entries(register)

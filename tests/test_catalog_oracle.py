@@ -41,10 +41,21 @@ def test_gate_window_composition():
     # from each other, so every pooled entry is in-window every other
     # round (ADVICE r3)
     pool = catalog._ROTATION_POOL
-    assert len(pool) == 2 * catalog._ROTATION_SLOTS
+    assert len(pool) >= catalog._ROTATION_SLOTS
     assert not set(pool) & set(catalog._PRIORITY)
     assert len(set(pool)) == len(pool)
     assert all(n in es for n in pool)
+    # the cyclic slice visits every pool entry within ceil(n/slots) rounds
+    import math
+
+    rounds = math.ceil(len(pool) / catalog._ROTATION_SLOTS) + 1
+    seen = set()
+    for r in range(catalog._ROUND, catalog._ROUND + rounds):
+        start = (r * catalog._ROTATION_SLOTS) % len(pool)
+        seen.update(
+            pool[(start + i) % len(pool)] for i in range(catalog._ROTATION_SLOTS)
+        )
+    assert seen == set(pool)
     rows_only = [n for n in names[:50] if es[n].oracle is None]
     # round 3: the window is fully oracle-dense — the sketch slot is
     # held by the portable KMV entry (exact DuckDB twin);

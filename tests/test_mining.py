@@ -1,0 +1,90 @@
+"""Invariant tests for the round-4 mining entries (plans/mining_queries):
+bloom semi-join algebra, association-rule identities, spatial-join
+completeness vs brute force, rolling z-score sanity, datasheet totals.
+Oracle parity is covered by tests/test_catalog_oracle.py; these lock the
+SEMANTICS the oracles alone cannot (e.g. grid join == brute force)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.plans import mining_queries as mq
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_bloom_no_false_negatives_and_visible_fps(spark, sf_dir):
+    row = mq.bloom_semijoin_portable(spark, sf_dir).collect()[0]
+    # the bloom guarantee: every true member passes
+    assert row.n_false_neg == 0
+    assert row.n_bloom_pass == row.n_members + row.n_false_pos
+    assert row.n_members <= row.n_bloom_pass <= row.n_probed
+    # the filter is sized to make false positives observable (1024 bits)
+    assert row.n_keys > 0 and row.n_probed > 0
+
+
+def test_basket_rule_identities(spark, sf_dir):
+    rules = mq.market_basket_rules(spark, sf_dir).collect()
+    assert rules, "min support too high for the corpus"
+    by_pair = {}
+    for r in rules:
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        # directional twins share n_ab and support
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        by_pair.setdefault(key, []).append(r)
+    for key, pair_rules in by_pair.items():
+        assert len(pair_rules) == 2, f"missing direction for {key}"
+        a, b = pair_rules
+        assert a.n_ab == b.n_ab and a.support == b.support
+        # lift is symmetric
+        assert abs(a.lift - b.lift) < 1e-9
+
+
+def test_grid_join_equals_brute_force(spark, sf_dir):
+    """The grid-bucketed neighbor join must find EXACTLY the pairs the
+    O(n²) cross join finds — completeness and no duplicates."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 97).alias("x"),
+        (F.col("event_id") % 89).alias("y"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= 4)
+        .select("id_a", "id_b", "dist2")
+    )
+    grid_rows = [tuple(r) for r in mq.grid_neighbor_join(spark, sf_dir).collect()]
+    brute_rows = [tuple(r) for r in brute.collect()]
+    assert len(grid_rows) == len(set(grid_rows)), "duplicate pairs emitted"
+    assert set(grid_rows) == set(brute_rows) and brute_rows
+
+
+def test_rolling_zscore_sanity(spark, sf_dir):
+    rows = mq.rolling_zscore_events(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_anomalies <= r.n_scored
+        assert r.min_z <= r.max_z
+
+
+def test_datasheet_totals_match_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rows = mq.corpus_datasheet(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.n_low_quality <= r.n_docs
+        assert 0.0 <= r.avg_quality <= 1.0

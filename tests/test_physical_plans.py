@@ -362,3 +362,43 @@ def test_fanout_join_inputs_keep_pinned_partition_counts(spark, sf_dir, entry, n
     df = catalog.entries()[entry].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("REPARTITION_BY_NUM") >= n_pins, entry
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning — the engine-native
+    analog of the portable bloom_semijoin_portable entry: with the
+    optimizer flag on and a shuffle join, the fact side's scan gains a
+    might_contain(bloom_filter_agg(dim keys)) filter, dropping
+    non-matching rows BEFORE the shuffle. Conf overrides are scoped and
+    restored."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prior = {}
+    for k, v in confs.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_acctbal") > 9000
+        )
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
