@@ -543,6 +543,72 @@ FROM enriched GROUP BY source, lang
 """
 
 
+# ----------------------------------------------------- CV fold splits
+
+_N_FOLDS = 5
+
+
+def fold_assignment_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware cross-validation fold assignment: every event lands
+    in the fold of its USER (portable md5 hash of user_id mod k), so no
+    user's data straddles a train/validation boundary — the
+    leakage-free split every ML data pipeline needs. The census also
+    quantifies why row-level hashing is wrong: the fold = -1 summary row
+    counts users whose events would scatter across folds under naive
+    per-event hashing (n_users column), alongside the total event count.
+
+    Plan: two narrow hash columns, one aggregation by fold + one by
+    user for the naive-leak census — no joins, embarrassingly parallel,
+    deterministic and subset-stable (a user's fold never changes as data
+    grows, the property that makes incremental re-splits safe).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fold_of = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _N_FOLDS
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        fold_of("user_id").alias("fold"),
+        fold_of("event_id").alias("naive_fold"),
+    )
+    per_fold = tagged.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    naive_split = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("naive_fold").alias("nf"))
+        .agg(
+            F.lit(-1).cast("bigint").alias("fold"),
+            F.sum((F.col("nf") > 1).cast("int")).cast("long").alias("n_users"),
+        )
+        .crossJoin(
+            F.broadcast(ev.agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+        )
+    )
+    return per_fold.unionByName(naive_split)
+
+
+FOLD_ASSIGNMENT_SQL = f"""
+WITH tagged AS (
+  SELECT event_id, user_id,
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % {_N_FOLDS} AS fold,
+    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % {_N_FOLDS} AS naive_fold
+  FROM events
+)
+SELECT fold, COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(*)::BIGINT AS n_events
+FROM tagged GROUP BY fold
+UNION ALL
+SELECT -1::BIGINT, SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)::BIGINT,
+       (SELECT COUNT(*) FROM events)::BIGINT
+FROM (SELECT user_id, COUNT(DISTINCT naive_fold) AS nf FROM tagged GROUP BY user_id)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "bloom_semijoin_portable",
@@ -556,3 +622,6 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("grid_neighbor_join", grid_neighbor_join, GRID_NEIGHBOR_SQL)
     register("rolling_zscore_events", rolling_zscore_events, ROLLING_ZSCORE_SQL)
     register("corpus_datasheet", corpus_datasheet, _corpus_datasheet_sql())
+    register(
+        "fold_assignment_leakfree", fold_assignment_leakfree, FOLD_ASSIGNMENT_SQL
+    )

@@ -88,3 +88,15 @@ def test_datasheet_totals_match_corpus(spark, sf_dir):
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert 0 <= r.n_low_quality <= r.n_docs
         assert 0.0 <= r.avg_quality <= 1.0
+
+
+def test_fold_assignment_group_aware(spark, sf_dir):
+    rows = mq.fold_assignment_leakfree(spark, sf_dir).collect()
+    folds = {r.fold: r for r in rows}
+    assert set(folds) == {-1, 0, 1, 2, 3, 4}
+    ev_total = folds[-1].n_events
+    assert sum(r.n_events for f, r in folds.items() if f >= 0) == ev_total
+    # with many events per user, naive per-event hashing splits nearly
+    # every user across folds — the leak the group-aware split avoids
+    total_users = sum(r.n_users for f, r in folds.items() if f >= 0)
+    assert folds[-1].n_users > 0.5 * total_users
