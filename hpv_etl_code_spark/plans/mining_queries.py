@@ -182,11 +182,17 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bought in one order): directional rules antecedent → consequent
     with support, confidence and lift, at min support 2%.
 
-    Classic apriori pruning keeps this scalable: brands below the
-    support floor cannot be part of a frequent pair, so they are
-    dropped BEFORE the quadratic pair self-join (the frequent-item set
-    broadcasts); the basket build is one distinct over (order, brand)
-    with the part dim broadcast. All thresholds compare in integers
+    One shuffle builds the baskets (groupBy order, ``collect_set`` of
+    brands — the set dedupes, no separate DISTINCT pass), and pair
+    GENERATION is row-local: each sorted basket array explodes its own
+    C(m,2) ordered pairs inside codegen, so the only other exchanges
+    are the two small aggregations (item counts, pair counts) — no
+    basket self-join shuffle at all. Items below the support floor
+    cannot form a frequent pair, so the final integer support cut
+    subsumes apriori item pruning output-identically; for wide-vocab
+    corpora the same cut can be applied to basket arrays before pair
+    expansion (array_intersect with the broadcast frequent set) to
+    bound the local C(m,2) work. All thresholds compare in integers
     (``n * {_MIN_SUPPORT_INV} >= N``) — no float-boundary ambiguity —
     and each output ratio is a single IEEE division, bit-identical in
     the oracle.
@@ -195,23 +201,31 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("oid"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
     )
     # N as a lazy one-row frame (no eager driver job at plan build)
-    n_frame = baskets.agg(F.countDistinct("oid").alias("n_orders"))
+    n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
 
-    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    frequent = item_counts.crossJoin(F.broadcast(n_frame)).filter(
-        F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders")
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    fb = baskets.join(
-        F.broadcast(frequent.select("item")), "item", "left_semi"
+    # row-local ordered-pair expansion: for each i, pair items[i] with
+    # every later element of the sorted array
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda a, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
     )
     pairs = (
-        fb.select("oid", F.col("item").alias("item_a"))
-        .join(fb.select("oid", F.col("item").alias("item_b")), "oid")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .crossJoin(F.broadcast(n_frame))
