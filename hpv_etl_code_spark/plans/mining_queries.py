@@ -407,24 +407,15 @@ _Z_MIN_N = 6
 _Z_CUT = 2.0
 
 
-def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-style anomaly detection: per user, each event's value
-    is z-scored against the TRAILING {_Z_WINDOW} observations (rows
-    between 12 preceding and 1 preceding — the causal frame: a point
-    never scores against itself or the future), flagged at |z| > 2;
-    output is the per-event-type anomaly census.
-
-    Determinism: the window mean/variance come from EXACT decimal sums
-    (value and value² as decimals — order-independent), and the final
-    mean/var/z arithmetic is a fixed chain of single IEEE operations
-    mirrored verbatim in the oracle. Ties in the event ordering break
-    on event_id in both engines. One hash exchange on user_id serves
-    the whole window chain; the frame aggregation is linear per user —
-    the same plan shape at 100 TB, with AQE handling user skew.
-    """
+def rolling_zscores(ev: DataFrame) -> DataFrame:
+    """Per-event causal rolling z-score (the shared scorer behind the
+    batch census entry AND the streaming equivalence test — the
+    stateful stream twin in streaming/stateful.py::zscore_stream must
+    reproduce these rows exactly). Output: (event_id, event_type, z)
+    for events with ≥ {_Z_MIN_N} trailing observations and positive
+    variance; z rounded to 6dp."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -444,9 +435,27 @@ def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") - F.lit(1.0)
     )
     z = (F.col("value") - mean) / F.sqrt(var)
-    flagged = scored.filter(var > 1e-9).select(
-        "event_type", F.round(z, 6).alias("z")
+    return scored.filter(var > 1e-9).select(
+        "event_id", "event_type", F.round(z, 6).alias("z")
     )
+
+
+def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: per user, each event's value
+    is z-scored against the TRAILING {_Z_WINDOW} observations (rows
+    between 12 preceding and 1 preceding — the causal frame: a point
+    never scores against itself or the future), flagged at |z| > 2;
+    output is the per-event-type anomaly census.
+
+    Determinism: the window mean/variance come from EXACT decimal sums
+    (value and value² as decimals — order-independent), and the final
+    mean/var/z arithmetic is a fixed chain of single IEEE operations
+    mirrored verbatim in the oracle. Ties in the event ordering break
+    on event_id in both engines. One hash exchange on user_id serves
+    the whole window chain; the frame aggregation is linear per user —
+    the same plan shape at 100 TB, with AQE handling user skew.
+    """
+    flagged = rolling_zscores(load_table(spark, sf_dir, "events"))
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
         F.sum((F.abs("z") > _Z_CUT).cast("int")).cast("long").alias("n_anomalies"),

@@ -26,14 +26,17 @@ small heap).
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -164,5 +167,108 @@ def sessionize_stream(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ------------------------------------------------- rolling z-score
+
+ZSCORE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("z", DoubleType()),
+    ]
+)
+_ZSTATE_SCHEMA = StructType([StructField("cents", ArrayType(LongType()))])
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round(double, 6): shortest-repr decimal, HALF_UP — NOT
+    Python's banker's round (round(0.5) == 0 would diverge)."""
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _make_zscorer(window: int, min_n: int):
+    import math
+
+    def score(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = the user's trailing <=window values as exact integer
+        # cents (value is 2dp) — bounded memory per key, and the decimal
+        # sums of the batch twin reproduce exactly from integers
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, etype, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                val = float(val)
+                n = len(buf)
+                if n >= min_n:
+                    # mirror the batch twin's IEEE chain exactly:
+                    # s1/s2 are exact decimal sums presented as double
+                    s1 = float(sum(buf)) / 100.0
+                    s2 = float(sum(c * c for c in buf)) / 10000.0
+                    nn = float(n)
+                    mean = s1 / nn
+                    var = (s2 - mean * mean * nn) / (nn - 1.0)
+                    if var > 1e-9:
+                        z = (val - mean) / math.sqrt(var)
+                        out.append((int(eid), etype, _round6_half_up(z)))
+                # mirror the batch twin's CAST(value AS DECIMAL(12,2)):
+                # HALF_UP on the shortest decimal repr, kept as cents
+                cents = int(
+                    decimal.Decimal(repr(val)).quantize(
+                        decimal.Decimal("0.01"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                    * 100
+                )
+                buf.append(cents)
+                if len(buf) > window:
+                    buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(out, columns=["event_id", "event_type", "z"])
+
+    return score
+
+
+def zscore_stream(
+    stream_df: DataFrame,
+    window: int = 12,
+    min_n: int = 6,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming rolling z-score: each event scored against its user's
+    trailing ``window`` observations (causal — never against itself or
+    the future), exactly as plans/mining_queries.py::rolling_zscores
+    computes in batch (equivalence locked in tests/test_stateful_zscore
+    .py). State per user is one bounded integer array — memory scales
+    with ACTIVE KEYS, not history, so the stream runs forever; the
+    batch twin would have to re-window all history per run.
+
+    Ordering contract: same as :func:`sessionize_stream` — per-key
+    event time non-decreasing across micro-batches (sorted within)."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_zscorer(window, min_n),
+            outputStructType=ZSCORE_SCHEMA,
+            stateStructType=_ZSTATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
