@@ -54,6 +54,15 @@ REPRESENTATIVE = (
     "setop_union_distinct",
     "scalar_subquery_above_avg",
     "q3_shipping_priority",
+    # round-4 families
+    "bloom_semijoin_portable",
+    "market_basket_rules",
+    "grid_neighbor_join",
+    "rolling_zscore_events",
+    "corpus_datasheet",
+    "fold_assignment_leakfree",
+    "dedup_minhash_lsh",
+    "dedup_incremental_fast",
 )
 
 

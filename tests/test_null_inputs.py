@@ -45,6 +45,13 @@ REPRESENTATIVE = (
     "text_metrics",
     "mad_outliers_events",
     "funnel_conversion",
+    # round-4 families
+    "bloom_semijoin_portable",
+    "market_basket_rules",
+    "grid_neighbor_join",
+    "rolling_zscore_events",
+    "corpus_datasheet",
+    "fold_assignment_leakfree",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
