@@ -632,6 +632,72 @@ FROM (SELECT user_id, COUNT(DISTINCT naive_fold) AS nf FROM tagged GROUP BY user
 """
 
 
+# ------------------------------------------------- entity resolution
+
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution to GOLDEN RECORDS: blocked fuzzy
+    match (brand block + lossless length prefilter + levenshtein ≤ 2,
+    as ``fuzzy_blocked_pairs``) → connected components (min-label +
+    pointer jumping, ``operators/components.py``) → per-cluster
+    survivorship: canonical key = min part key, representative
+    attributes resolved by deterministic rules (max retail price, min
+    size, member count). Singletons (no fuzzy match) are their own
+    cluster via a left join — the full master-data shape: every source
+    record maps to exactly one golden record.
+
+    Scale: pair generation is Σ|block|²/2 (never all-pairs), the
+    component fixpoint is O(E · log diameter) pointer-jumping rounds,
+    and survivorship is one hash aggregation. The whole composition is
+    deterministic, so the oracle reproduces it with a recursive-CTE
+    closure."""
+    from ..operators.components import connected_components
+    from .scale_queries import fuzzy_blocked_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_blocked_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="key_a", dst="key_b")
+    clustered = p.join(
+        comps, p.p_partkey == comps.id, "left"
+    ).withColumn("cluster", F.coalesce("component", "p_partkey"))
+    return clustered.groupBy("cluster").agg(
+        F.min("p_partkey").alias("golden_key"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("p_retailprice").alias("best_price"),
+        F.min("p_size").cast("long").alias("min_size"),
+    )
+
+
+GOLDEN_RECORD_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+  FROM part a
+  JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2
+), sym AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM sym
+), reach(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), comps AS (
+  SELECT node AS id, MIN(label) AS component FROM reach GROUP BY node
+), clustered AS (
+  SELECT p.p_partkey, p.p_retailprice, p.p_size,
+         COALESCE(c.component, p.p_partkey) AS cluster
+  FROM part p LEFT JOIN comps c ON p.p_partkey = c.id
+)
+SELECT cluster, MIN(p_partkey) AS golden_key, COUNT(*)::BIGINT AS n_members,
+       MAX(p_retailprice) AS best_price, MIN(p_size)::BIGINT AS min_size
+FROM clustered GROUP BY cluster
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "bloom_semijoin_portable",
@@ -648,3 +714,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "fold_assignment_leakfree", fold_assignment_leakfree, FOLD_ASSIGNMENT_SQL
     )
+    register("golden_record_parts", golden_record_parts, GOLDEN_RECORD_SQL)

@@ -100,3 +100,26 @@ def test_fold_assignment_group_aware(spark, sf_dir):
     # every user across folds — the leak the group-aware split avoids
     total_users = sum(r.n_users for f, r in folds.items() if f >= 0)
     assert folds[-1].n_users > 0.5 * total_users
+
+
+def test_golden_record_partition_of_parts(spark, sf_dir):
+    """Golden records form a PARTITION of the part table: member counts
+    sum to |part|, each cluster's golden key is its minimum member, and
+    matched pairs always land in the same cluster."""
+    p = load_table(spark, sf_dir, "part")
+    rows = mq.golden_record_parts(spark, sf_dir).collect()
+    assert sum(r.n_members for r in rows) == p.count()
+    for r in rows:
+        assert r.golden_key == r.cluster  # min-label clustering
+        assert r.n_members >= 1
+    from hpv_etl_code_spark.plans.scale_queries import fuzzy_blocked_pairs
+    from hpv_etl_code_spark.operators.components import connected_components
+
+    comps = {
+        r.id: r.component
+        for r in connected_components(
+            fuzzy_blocked_pairs(spark, sf_dir), src="key_a", dst="key_b"
+        ).collect()
+    }
+    for pair in fuzzy_blocked_pairs(spark, sf_dir).collect():
+        assert comps[pair.key_a] == comps[pair.key_b]
