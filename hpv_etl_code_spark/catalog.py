@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "grid_neighbor_join",
     "rolling_zscore_events",
     "corpus_datasheet",
+    "golden_record_parts",
     # TPC-H headline shapes
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -134,7 +135,6 @@ _PRIORITY: tuple[str, ...] = (
     # oracle-checked in the tail): Pareto skyline, bitmap-word distinct,
     # Welch A/B, PSI drift, hybrid RRF retrieval, exact kNN graph
     "ab_welch_ttest",
-    "psi_value_drift",
     "hybrid_rrf_docs",
     "knn_graph",
 )
@@ -152,7 +152,7 @@ _PRIORITY: tuple[str, ...] = (
 _ROUND = 4  # bump once per judged round
 _ROTATION_SLOTS = 7
 _ROTATION_POOL: tuple[str, ...] = (
-    # ordered so round 4's slice (start (4*7) % 19 = 9) lands on the six
+    # ordered so round 4's slice (start (4*7) % 20 = 8) lands on the six
     # entries ADVICE r3 flagged as evicted, restoring their driver-level
     # check immediately; later rounds cycle through the rest
     "window_frames",
@@ -163,7 +163,6 @@ _ROTATION_POOL: tuple[str, ...] = (
     "sampled_quantile_portable",
     "bitmap_distinct_events",
     "scd2_user_events",
-    "dq_report_orders",
     "window_analytics",
     "latest_per_key",
     "profile_customers",
@@ -171,9 +170,11 @@ _ROTATION_POOL: tuple[str, ...] = (
     "part_funcs_battery",
     "q6_forecast_revenue",
     "deterministic_sample",
+    "dq_report_orders",
     "reconcile_orders_drift",
     "funnel_conversion",
     "skyline_parts",
+    "psi_value_drift",
 )
 
 
