@@ -632,6 +632,63 @@ FROM (SELECT user_id, COUNT(DISTINCT naive_fold) AS nf FROM tagged GROUP BY user
 """
 
 
+# ---------------------------------------------- sequential recurrence
+
+_EWMA_ALPHA = 0.2
+
+
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — a SEQUENTIAL
+    recurrence (ewma_t = α·x_t + (1−α)·ewma_{t−1}) that no window frame
+    expresses, computed as a higher-order ``aggregate`` fold over the
+    user's time-ordered value array. Fold order is total (ts, event_id,
+    value struct sort), and both engines execute the identical
+    left-fold of identical IEEE operations, so the result hash-matches
+    bit-for-bit (DuckDB twin: ``list(... ORDER BY ...)`` +
+    ``list_reduce``).
+
+    Scale: one hash exchange (groupBy user); per-key state is the
+    key's own history array — bounded by per-entity cardinality, the
+    usual telemetry shape. For pathologically long keys the same
+    recurrence segments: fold each chunk to (carry_factor, partial) and
+    compose carries associatively — this entry keeps the simple form
+    and documents the seam.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    per_user = ev.groupBy("user_id").agg(arr.alias("a"))
+    vals = F.transform("a", lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals)),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: x * F.lit(_EWMA_ALPHA) + acc * F.lit(1.0 - _EWMA_ALPHA),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+        F.round(F.element_at(vals, -1), 6).alias("last_value"),
+    )
+
+
+EWMA_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    list(value ORDER BY ts, event_id, value) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  len(vals)::BIGINT AS n_events,
+  ROUND(list_reduce(list_transform(vals, v -> v::DOUBLE),
+        (acc, x) -> x * {_EWMA_ALPHA} + acc * {1.0 - _EWMA_ALPHA}), 6)
+    AS ewma_value,
+  ROUND(vals[-1]::DOUBLE, 6) AS last_value
+FROM per_user
+"""
+
+
 # ------------------------------------------------- entity resolution
 
 def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,3 +772,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
         "fold_assignment_leakfree", fold_assignment_leakfree, FOLD_ASSIGNMENT_SQL
     )
     register("golden_record_parts", golden_record_parts, GOLDEN_RECORD_SQL)
+    register("ewma_user_values", ewma_user_values, EWMA_SQL)

@@ -123,3 +123,33 @@ def test_golden_record_partition_of_parts(spark, sf_dir):
     }
     for pair in fuzzy_blocked_pairs(spark, sf_dir).collect():
         assert comps[pair.key_a] == comps[pair.key_b]
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    """The aggregate() fold must equal a literal Python left-fold of the
+    same ordered values (bit-exact — same IEEE op chain)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.user_id: r for r in mq.ewma_user_values(spark, sf_dir).collect()}
+    sample_users = sorted(rows)[:5]
+    raw = (
+        ev.filter(F.col("user_id").isin([int(u) for u in sample_users]))
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for u in sample_users:
+        vals = [v for _, _, v in sorted(by_user[u])]
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = x * 0.2 + acc * 0.8
+        import decimal
+
+        expected = float(
+            decimal.Decimal(repr(acc)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert rows[u].ewma_value == expected
+        assert rows[u].n_events == len(vals)
