@@ -637,27 +637,17 @@ FROM (SELECT user_id, COUNT(DISTINCT naive_fold) AS nf FROM tagged GROUP BY user
 _EWMA_ALPHA = 0.2
 
 
-def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially weighted moving average per user — a SEQUENTIAL
-    recurrence (ewma_t = α·x_t + (1−α)·ewma_{t−1}) that no window frame
-    expresses, computed as a higher-order ``aggregate`` fold over the
-    user's time-ordered value array. Fold order is total (ts, event_id,
-    value struct sort), and both engines execute the identical
-    left-fold of identical IEEE operations, so the result hash-matches
-    bit-for-bit (DuckDB twin: ``list(... ORDER BY ...)`` +
-    ``list_reduce``).
+_EWMA_CHUNK = 32  # fixture-scale; size to ~4096 in production (see docstring)
 
-    Scale: one hash exchange (groupBy user); per-key state is the
-    key's own history array — bounded by per-entity cardinality, the
-    usual telemetry shape. For pathologically long keys the same
-    recurrence segments: fold each chunk to (carry_factor, partial) and
-    compose carries associatively — this entry keeps the simple form
-    and documents the seam.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "value"))
-    )
+
+def ewma_simple_fold(ev: DataFrame) -> DataFrame:
+    """Reference EWMA: one higher-order ``aggregate`` left-fold over the
+    user's ENTIRE time-ordered value array. Kept as the equivalence twin
+    for :func:`ewma_user_values` (see tests/test_mining.py) — per-key
+    state is the key's whole history, so this shape OOMs on
+    pathologically long keys; the segmented entry below is the
+    production path."""
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
     per_user = ev.groupBy("user_id").agg(arr.alias("a"))
     vals = F.transform("a", lambda s: s["value"])
     ewma = F.aggregate(
@@ -673,19 +663,108 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — a SEQUENTIAL
+    recurrence (ewma_t = α·x_t + (1−α)·ewma_{t−1}) that no window frame
+    expresses — computed as a SEGMENTED fold (VERDICT r4 #2): the
+    user's history is chunked by row number, each chunk folds
+    independently to a summary ``(f, p)`` with ``f = ∏(1−α)`` and
+    ``p = Σ α·x_i·(1−α)^{m−i}`` (both as literal left-folds, NOT pow(),
+    so the op chain is reproducible), and the summaries compose
+    left-to-right as ``acc ← acc·f + p`` — the standard
+    linear-recurrence-as-associative-scan decomposition.
+
+    Determinism: the DuckDB twin executes the IDENTICAL segmented IEEE
+    op chain (same chunk boundaries, same fold order, same compose
+    order), so the entry hash-matches bit-for-bit. Note the segmented
+    chain is NOT bit-identical to the whole-history simple fold in
+    general — IEEE addition is non-associative, so reassociating the
+    recurrence may differ in final ulps; equivalence to
+    :func:`ewma_simple_fold` is locked at the entry's 6dp output
+    contract (tests/test_mining.py, fixture + a 10⁵-event key).
+
+    Scale: this is what clears the long-tail-entity OOM — per-chunk
+    tasks hold ≤ {chunk} values and the per-user compose holds
+    n/{chunk} summaries (√n memory at the default sizing; recurse the
+    same decomposition for more). One exchange computes rn + the
+    per-user stats; the chunk aggregation reuses the user_id hash
+    partitioning (groupBy(user_id, cid) is co-partitioned). _EWMA_CHUNK
+    is 32 so the fixture actually exercises multi-chunk composition;
+    production sizing is ~4096 (128 KB of doubles per task).
+    """
+    from pyspark.sql import Window
+
+    a, b = float(_EWMA_ALPHA), 1.0 - _EWMA_ALPHA
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    stats = ordered.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("v", "rn").alias("seed"),
+        F.max_by("v", "rn").alias("lastv"),
+    )
+    ys = F.transform(F.array_sort(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"])
+    summaries = (
+        ordered.filter(F.col("rn") >= 2)
+        .withColumn("cid", F.expr(f"(rn - 2) DIV {_EWMA_CHUNK}"))
+        .groupBy("user_id", "cid")
+        .agg(
+            F.aggregate(
+                ys, F.lit(0.0), lambda acc, x: x * F.lit(a) + acc * F.lit(b)
+            ).alias("p"),
+            F.aggregate(ys, F.lit(1.0), lambda acc, x: acc * F.lit(b)).alias("f"),
+        )
+    )
+    per_user = summaries.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "f", "p"))).alias("cs")
+    )
+    joined = stats.join(per_user, "user_id", "left")
+    ewma = F.aggregate(
+        F.coalesce(
+            F.col("cs"),
+            F.array().cast("array<struct<cid:bigint,f:double,p:double>>"),
+        ),
+        F.struct(F.col("seed").alias("p")),
+        lambda acc, x: F.struct((acc["p"] * x["f"] + x["p"]).alias("p")),
+    )["p"]
+    return joined.select(
+        "user_id",
+        "n_events",
+        F.round(ewma, 6).alias("ewma_value"),
+        F.round("lastv", 6).alias("last_value"),
+    )
+
+
 EWMA_SQL = f"""
-WITH per_user AS (
-  SELECT user_id,
-    list(value ORDER BY ts, event_id, value) AS vals
-  FROM events GROUP BY user_id
+WITH ordered AS (
+  SELECT user_id, value::DOUBLE AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), stats AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+    min_by(v, rn) AS seed, max_by(v, rn) AS lastv
+  FROM ordered GROUP BY user_id
+), summaries AS (
+  SELECT user_id, (rn - 2) // {_EWMA_CHUNK} AS cid,
+    list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY rn)),
+                (acc, x) -> x * {_EWMA_ALPHA} + acc * {1.0 - _EWMA_ALPHA}) AS p,
+    list_reduce(list_prepend(1.0::DOUBLE, list(v ORDER BY rn)),
+                (acc, x) -> acc * {1.0 - _EWMA_ALPHA}) AS f
+  FROM ordered WHERE rn >= 2 GROUP BY user_id, (rn - 2) // {_EWMA_CHUNK}
+), per_user AS (
+  SELECT user_id, list(struct_pack(f := f, p := p) ORDER BY cid) AS cs
+  FROM summaries GROUP BY user_id
 )
-SELECT user_id,
-  len(vals)::BIGINT AS n_events,
-  ROUND(list_reduce(list_transform(vals, v -> v::DOUBLE),
-        (acc, x) -> x * {_EWMA_ALPHA} + acc * {1.0 - _EWMA_ALPHA}), 6)
+SELECT s.user_id, s.n_events,
+  ROUND(list_reduce(
+    list_prepend(struct_pack(f := 1.0::DOUBLE, p := s.seed),
+                 COALESCE(p.cs, [])),
+    (acc, x) -> struct_pack(f := x.f, p := acc.p * x.f + x.p)).p, 6)
     AS ewma_value,
-  ROUND(vals[-1]::DOUBLE, 6) AS last_value
-FROM per_user
+  ROUND(s.lastv, 6) AS last_value
+FROM stats s LEFT JOIN per_user p USING (user_id)
 """
 
 

@@ -212,28 +212,47 @@ def _make_zscorer(window: int, min_n: int):
                 pdf["event_id"], pdf["event_type"], pdf["value"]
             ):
                 val = float(val)
-                n = len(buf)
+                # ADVICE r4: NULL/NaN value (pandas delivers NaN for a
+                # SQL NULL) must not crash the Decimal quantize below.
+                # Mirror the batch twin exactly: the ROWS frame spans
+                # {window} PHYSICAL rows — a null event OCCUPIES a
+                # frame slot (so it stays a None placeholder in the
+                # ring buffer) but count(value)/sum(vdec) skip it; the
+                # null event itself emits a null-z row when its
+                # trailing frame qualifies (z over NULL is NULL, and
+                # the n/var filters don't depend on value).
+                is_null = math.isnan(val)
+                vals = [c for c in buf if c is not None]
+                n = len(vals)
                 if n >= min_n:
                     # mirror the batch twin's IEEE chain exactly:
                     # s1/s2 are exact decimal sums presented as double
-                    s1 = float(sum(buf)) / 100.0
-                    s2 = float(sum(c * c for c in buf)) / 10000.0
+                    s1 = float(sum(vals)) / 100.0
+                    s2 = float(sum(c * c for c in vals)) / 10000.0
                     nn = float(n)
                     mean = s1 / nn
                     var = (s2 - mean * mean * nn) / (nn - 1.0)
                     if var > 1e-9:
-                        z = (val - mean) / math.sqrt(var)
-                        out.append((int(eid), etype, _round6_half_up(z)))
-                # mirror the batch twin's CAST(value AS DECIMAL(12,2)):
-                # HALF_UP on the shortest decimal repr, kept as cents
-                cents = int(
-                    decimal.Decimal(repr(val)).quantize(
-                        decimal.Decimal("0.01"),
-                        rounding=decimal.ROUND_HALF_UP,
+                        if is_null:
+                            out.append((int(eid), etype, None))
+                        else:
+                            z = (val - mean) / math.sqrt(var)
+                            out.append((int(eid), etype, _round6_half_up(z)))
+                if is_null:
+                    buf.append(None)
+                else:
+                    # mirror the batch twin's CAST(value AS
+                    # DECIMAL(12,2)): HALF_UP on the shortest decimal
+                    # repr, kept as cents
+                    buf.append(
+                        int(
+                            decimal.Decimal(repr(val)).quantize(
+                                decimal.Decimal("0.01"),
+                                rounding=decimal.ROUND_HALF_UP,
+                            )
+                            * 100
+                        )
                     )
-                    * 100
-                )
-                buf.append(cents)
                 if len(buf) > window:
                     buf.pop(0)
         state.update((buf,))

@@ -64,3 +64,23 @@ def test_gate_window_composition():
     assert rows_only == [], rows_only
     assert "kmv_distinct_portable" in names[:50]
     assert "approx_sketches" in names[50:]
+
+
+def test_rotation_pool_entries_stay_oracle_backed():
+    """VERDICT r4 #8: a pool entry that silently lost its oracle would
+    previously only surface in the round it rotated into the window.
+    Guard: every rotation-pool entry must carry an oracle at
+    registration time (the sf0.001 mirror above then hash-checks it
+    every test run), and the pool must cover the ENTIRE oracle-green
+    tail — nothing oracle-backed is permanently out of driver reach."""
+    es = catalog.entries()
+    pool = catalog._ROTATION_POOL
+    missing_oracle = [n for n in pool if es[n].oracle is None]
+    assert missing_oracle == [], missing_oracle
+    tail_green = {
+        n for n, e in es.items()
+        if e.oracle is not None and n not in catalog._PRIORITY
+    }
+    assert set(pool) == tail_green, (
+        set(pool) ^ tail_green
+    )

@@ -323,3 +323,82 @@ def test_incremental_dedup_with_prebuilt_index_round_trip(spark, sf_dir, tmp_pat
     assert inline.exceptAll(prebuilt).count() == 0
     assert prebuilt.exceptAll(inline).count() == 0
     assert prebuilt.count() > 0
+
+
+def test_grouped_paths_match_flat_on_empty_toksets(spark, sf_dir):
+    """ADVICE r4: the flat path computes jaccard([],[]) = 0 (via
+    greatest(union,1)) and drops empty-tokset pairs for threshold > 0;
+    the grouped fast paths (within-group pair emission / same-gkey
+    dooming) must exclude empty-tokset groups to stay
+    output-equivalent. The standard tokenizer never yields an empty
+    tokset (the empty string hashes to a token), so empty ``toks``
+    arrays are injected at the signed-base level — the shape a custom
+    tokenizer that strips empty/stopword-only docs would produce."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        incremental_survivors_grouped,
+        minhash_lsh_pairs_from_base,
+        minhash_lsh_pairs_grouped,
+        minhash_signature,
+        tokset_groups,
+    )
+    from hpv_etl_code_spark.operators.textops import distinct_tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    )
+    empty = spark.range(9_000_001, 9_000_004).select(
+        F.col("id"), F.array().cast("array<bigint>").alias("toks")
+    )
+    base = base.unionByName(empty).withColumn(
+        "sig", minhash_signature(F.col("toks"), 16)
+    )
+    members, groups = tokset_groups(base)
+    flat = minhash_lsh_pairs_from_base(
+        base, threshold=0.8, max_bucket=200, hot_bucket_mode="chunk"
+    )
+    grouped = minhash_lsh_pairs_grouped(members, groups, threshold=0.8)
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    got = rows(grouped)
+    assert rows(flat) == got and got
+    empty_ids = {9_000_001, 9_000_002, 9_000_003}
+    assert not any(a in empty_ids or b in empty_ids for a, b, *_ in got)
+
+    # incremental same-gkey dooming: an empty-tokset batch doc whose
+    # gkey matches an empty-tokset corpus group must SURVIVE (the flat
+    # path's jaccard([],[]) = 0 < threshold) unless its exact
+    # fingerprint is in the corpus
+    def idx(df):
+        keyed = df.withColumn("gkey", F.xxhash64(F.array_sort("toks")))
+        _, g = tokset_groups(keyed.select("id", "toks", "sig"))
+        return keyed, g
+
+    corpus_base = base.filter(
+        ((F.col("id") % 2 == 0) & (F.col("id") < 9_000_000))
+        | (F.col("id") == 9_000_001)
+    )
+    batch_base = base.subtract(corpus_base)
+    corpus_keyed, corpus_groups = idx(corpus_base)
+    batch_keyed, batch_groups = idx(batch_base)
+    new_docs = batch_keyed.select(
+        "id",
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        F.md5(F.concat(F.lit("doc-"), F.col("id"))).alias("fp"),
+        "gkey",
+    )
+    survivors = incremental_survivors_grouped(
+        new_docs,
+        batch_groups,
+        corpus_keyed.select(F.md5(F.concat(F.lit("corpus-"), F.col("id"))).alias("fp")),
+        corpus_groups,
+        threshold=0.8,
+    )
+    survivor_ids = {r.id for r in survivors.collect()}
+    # 9000002/9000003 are empty-tokset batch docs; 9000001 is an
+    # empty-tokset CORPUS doc sharing their gkey — they must survive
+    assert {9_000_002, 9_000_003} <= survivor_ids
