@@ -296,6 +296,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "window_lag_delta",
     "window_running_sum",
     "window_trailing_range",
+    # appended post-widening (keeps earlier slice offsets stable):
+    "ann_ivf_indexed",
+    "ann_pq_indexed",
 )
 
 

@@ -88,38 +88,29 @@ def pq_encode(
     return enc.withColumn("codes", codes).drop("__cw")
 
 
-def pq_topk(
-    corpus: DataFrame,
+def pq_search(
+    encoded: DataFrame,
+    codebook_row: DataFrame,
     queries: DataFrame,
+    m: int,
+    sub_dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    m: int = 4,
-    ksub: int = 16,
 ) -> DataFrame:
-    """ADC top-k: (query_id, neighbor_id, est_d2, true_d2, rk).
-
-    Corpus vectors are scored ONLY through their codes (m lookups into
-    the query's precomputed ADC table); the exact distance rides along
-    as the re-rank certificate. Queries (with their ADC tables)
-    broadcast onto the encoded corpus — the corpus never shuffles; the
-    only exchange is the per-query top-k window."""
-    spark = corpus.sparkSession
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
-    )
-    dim = len(base.select("__v").first()[0])
-    sub_dim = dim // m
-    seed_rows = base.orderBy("neighbor_id").limit(ksub).collect()
-    seeds = [list(r["__v"]) for r in seed_rows]
-    cb = _codebook_row(spark, seeds, m, sub_dim)
-
-    encoded = pq_encode(base, cb, m, sub_dim, vec_col="__v")
-
-    # query-side ADC tables: adc[j][k] = d²(query block j, codeword jk)
+    """ADC top-k against an already-encoded corpus: ``encoded`` carries
+    (neighbor_id, __v, codes), ``codebook_row`` the one-row broadcast
+    codebook. Shared by the inline :func:`pq_topk` and the
+    persisted-index :func:`pq_topk_indexed` (round-trip equivalence
+    locked in tests/test_similarity.py). Corpus vectors are scored ONLY
+    through their codes (m lookups into the query's precomputed ADC
+    table); the exact distance rides along as the re-rank certificate.
+    Queries (with their ADC tables) broadcast onto the encoded corpus —
+    the corpus never shuffles; the only exchange is the per-query top-k
+    window."""
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__q")
-    ).crossJoin(F.broadcast(cb))
+    ).crossJoin(F.broadcast(codebook_row))
     adc = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.transform(
@@ -160,3 +151,91 @@ def pq_topk(
             "rk",
         )
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, est_d2, true_d2, rk) — inline
+    build (deterministic seeded codebook + encode) then
+    :func:`pq_search`."""
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
+    )
+    dim = len(base.select("__v").first()[0])
+    sub_dim = dim // m
+    seed_rows = base.orderBy("neighbor_id").limit(ksub).collect()
+    seeds = [list(r["__v"]) for r in seed_rows]
+    cb = _codebook_row(spark, seeds, m, sub_dim)
+
+    encoded = pq_encode(base, cb, m, sub_dim, vec_col="__v")
+    return pq_search(encoded, cb, queries, m, sub_dim, id_col, vec_col, k)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+) -> None:
+    """Persist the PQ index as parquet artifacts (VERDICT r4 #4):
+    ``{path}/codebook`` holds (j, k, c) and ``{path}/encoded`` the
+    coded corpus (neighbor_id, v, codes) — v kept as the exact re-rank
+    certificate. Queries against the artifact NEVER re-encode the
+    corpus (plan-asserted: the indexed search reads codes straight off
+    the parquet scan, no per-block argmin on the corpus side)."""
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
+    )
+    dim = len(base.select("__v").first()[0])
+    sub_dim = dim // m
+    seed_rows = base.orderBy("neighbor_id").limit(ksub).collect()
+    seeds = [list(r["__v"]) for r in seed_rows]
+    rows = []
+    for j in range(m):
+        for kk, s in enumerate(seeds):
+            rows.append(
+                (j, kk, [float(x) for x in s[j * sub_dim : (j + 1) * sub_dim]])
+            )
+    spark.createDataFrame(rows, "j INT, k INT, c ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebook")
+    cb = _codebook_row(spark, seeds, m, sub_dim)
+    pq_encode(base, cb, m, sub_dim, vec_col="__v").select(
+        "neighbor_id", F.col("__v").alias("v"), "codes"
+    ).write.mode("overwrite").parquet(f"{path}/encoded")
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Search a persisted :func:`build_pq_index` artifact — identical
+    output to the inline :func:`pq_topk` built with the same
+    parameters. m and sub_dim are recovered from the codebook artifact
+    (one tiny metadata collect — the A1-cell class, not a data
+    collect)."""
+    cb_df = spark.read.parquet(f"{path}/codebook")
+    meta = cb_df.agg(
+        (F.max("j") + 1).alias("m"), F.max(F.size("c")).alias("sub_dim")
+    ).first()
+    m, sub_dim = int(meta["m"]), int(meta["sub_dim"])
+    cb_row = cb_df.agg(F.collect_list(F.struct("j", "k", "c")).alias("__cw"))
+    encoded = spark.read.parquet(f"{path}/encoded").select(
+        "neighbor_id", F.col("v").alias("__v"), "codes"
+    )
+    return pq_search(encoded, cb_row, queries, m, sub_dim, id_col, vec_col, k)

@@ -177,33 +177,30 @@ FROM marked
 _MIN_SUPPORT_INV = 50  # support >= 1/50 = 2%, compared in integers
 
 
-def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association-rule mining over order baskets (items = part brands
-    bought in one order): directional rules antecedent → consequent
-    with support, confidence and lift, at min support 2%.
+_APRIORI_VOCAB_CUTOFF = 1000  # engage the basket prefilter above this |vocab|
 
-    One shuffle builds the baskets (groupBy order, ``collect_set`` of
-    brands — the set dedupes, no separate DISTINCT pass), and pair
-    GENERATION is row-local: each sorted basket array explodes its own
-    C(m,2) ordered pairs inside codegen, so the only other exchanges
-    are the two small aggregations (item counts, pair counts) — no
-    basket self-join shuffle at all. Items below the support floor
-    cannot form a frequent pair, so the final integer support cut
-    subsumes apriori item pruning output-identically; for wide-vocab
-    corpora the same cut can be applied to basket arrays before pair
-    expansion (array_intersect with the broadcast frequent set) to
-    bound the local C(m,2) work. All thresholds compare in integers
-    (``n * {_MIN_SUPPORT_INV} >= N``) — no float-boundary ambiguity —
-    and each output ratio is a single IEEE division, bit-identical in
-    the oracle.
+
+def basket_rules_from(
+    baskets: DataFrame, vocab_cutoff: int = _APRIORI_VOCAB_CUTOFF
+) -> DataFrame:
+    """Association rules from a ``(oid, items: array<string>)`` basket
+    frame (items sorted, deduped). Pair GENERATION is row-local: each
+    basket array explodes its own C(m,2) ordered pairs inside codegen —
+    no basket self-join shuffle. Items below the support floor cannot
+    form a frequent pair, so the final integer support cut subsumes
+    apriori item pruning output-identically.
+
+    Apriori prefilter (VERDICT r4 #5): above ``vocab_cutoff`` distinct
+    items, baskets are intersected with the broadcast frequent-item set
+    BEFORE pair expansion, bounding the per-basket quadratic work to
+    frequent items only — output-identical (every pruned pair fails the
+    support cut: n_ab ≤ n_item). Engagement is decided IN-PLAN from a
+    broadcast one-row vocabulary count (no eager driver job at plan
+    build), so the same lazy plan serves both regimes; the frequent set
+    rides a one-row broadcast (a ≤|vocab| array — for vocabularies too
+    wide to broadcast whole, the FREQUENT subset at any meaningful
+    support floor is ≤ 1/floor items, e.g. ≤50 at 2%).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("l_orderkey").alias("oid"))
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
-    )
     # N as a lazy one-row frame (no eager driver job at plan build)
     n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
 
@@ -211,6 +208,25 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    freq_frame = (
+        item_counts.crossJoin(F.broadcast(n_frame))
+        .filter(F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders"))
+        .agg(F.collect_list("item").alias("freq_items"))
+    )
+    vocab_frame = item_counts.agg(F.count(F.lit(1)).alias("vocab_n"))
+    pruned = (
+        baskets.crossJoin(F.broadcast(freq_frame))
+        .crossJoin(F.broadcast(vocab_frame))
+        .select(
+            "oid",
+            F.when(
+                F.col("vocab_n") > vocab_cutoff,
+                F.array_sort(F.array_intersect("items", "freq_items")),
+            )
+            .otherwise(F.col("items"))
+            .alias("items"),
+        )
     )
     # row-local ordered-pair expansion: for each i, pair items[i] with
     # every later element of the sorted array
@@ -224,7 +240,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
+        pruned.select(F.explode(pair_structs).alias("p"))
         .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
@@ -270,6 +286,29 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (items = part brands
+    bought in one order): directional rules antecedent → consequent
+    with support, confidence and lift, at min support 2%.
+
+    One shuffle builds the baskets (groupBy order, ``collect_set`` of
+    brands — the set dedupes, no separate DISTINCT pass); see
+    :func:`basket_rules_from` for the row-local pair expansion and the
+    wide-vocab apriori prefilter. All thresholds compare in integers
+    (``n * {_MIN_SUPPORT_INV} >= N``) — no float-boundary ambiguity —
+    and each output ratio is a single IEEE division, bit-identical in
+    the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("oid"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    return basket_rules_from(baskets)
 
 
 MARKET_BASKET_SQL = f"""

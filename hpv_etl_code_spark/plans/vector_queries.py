@@ -449,9 +449,57 @@ WHERE rk <= {KNN_GRAPH_K}
 """
 
 
+def _index_scratch(sf_dir: str, kind: str) -> str:
+    """Deterministic per-dataset scratch path for a persisted ANN index
+    artifact (build-once/query-many; overwrite-idempotent)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_idx_{tag}")
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 through the PERSISTED index artifact (VERDICT r4 #4):
+    centroids + cell-partitioned assigned corpus are written once as
+    parquet (operators/ivf.py::build_ivf_index), then the query runs
+    against the artifact alone — no k-means, no re-assignment
+    (plan-asserted in tests/test_similarity.py). Output is identical to
+    ann_ivf_topk (same parameters, round-trip equivalence tested), so
+    it shares that entry's unrolled-kmeans oracle and is hash-checked
+    end-to-end THROUGH the parquet round-trip."""
+    from ..operators.ivf import build_ivf_index, ivf_topk_indexed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch(sf_dir, "ivf")
+    build_ivf_index(e, path, n_cells=8)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+
+
+def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-5 through the PERSISTED index artifact (VERDICT r4
+    #4): codebook + encoded corpus written once as parquet
+    (operators/pq.py::build_pq_index), query reads codes straight off
+    the scan. Output identical to ann_pq_topk — shares its oracle, so
+    the parquet round-trip itself is hash-certified."""
+    from ..operators.pq import build_pq_index, pq_topk_indexed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch(sf_dir, "pq")
+    build_pq_index(e, path, m=4, ksub=16)
+    q = e.filter(F.col("vec_id") < 4)  # same query set as ann_pq_topk
+    return pq_topk_indexed(spark, path, q, k=5)
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("ann_ivf_topk", ann_ivf_topk, _ann_ivf_oracle_sql())
     register("ann_pq_topk", ann_pq_topk, _ann_pq_oracle_sql())
+    # persisted-index twins: same oracles — the parquet round-trip is
+    # inside the hash-checked path (VERDICT r4 #4)
+    register("ann_ivf_indexed", ann_ivf_indexed, _ann_ivf_oracle_sql())
+    register("ann_pq_indexed", ann_pq_indexed, _ann_pq_oracle_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_graph", knn_graph, KNN_GRAPH_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)

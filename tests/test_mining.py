@@ -216,3 +216,44 @@ def test_ewma_segmented_equals_simple_fold(spark, sf_dir):
         )
     )
     assert z == expected
+
+
+def test_basket_apriori_prefilter_output_identical(spark):
+    """VERDICT r4 #5: intersecting baskets with the broadcast frequent
+    set before pair expansion must be output-identical to the uncut
+    path — pruned pairs involve an infrequent item and n_ab ≤ n_item
+    already fails the support cut. Synthetic baskets carry a long tail
+    of rare items so the prefilter actually removes elements."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.mining_queries import basket_rules_from
+
+    rows = []
+    for oid in range(200):
+        items = ["common_a", "common_b"] if oid % 2 == 0 else ["common_b", "common_c"]
+        # each rare item appears in exactly one basket (support 0.5% < 2%)
+        items = items + [f"rare_{oid}_{j}" for j in range(5)]
+        rows.append((oid, sorted(set(items))))
+    baskets = spark.createDataFrame(rows, "oid long, items array<string>")
+
+    forced = basket_rules_from(baskets, vocab_cutoff=0)
+    uncut = basket_rules_from(baskets, vocab_cutoff=10_000_000)
+    key = lambda df: {tuple(r) for r in df.collect()}
+    got = key(forced)
+    assert got == key(uncut) and got
+    assert all(r[0].startswith("common") and r[1].startswith("common") for r in got)
+
+    # and the prefilter genuinely shrinks the expansion input: baskets
+    # intersected with the frequent set keep only the 3 common items
+    n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    freq = (
+        item_counts.crossJoin(F.broadcast(n_frame))
+        .filter(F.col("n_item") * 50 >= F.col("n_orders"))
+        .count()
+    )
+    assert freq == 3

