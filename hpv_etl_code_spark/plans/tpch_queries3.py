@@ -264,11 +264,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape — a revenue view reused twice, MAX-equality filter.
 
     The classic creates a revenue view and selects the supplier(s)
-    whose revenue equals its MAX. The per-supplier aggregate is computed
-    once and self-compared: a 1-row MAX aggregate broadcast back onto
-    the same (cached-size) aggregate output — equality over the
-    deterministic decimal-presented double is exact on both engines.
+    whose revenue equals its MAX. The view is computed ONCE — the MAX
+    rides an unpartitioned window over the (already tiny) per-supplier
+    aggregate, so the fact is scanned exactly once (plan-asserted;
+    round 5 fix: the previous agg-and-self-compare shape re-aliased the
+    subtree in the self-use and defeated ReuseExchange, scanning
+    lineitem twice). Equality over the deterministic decimal-presented
+    double is exact on both engines.
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -277,10 +282,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_revenue()).alias("total_revenue")
     )
-    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    )
     return (
-        rev.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        top.filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -295,10 +301,14 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
+), m AS (
+  SELECT supplier_no, total_revenue,
+         MAX(total_revenue) OVER () AS max_revenue
+  FROM revenue
 )
 SELECT s_suppkey, s_name, total_revenue
-FROM supplier JOIN revenue ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+FROM supplier JOIN m ON s_suppkey = supplier_no
+WHERE total_revenue = max_revenue
 ORDER BY s_suppkey
 """
 

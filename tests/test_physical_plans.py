@@ -402,3 +402,14 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q15_view_computed_once(spark, sf_dir):
+    """Q15's revenue view must be computed ONCE: exactly one lineitem
+    scan (the MAX rides a window over the aggregate, not a second
+    aggregation of a re-aliased subtree), and the supplier lookup stays
+    broadcast."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
