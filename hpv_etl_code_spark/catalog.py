@@ -299,6 +299,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     # appended post-widening (keeps earlier slice offsets stable):
     "ann_ivf_indexed",
     "ann_pq_indexed",
+    "ewma_stream_twin",
 )
 
 

@@ -49,10 +49,18 @@ def connected_components(
     ``max_iter`` rounds — an unconverged labeling is silently wrong, and
     with pointer jumping 25 rounds covers diameters beyond 10⁶.
     """
-    sym = edges.select(
+    # materialize the edge list ONCE and BEFORE symmetrizing: the union
+    # has two branches over the caller's (possibly very expensive —
+    # blocked-levenshtein, LSH banding) edge plan, so un-checkpointed it
+    # would be evaluated twice per materialization and once per fixpoint
+    # round. Round-5 fix: this was 4-20× of the sf0.1 wall time of every
+    # components consumer.
+    base = edges.select(
         F.col(src).cast("long").alias("e_src"), F.col(dst).cast("long").alias("e_dst")
+    ).localCheckpoint(eager=True)
+    sym = base.union(
+        base.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
     )
-    sym = sym.union(sym.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst")))
     labels = (
         sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -75,9 +83,12 @@ def connected_components(
             merged.join(parent, merged.label == parent.p_id)
             .select("id", F.col("p_label").alias("label"), "old")
         )
-        new_labels = jumped.select("id", "label").localCheckpoint(eager=True)
+        # checkpoint the frame BOTH consumers read: deriving the changed
+        # count from the un-checkpointed `jumped` re-ran the round's two
+        # joins a second time (round-5 fix — halved per-round cost)
+        jumped = jumped.localCheckpoint(eager=True)
         changed = jumped.filter(F.col("label") != F.col("old")).count()
-        labels = new_labels
+        labels = jumped.select("id", "label")
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")

@@ -81,9 +81,20 @@ def llm_corpus_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup stage uses the portable md5 MinHash (operators/dedup.py::
     minhash_lsh_pairs_portable), so DuckDB reproduces every stage —
     quality gate, language gate, exact dedup, LSH candidates, greedy
-    lowest-id-wins survivor set — bit-for-bit."""
-    ed = _corpus_stages(spark, sf_dir)
-    pairs = minhash_lsh_pairs_portable(ed, "doc_id", "text", threshold=0.9)
+    lowest-id-wins survivor set — bit-for-bit.
+
+    Round 5: the LSH stage rides the portable identical-tokset collapse
+    (plans/shared_cache.py::pipeline_portable_grouped +
+    operators/dedup.py::minhash_lsh_pairs_portable_grouped) — one md5
+    signature chain per distinct surviving tokset; pair output is
+    test-locked identical to the flat miner, so the end-to-end oracle
+    is unchanged."""
+    from ..operators.dedup import minhash_lsh_pairs_portable_grouped
+    from .shared_cache import pipeline_exact_deduped, pipeline_portable_grouped
+
+    ed = pipeline_exact_deduped(spark, sf_dir)
+    members, pgroups = pipeline_portable_grouped(spark, sf_dir)
+    pairs = minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.9)
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return ed.join(doomed, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "quality", "n_tokens", "fingerprint"

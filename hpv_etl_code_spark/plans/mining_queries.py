@@ -702,6 +702,32 @@ def ewma_simple_fold(ev: DataFrame) -> DataFrame:
     )
 
 
+def ewma_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.py::ewma_stream — the simple
+    whole-history fold, whose IEEE op chain the stream's O(1) carry
+    applies verbatim (bit-equality locked in tests/test_stateful_ewma
+    .py, same pattern as the stream_windows batch-twin entries). Also
+    the second oracle-checked EWMA shape next to the segmented
+    ewma_user_values entry."""
+    return ewma_simple_fold(load_table(spark, sf_dir, "events"))
+
+
+EWMA_SIMPLE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+    list(value ORDER BY ts, event_id, value) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  len(vals)::BIGINT AS n_events,
+  ROUND(list_reduce(list_transform(vals, v -> v::DOUBLE),
+        (acc, x) -> x * {_EWMA_ALPHA} + acc * {1.0 - _EWMA_ALPHA}), 6)
+    AS ewma_value,
+  ROUND(vals[-1]::DOUBLE, 6) AS last_value
+FROM per_user
+"""
+
+
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user — a SEQUENTIAL
     recurrence (ewma_t = α·x_t + (1−α)·ewma_{t−1}) that no window frame
@@ -891,3 +917,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     )
     register("golden_record_parts", golden_record_parts, GOLDEN_RECORD_SQL)
     register("ewma_user_values", ewma_user_values, EWMA_SQL)
+    register("ewma_stream_twin", ewma_stream_twin, EWMA_SIMPLE_SQL)

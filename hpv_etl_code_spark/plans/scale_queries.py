@@ -88,8 +88,14 @@ def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= 2
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 2)
+        # banded levenshtein: the threshold form computes only the
+        # ±2-wide DP diagonal and early-exits with -1 beyond it —
+        # O(threshold·n) per pair instead of O(n²), exact for every
+        # kept row, so the ≤2 filter (and the oracle's full
+        # levenshtein) see identical values (round-5 fix: ~2× on the
+        # sf0.1 pair stage)
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
         .select("brand", "key_a", "key_b", "edit_dist")
     )
 

@@ -93,6 +93,35 @@ def grouped_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return _CACHE[key]
 
 
+def portable_grouped_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The identical-tokset collapse for the PORTABLE (md5) hash family
+    (round 5): ``members`` is shared with :func:`grouped_corpus` (the
+    gkey is tokenizer-level, so the same key serves both families);
+    ``pgroups`` carries one row per distinct tokset with the STRING
+    token set and the md5 min-hash signature — the expensive portable
+    chain (num_hashes md5 calls per token) computed once per distinct
+    tokset instead of once per document. Persisted: the LSH plan reads
+    it from several branches."""
+    from ..operators.dedup import _portable_minhash_sig
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pgroups")
+    if key not in _CACHE:
+        e = enriched_documents(spark, sf_dir)
+        members, _ = grouped_corpus(spark, sf_dir)
+        pgroups = (
+            e.groupBy("gkey")
+            .agg(
+                F.count(F.lit(1)).alias("gn"),
+                F.first(distinct_tokens("text")).alias("toks"),
+            )
+            .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
+        )
+        _CACHE[key] = (members, pgroups.persist())
+    return _CACHE[key]
+
+
 def pipeline_exact_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus pipeline's gated + exact-deduped frame (quality floor,
     language allowlist, min-id-per-fingerprint keeper), persisted — the
@@ -125,6 +154,32 @@ def pipeline_grouped(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
         )
         members, groups = tokset_groups(base)
         _CACHE[key] = (members.persist(), groups.persist())
+    return _CACHE[key]
+
+
+def pipeline_portable_grouped(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Portable-family collapse of the PIPELINE's gated+exact-deduped
+    frame (round 5): the LSH stage of llm_corpus_pipeline_portable runs
+    over one md5 signature per distinct surviving tokset. Same
+    structure as :func:`portable_grouped_corpus`, subset to the
+    pipeline's ed frame."""
+    from ..operators.dedup import _portable_minhash_sig
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pipeline_pgroups")
+    if key not in _CACHE:
+        ed = pipeline_exact_deduped(spark, sf_dir)
+        members = ed.select(F.col("doc_id").alias("id"), "gkey")
+        pgroups = (
+            ed.groupBy("gkey")
+            .agg(
+                F.count(F.lit(1)).alias("gn"),
+                F.first(distinct_tokens("text")).alias("toks"),
+            )
+            .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
+        )
+        _CACHE[key] = (members, pgroups.persist())
     return _CACHE[key]
 
 

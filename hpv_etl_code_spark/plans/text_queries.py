@@ -230,9 +230,19 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     family — DuckDB computes bit-identical signatures, band buckets,
     candidates and the exact-Jaccard refine (operators/dedup.py::
     minhash_lsh_pairs_portable). The xxhash64 sibling keeps the cheap
-    inner loop + hot-bucket splitting and stays rows-only."""
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_portable(d, "doc_id", "text", threshold=0.8)
+    inner loop + hot-bucket splitting and stays rows-only.
+
+    Round 5: runs through the identical-tokset collapse
+    (minhash_lsh_pairs_portable_grouped over the persisted portable
+    group frame) — the md5 min-hash chain, the dominant cost here, is
+    computed once per DISTINCT tokset; output is pair-for-pair
+    identical to the flat path (test-locked) so the oracle is
+    unchanged."""
+    from ..operators.dedup import minhash_lsh_pairs_portable_grouped
+    from .shared_cache import portable_grouped_corpus
+
+    members, pgroups = portable_grouped_corpus(spark, sf_dir)
+    return minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.8)
 
 
 DEDUP_MINHASH_PORTABLE_SQL = """
@@ -355,8 +365,7 @@ def dedup_components_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage composition hash-matches a recursive-CTE oracle."""
     from ..operators.components import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs_portable(d, "doc_id", "text", threshold=0.8)
+    pairs = dedup_minhash_portable(spark, sf_dir)
     return connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "component"
     )

@@ -291,3 +291,84 @@ def zscore_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------ streaming EWMA
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("last", DoubleType()),
+    ]
+)
+
+
+def _make_ewma(alpha: float):
+    b = 1.0 - alpha
+
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = (n, ewma, last): O(1) per key — the stream NEVER holds
+        # history, which is the whole point vs the batch fold
+        n, acc, last = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for val in pdf["value"]:
+                val = float(val)
+                last = val
+                if n == 0:
+                    acc = val
+                else:
+                    # the simple-fold op chain verbatim — bit-identical
+                    # to ewma_simple_fold / the pre-segmentation entry
+                    acc = val * alpha + acc * b
+                n += 1
+        state.update((n, acc, last))
+        yield pd.DataFrame(
+            [(key[0], n, _round6_half_up(acc), _round6_half_up(last))],
+            columns=["user_id", "n_events", "ewma_value", "last_value"],
+        )
+
+    return fold
+
+
+def ewma_stream(stream_df: DataFrame, alpha: float = 0.2, watermark: str = "1 hour") -> DataFrame:
+    """Streaming EWMA — the sequential recurrence folded as O(1) per-key
+    state (``applyInPandasWithState``), emitting each user's updated
+    (n, ewma, last) per micro-batch in update mode. Completes the EWMA
+    family: the batch entry (plans/mining_queries.py::ewma_user_values)
+    is the SEGMENTED fold for bounded-memory reprocessing of unbounded
+    history; the stream never needs segmentation because its state is
+    already O(1) — and it applies the simple-fold op chain verbatim, so
+    the final per-user row is BIT-IDENTICAL to ewma_simple_fold over
+    the same prefix (locked in tests/test_stateful_ewma.py) and matches
+    the segmented batch entry at the 6dp output contract.
+
+    Ordering contract: per-key event time non-decreasing across
+    micro-batches (sorted within), as :func:`sessionize_stream`."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma(alpha),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

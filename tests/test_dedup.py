@@ -402,3 +402,33 @@ def test_grouped_paths_match_flat_on_empty_toksets(spark, sf_dir):
     # 9000002/9000003 are empty-tokset batch docs; 9000001 is an
     # empty-tokset CORPUS doc sharing their gkey — they must survive
     assert {9_000_002, 9_000_003} <= survivor_ids
+
+
+def test_portable_grouped_equals_flat(spark, sf_dir):
+    """The portable identical-tokset collapse must reproduce the flat
+    portable miner pair-for-pair INCLUDING the rounded jaccard values,
+    and must exclude empty-tokset groups from the within fast path."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        _portable_minhash_sig,
+        minhash_lsh_pairs_portable,
+        minhash_lsh_pairs_portable_grouped,
+    )
+    from hpv_etl_code_spark.operators.textops import distinct_tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    flat = minhash_lsh_pairs_portable(d, "doc_id", "text", threshold=0.8)
+
+    keyed = d.select(
+        F.col("doc_id").alias("id"), distinct_tokens("text").alias("toks")
+    ).withColumn(
+        "gkey", F.xxhash64(F.array_sort(F.transform("toks", lambda t: F.xxhash64(t))))
+    )
+    members = keyed.select("id", "gkey")
+    pgroups = keyed.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("gn"), F.first("toks").alias("toks")
+    ).withColumn("sig", _portable_minhash_sig("toks", 16))
+    grouped = minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.8)
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(flat) == rows(grouped) and flat.count() > 0
