@@ -201,7 +201,12 @@ def basket_rules_from(
     wide to broadcast whole, the FREQUENT subset at any meaningful
     support floor is ≤ 1/floor items, e.g. ≤50 at 2%).
     """
-    # N as a lazy one-row frame (no eager driver job at plan build)
+    # the basket frame feeds FIVE plan branches (N, item counts, the
+    # frequent/vocab scalars, pair expansion) — materialize it once or
+    # the basket-build shuffle re-runs per branch (this was a +39%
+    # bench regression when the prefilter branches landed un-persisted;
+    # at 100 TB the basket frame is the parquet artifact of the run)
+    baskets = baskets.localCheckpoint(eager=True)
     n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
 
     item_counts = (
@@ -209,24 +214,25 @@ def basket_rules_from(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    freq_frame = (
-        item_counts.crossJoin(F.broadcast(n_frame))
-        .filter(F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders"))
-        .agg(F.collect_list("item").alias("freq_items"))
-    )
-    vocab_frame = item_counts.agg(F.count(F.lit(1)).alias("vocab_n"))
-    pruned = (
-        baskets.crossJoin(F.broadcast(freq_frame))
-        .crossJoin(F.broadcast(vocab_frame))
-        .select(
-            "oid",
+    # one broadcastable row carrying BOTH prefilter scalars (frequent
+    # set + vocabulary size) — one item_counts evaluation, not two
+    gate_frame = item_counts.crossJoin(F.broadcast(n_frame)).agg(
+        F.collect_list(
             F.when(
-                F.col("vocab_n") > vocab_cutoff,
-                F.array_sort(F.array_intersect("items", "freq_items")),
+                F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders"),
+                F.col("item"),
             )
-            .otherwise(F.col("items"))
-            .alias("items"),
+        ).alias("freq_items"),
+        F.count(F.lit(1)).alias("vocab_n"),
+    )
+    pruned = baskets.crossJoin(F.broadcast(gate_frame)).select(
+        "oid",
+        F.when(
+            F.col("vocab_n") > vocab_cutoff,
+            F.array_sort(F.array_intersect("items", "freq_items")),
         )
+        .otherwise(F.col("items"))
+        .alias("items"),
     )
     # row-local ordered-pair expansion: for each i, pair items[i] with
     # every later element of the sorted array

@@ -60,7 +60,9 @@ def fuzzy_part_edges(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         aa.join(bb, "brand")
         .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        # banded threshold form: O(threshold·n) with early exit, exact
+        # for every kept row (same as the batch fuzzy_blocked_pairs)
+        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
         .select("key_a", "key_b")
     )
 
@@ -198,3 +200,37 @@ def stream_golden_records(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_golden_store(spark: SparkSession, store_path: str) -> None:
+    """Fold the merge log into the member table (the LSM compaction):
+    rewrite ``members`` with every row's RESOLVED cluster and truncate
+    ``merges``. Read behavior is unchanged (``read_golden_records`` ≡
+    before/after, test-locked); what changes is read cost — the
+    pointer-jump joins disappear until the next bridge merge. At scale
+    this runs on the ingest-window cadence, exactly like the dedup
+    corpus-index rebuild (streaming/stream.py::stream_ingest_dedup).
+
+    The rewrite is staged through a sibling directory + atomic-ish
+    swap of the members dir (same overwrite discipline as
+    sources/sinks.py): compaction runs BETWEEN streaming runs, never
+    concurrently with an active writer.
+    """
+    import shutil
+
+    resolved = resolved_members(spark, store_path).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+        "p_size",
+        F.col("cluster").alias("cluster_at_insert"),
+    )
+    staged = f"{store_path}/members__compacting"
+    resolved.write.mode("overwrite").parquet(staged)
+    live = f"{store_path}/members"
+    shutil.rmtree(live)
+    shutil.move(staged, live)
+    # truncate the log: resolved labels are final until the next merge
+    empty = spark.createDataFrame([], _MERGE_SCHEMA)
+    empty.write.mode("overwrite").parquet(f"{store_path}/merges")
