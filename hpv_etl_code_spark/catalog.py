@@ -300,6 +300,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "ann_ivf_indexed",
     "ann_pq_indexed",
     "ewma_stream_twin",
+    "k_anonymity_census",
+    "containment_pairs",
+    "dow_seasonality_events",
 )
 
 

@@ -15,6 +15,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         corpus_pipeline,
         decontam_queries,
         func_batteries2,
+        governance_queries,
         func_batteries3,
         image_queries,
         merged_queries,
@@ -61,3 +62,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     temporal_graph_queries.register_entries(register)
     mining_queries.register_entries(register)
     olap_queries.register_entries(register)
+    governance_queries.register_entries(register)

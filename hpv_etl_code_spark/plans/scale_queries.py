@@ -71,32 +71,20 @@ def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive levenshtein — the standard blocked-ER shape; at 100 TB the
     block key would come from cheap normalization (soundex, prefix,
     sorted tokens) tuned so blocks stay bounded."""
+    from ..operators.editjoin import fuzzy_pairs_collapsed
+
+    # round 5: candidate generation switched from the quadratic block
+    # self-join (Σ|block|²/2 — 800M banded-levenshtein calls at sf1) to
+    # the identical-name collapse (operators/editjoin.py): name pairs
+    # mined over one representative per distinct (brand, name) — a
+    # dimension-table-sized frame for attribute-style columns — then
+    # expanded through the members map. Output identical (test-locked
+    # vs the brute join) so the oracle below is unchanged; the
+    # deletion-neighborhood variant (fuzzy_edit_pairs) remains the
+    # high-name-cardinality alternative.
     p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    return (
-        a.join(b, "brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= 2
-        )
-        # banded levenshtein: the threshold form computes only the
-        # ±2-wide DP diagonal and early-exits with -1 beyond it —
-        # O(threshold·n) per pair instead of O(n²), exact for every
-        # kept row, so the ≤2 filter (and the oracle's full
-        # levenshtein) see identical values (round-5 fix: ~2× on the
-        # sf0.1 pair stage)
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2))
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
-        .select("brand", "key_a", "key_b", "edit_dist")
+    return fuzzy_pairs_collapsed(p, "p_partkey", "p_name", "p_brand").select(
+        F.col("block").alias("brand"), "key_a", "key_b", "edit_dist"
     )
 
 

@@ -21,11 +21,12 @@ tests/test_streaming_golden.py: stream chunks → read_golden_records ≡
 golden_record_parts on the union, including across a checkpoint
 restart.
 
-Scale notes: per-trigger matching is blocked (brand block + lossless
-length prefilter + levenshtein ≤ 2 — the batch predicate verbatim), so
-cost is Σ|block ∩ batch|·|block|, never batch × corpus; the member
-store would be partitioned by block key at 100 TB so a micro-batch
-prunes to its touched blocks. The merge log stays tiny (≤ one row per
+Scale notes: per-trigger matching rides the identical-name collapse
+(operators/editjoin.py::fuzzy_cross_edges_collapsed — rep-level banded
+levenshtein over distinct (brand, name) of each side, the batch
+predicate's exact pair set), so cost is rep-block products plus output
+size, never batch × corpus; the member store would be partitioned by
+block key at 100 TB so a micro-batch prunes to its touched blocks. The merge log stays tiny (≤ one row per
 cluster ever merged) and is resolved by pointer jumping (log-depth
 self-joins); compaction = rewrite members with resolved labels and
 truncate the log, the standard LSM fold.
@@ -47,24 +48,19 @@ def fuzzy_part_edges(a: DataFrame, b: DataFrame) -> DataFrame:
     """The batch matching predicate of ``fuzzy_blocked_pairs``
     generalized to two (key, name, brand) frames: brand block, lossless
     length prefilter, levenshtein ≤ 2. Returns (key_a, key_b)."""
-    aa = a.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    bb = b.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    return (
-        aa.join(bb, "brand")
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-        # banded threshold form: O(threshold·n) with early exit, exact
-        # for every kept row (same as the batch fuzzy_blocked_pairs)
-        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
-        .select("key_a", "key_b")
-    )
+    from ..operators.editjoin import fuzzy_cross_edges_collapsed
+
+    # identical-name collapse, two-frame form: rep-level banded
+    # levenshtein over distinct (brand, name) of each side, expanded
+    # through the member maps — same pairs as the brute block join
+    # (see operators/editjoin.py for the generator tradeoffs)
+    return fuzzy_cross_edges_collapsed(
+        a.select("p_partkey", "p_name", "p_brand"),
+        b.select("p_partkey", "p_name", "p_brand"),
+        key="p_partkey",
+        name="p_name",
+        block="p_brand",
+    ).filter(F.col("key_a") != F.col("key_b"))
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
