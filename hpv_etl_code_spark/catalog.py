@@ -303,6 +303,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "k_anonymity_census",
     "containment_pairs",
     "dow_seasonality_events",
+    "fuzzy_neighborhood_pairs",
 )
 
 

@@ -763,10 +763,18 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 32 so the fixture actually exercises multi-chunk composition;
     production sizing is ~4096 (128 KB of doubles per task).
     """
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_segments(ev, chunk=_EWMA_CHUNK)
+
+
+def ewma_segments(ev: DataFrame, chunk: int = _EWMA_CHUNK) -> DataFrame:
+    """The segmented fold over an arbitrary events frame — ``chunk`` is
+    the segment width; the 6dp output is chunk-size-invariant
+    (property-tested against :func:`ewma_simple_fold` at several
+    widths), the raw IEEE bits are not (reassociation)."""
     from pyspark.sql import Window
 
     a, b = float(_EWMA_ALPHA), 1.0 - _EWMA_ALPHA
-    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
@@ -779,7 +787,7 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = F.transform(F.array_sort(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"])
     summaries = (
         ordered.filter(F.col("rn") >= 2)
-        .withColumn("cid", F.expr(f"(rn - 2) DIV {_EWMA_CHUNK}"))
+        .withColumn("cid", F.expr(f"(rn - 2) DIV {chunk}"))
         .groupBy("user_id", "cid")
         .agg(
             F.aggregate(

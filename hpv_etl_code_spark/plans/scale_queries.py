@@ -231,10 +231,26 @@ FROM r GROUP BY 1
 """
 
 
+def fuzzy_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-neighborhood generator (operators/editjoin.py::
+    fuzzy_edit_pairs — SymSpell pigeonhole candidates + exact banded
+    refine) over the same parts surface as ``fuzzy_blocked_pairs`` —
+    output-identical by construction, so it shares that entry's oracle;
+    registering it separately keeps the high-name-cardinality generator
+    under driver-level hash verification, not just pytest."""
+    from ..operators.editjoin import fuzzy_edit_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_edit_pairs(p, "p_partkey", "p_name", "p_brand").select(
+        F.col("block").alias("brand"), "key_a", "key_b", "edit_dist"
+    )
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("global_index_orders", global_index_orders, GLOBAL_INDEX_SQL, headline=True)
     register("zorder_key_orders", zorder_key_orders, ZORDER_KEY_SQL)
     register("fuzzy_blocked_pairs", fuzzy_blocked_pairs, FUZZY_BLOCKED_SQL)
+    register("fuzzy_neighborhood_pairs", fuzzy_neighborhood_pairs, FUZZY_BLOCKED_SQL)
     register("scd2_user_events", scd2_user_events, SCD2_SQL)
     register("shingle_span_pairs", shingle_span_pairs, SHINGLE_SPAN_SQL)
     register(

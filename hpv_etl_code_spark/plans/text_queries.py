@@ -364,10 +364,39 @@ def dedup_components_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair kernel and the min-label fixpoint are deterministic, the whole
     two-stage composition hash-matches a recursive-CTE oracle."""
     from ..operators.components import connected_components
+    from ..operators.dedup import portable_rep_pairs
+    from .shared_cache import portable_grouped_corpus
 
-    pairs = dedup_minhash_portable(spark, sf_dir)
-    return connected_components(pairs, src="id_a", dst="id_b").select(
-        F.col("id").alias("doc_id"), "component"
+    # Round 5: components run over the GROUP graph (one node per
+    # distinct tokset, rep-level pair edges) instead of the 2.8M-row
+    # member pair list — identical connectivity (identical-tokset
+    # groups are cliques; contracting a clique preserves reachability)
+    # and identical min-doc labels (min over member groups' min ids).
+    # Empty-tokset groups and pairless singleton groups are excluded,
+    # matching the flat pair list (no pairs → not in the output).
+    members, pgroups = portable_grouped_corpus(spark, sf_dir)
+    rep_pairs = portable_rep_pairs(pgroups, threshold=0.8)
+    comps_g = connected_components(rep_pairs, src="gkey_a", dst="gkey_b")
+    gstats = members.groupBy("gkey").agg(
+        F.min("id").alias("gmin"), F.count(F.lit(1)).alias("gn")
+    )
+    nonempty = pgroups.select("gkey", (F.size("toks") > 0).alias("ne"))
+    glabel = (
+        gstats.join(nonempty, "gkey")
+        .join(comps_g, gstats.gkey == comps_g.id, "left")
+        .withColumn("gcomp", F.coalesce("component", "gkey"))
+        .filter(
+            F.col("component").isNotNull()
+            | ((F.col("gn") >= 2) & F.col("ne"))
+        )
+    )
+    comp_min = glabel.groupBy("gcomp").agg(F.min("gmin").alias("comp_doc"))
+    return (
+        members.join(glabel.select("gkey", "gcomp"), "gkey")
+        .join(comp_min, "gcomp")
+        .select(
+            F.col("id").alias("doc_id"), F.col("comp_doc").alias("component")
+        )
     )
 
 

@@ -432,3 +432,22 @@ def test_portable_grouped_equals_flat(spark, sf_dir):
     grouped = minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.8)
     rows = lambda df: {tuple(r) for r in df.collect()}
     assert rows(flat) == rows(grouped) and flat.count() > 0
+
+
+def test_group_graph_components_equal_member_graph(spark, sf_dir):
+    """dedup_components_portable now contracts identical-tokset groups
+    to single nodes before the component fixpoint; the (doc_id,
+    component) output must equal components over the full member pair
+    list — including min-doc labels, pairless-singleton exclusion and
+    empty-tokset exclusion."""
+    import hpv_etl_code_spark.plans.text_queries as tq
+    from hpv_etl_code_spark.operators.components import connected_components
+
+    grouped = tq.dedup_components_portable(spark, sf_dir)
+    member_pairs = tq.dedup_minhash_portable(spark, sf_dir)
+    flat = connected_components(member_pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    got = rows(grouped)
+    assert got == rows(flat) and got

@@ -257,3 +257,15 @@ def test_basket_apriori_prefilter_output_identical(spark):
         .count()
     )
     assert freq == 3
+
+
+def test_ewma_chunk_size_invariance(spark, sf_dir):
+    """The segmented decomposition must be chunk-size-invariant at the
+    entry's 6dp output contract: widths 1 (every element composes),
+    7 (uneven boundaries) and 10^6 (single chunk = simple fold) all
+    agree with the whole-history fold."""
+    ev = load_table(spark, sf_dir, "events")
+    expected = {tuple(r) for r in mq.ewma_simple_fold(ev).collect()}
+    for chunk in (1, 7, 1_000_000):
+        got = {tuple(r) for r in mq.ewma_segments(ev, chunk=chunk).collect()}
+        assert got == expected and got, f"chunk={chunk}"
