@@ -304,6 +304,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "containment_pairs",
     "dow_seasonality_events",
     "fuzzy_neighborhood_pairs",
+    "cdc_matview_events",
 )
 
 

@@ -191,7 +191,46 @@ FROM l GROUP BY event_type
 """
 
 
+def cdc_matview_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the retraction-aware incremental materialized view
+    (streaming/matview.py): events become a signed CDC feed (op = 'D'
+    for event_id % 7 == 3, else 'I' — updates arrive as D+I pairs in
+    real feeds) and the view is the net per-user COUNT/SUM/AVG in exact
+    integer cents. The stream maintains the same view as append-only
+    partial-aggregate parts (stream ≡ batch + exactly-once restart +
+    LSM compaction locked in tests/test_matview.py); this entry
+    hash-checks the shared delta arithmetic against DuckDB."""
+    from ..streaming.matview import cdc_net_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    cdc = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 7 == 3, F.lit("D")).otherwise(F.lit("I")).alias("op"),
+        "value",
+    )
+    return cdc_net_batch(cdc)
+
+
+CDC_MATVIEW_SQL = """
+WITH cdc AS (
+  SELECT user_id,
+    CASE WHEN event_id % 7 = 3 THEN -1 ELSE 1 END AS sgn,
+    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), agg AS (
+  SELECT user_id, SUM(sgn)::BIGINT AS n,
+    SUM(sgn * COALESCE(cents, 0))::BIGINT AS cents
+  FROM cdc GROUP BY user_id
+)
+SELECT user_id, n,
+  ROUND(cents::DOUBLE / 100.0, 2) AS sum_value,
+  ROUND(cents::DOUBLE / 100.0 / n::DOUBLE, 6) AS avg_value
+FROM agg WHERE n != 0
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("cdc_matview_events", cdc_matview_events, CDC_MATVIEW_SQL)
     register("lateness_profile", lateness_profile, LATENESS_SQL)
     register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)
     register("stream_sliding_counts", stream_sliding_counts, SLIDING_SQL)
