@@ -305,6 +305,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "dow_seasonality_events",
     "fuzzy_neighborhood_pairs",
     "cdc_matview_events",
+    "l_diversity_census",
 )
 
 

@@ -84,6 +84,79 @@ GROUP BY k
 """
 
 
+_L_THRESHOLDS = (2, 3)
+
+
+def l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to :func:`k_anonymity_census`: k-anonymity bounds
+    IDENTITY disclosure, l-diversity bounds ATTRIBUTE disclosure — a
+    class whose members all share one sensitive value leaks it even at
+    large k. QI = (nation, balance band); sensitive = market segment.
+    Output per l: classes with < l distinct sensitive values, the
+    records they expose, and the risk share.
+
+    Scale: one aggregation computes class size + distinct-sensitive
+    count together (count_distinct over the class — Spark's two-phase
+    Expand plan keeps it partial-aggregated); the l-sweep is a tiny
+    broadcast cross join over class summaries.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 1000).alias("bal_band")
+    ).agg(
+        F.count(F.lit(1)).alias("class_n"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _L_THRESHOLDS])).alias("l")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("n_sensitive") < F.col("l")).cast("int"))
+            .cast("long")
+            .alias("n_low_div_classes"),
+            F.sum(
+                F.when(F.col("n_sensitive") < F.col("l"), F.col("class_n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_risky_records"),
+            F.sum("class_n").cast("long").alias("n_records"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_low_div_classes",
+            "n_risky_records",
+            F.round(
+                F.col("n_risky_records").cast("double")
+                / F.col("n_records").cast("double"),
+                6,
+            ).alias("risk_share"),
+        )
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000) AS bal_band,
+         COUNT(*) AS class_n,
+         COUNT(DISTINCT c_mktsegment) AS n_sensitive
+  FROM customer GROUP BY 1, 2
+), ls AS (SELECT unnest([{", ".join(str(v) for v in _L_THRESHOLDS)}]) AS l)
+SELECT l,
+  COUNT(*)::BIGINT AS n_classes,
+  SUM(CASE WHEN n_sensitive < l THEN 1 ELSE 0 END)::BIGINT AS n_low_div_classes,
+  SUM(CASE WHEN n_sensitive < l THEN class_n ELSE 0 END)::BIGINT AS n_risky_records,
+  ROUND(SUM(CASE WHEN n_sensitive < l THEN class_n ELSE 0 END)::DOUBLE
+        / SUM(class_n)::DOUBLE, 6) AS risk_share
+FROM classes CROSS JOIN ls
+GROUP BY l
+"""
+
+
 # ----------------------------------- rare-shingle containment pairs
 
 _RARE_DF_MAX = 20  # a shingle is "rare" if its corpus doc frequency ≤ this
@@ -272,5 +345,6 @@ FROM resid GROUP BY 1, 2
 
 def register_entries(register) -> None:  # noqa: ANN001
     register("k_anonymity_census", k_anonymity_census, K_ANONYMITY_SQL)
+    register("l_diversity_census", l_diversity_census, L_DIVERSITY_SQL)
     register("containment_pairs", containment_pairs, CONTAINMENT_SQL)
     register("dow_seasonality_events", dow_seasonality_events, DOW_SEASONALITY_SQL)
