@@ -306,6 +306,10 @@ _ROTATION_POOL: tuple[str, ...] = (
     "fuzzy_neighborhood_pairs",
     "cdc_matview_events",
     "l_diversity_census",
+    "hll_distinct_portable",
+    "pmi_token_pairs",
+    "purged_timeseries_cv",
+    "benford_digit_profile",
 )
 
 

@@ -28,6 +28,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         relational_queries,
         search_queries,
         scale_queries,
+        stats_queries,
         stream_queries,
         temporal_graph_queries,
         text_queries,
@@ -63,3 +64,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     mining_queries.register_entries(register)
     olap_queries.register_entries(register)
     governance_queries.register_entries(register)
+    stats_queries.register_entries(register)

@@ -1,0 +1,415 @@
+"""Statistical-profiling entries (round 5, session 2): portable
+HyperLogLog distinct sketch, PMI token co-occurrence, purged
+time-series cross-validation with embargo, and a Benford first-digit
+forensics profile.
+
+All four are pure DataFrame compositions with exact DuckDB twins — no
+UDFs. Float outputs ride single fixed IEEE op chains (one division /
+one log) mirrored verbatim in the oracle SQL, per the repo's
+determinism contract (see ``functions/numeric.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# ------------------------------------------------ HyperLogLog (portable)
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# raw-estimate numerator alpha * m^2 * 2^53 — folded to one double
+# literal so both engines perform exactly ONE division
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+_HLL_SMALL = 2.5 * _HLL_M  # linear-counting switchover
+
+
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007),
+    p=8 → 256 registers, PORTABLE hash family — completes the
+    mergeable-sketch quartet (bloom / KMV / CMS / HLL).
+
+    Unlike ``approx_sketches`` (engine-internal HLL++ state, rows-only
+    check), every piece of this sketch is reproducible by any engine
+    with md5: the 60-bit hash splits into an 8-bit register index and a
+    52-bit suffix whose leading-zero count is EXACT INTEGER logic
+    (string length of the binary representation — no float log2, whose
+    off-by-one at powers of two would diverge engines). Register state
+    is max(rho) per register: mergeable by max, 256 bytes per group,
+    re-aggregable across partitions/days.
+
+    The harmonic mean is computed in EXACT integer arithmetic: each
+    register contributes 2^(53-rho) (≤2^53; the 256-register sum is
+    ≤2^61, inside BIGINT), so the only float ops are one int→double
+    conversion, one division by the folded constant, and — on the
+    small-range branch — one ln. Estimator error vs the exact distinct
+    count rides along per group.
+
+    Scale: one (group, register) hash aggregation — partial max
+    map-side — then a group-sized agg; the exact-count branch is the
+    usual count-distinct expand. No window, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("event_type", h.alias("h"))
+    regs = hashed.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.expr(f"shiftright(h, {_HLL_P})").alias("w"),
+    ).select(
+        "event_type",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin("w")))
+        .alias("rho"),
+    )
+    per_reg = regs.groupBy("event_type", "reg").agg(F.max("rho").alias("m_rho"))
+    agg = per_reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers_hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_rho as int))"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    v = F.lit(_HLL_M) - F.col("n_registers_hit")
+    s_total = (
+        F.col("s_present") + v.cast("bigint") * F.lit(1 << 53)
+    ).cast("double")
+    raw = F.lit(_HLL_C) / s_total
+    est = F.when(
+        (v > 0) & (raw <= F.lit(_HLL_SMALL)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    joined = agg.join(F.broadcast(exact), "event_type")
+    est_r = F.round(est, 4)
+    return joined.select(
+        "event_type",
+        "n_exact",
+        "n_registers_hit",
+        est_r.alias("hll_estimate"),
+        F.round(
+            F.abs(est_r - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h % {_HLL_M} AS reg,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN 53
+              ELSE 53 - length(bin(h >> {_HLL_P})) END AS rho
+  FROM h
+), m AS (
+  SELECT event_type, reg, MAX(rho) AS m_rho FROM r GROUP BY 1, 2
+), s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_registers_hit,
+         SUM(1::BIGINT << (53 - m_rho))::BIGINT AS s_present
+  FROM m GROUP BY 1
+), x AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+), est AS (
+  SELECT s.event_type, x.n_exact, s.n_registers_hit,
+    ROUND(CASE
+      WHEN ({_HLL_M} - s.n_registers_hit) > 0
+       AND {_HLL_C!r} / (s.s_present
+             + ({_HLL_M} - s.n_registers_hit) * {1 << 53}::BIGINT)::DOUBLE
+           <= {_HLL_SMALL!r}
+      THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r}
+             / ({_HLL_M} - s.n_registers_hit)::DOUBLE)
+      ELSE {_HLL_C!r} / (s.s_present
+             + ({_HLL_M} - s.n_registers_hit) * {1 << 53}::BIGINT)::DOUBLE
+    END, 4) AS hll_estimate
+  FROM s JOIN x USING (event_type)
+)
+SELECT event_type, n_exact, n_registers_hit, hll_estimate,
+  ROUND(abs(hll_estimate - n_exact::DOUBLE) / n_exact::DOUBLE, 6)
+    AS rel_error
+FROM est
+"""
+
+# ------------------------------------------------ PMI co-occurrence
+
+_PMI_MIN_PAIRS = 5
+
+
+def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring within
+    documents — the corpus-statistics pass behind collocation mining
+    and phrase vocabularies. Output per qualifying pair: document
+    frequencies, PMI = ln(p(a,b)/(p(a)p(b))) and its [-1,1]
+    normalization NPMI = PMI / -ln p(a,b).
+
+    Scale (same algebra as ``market_basket_rules``): each doc's
+    DISTINCT sorted tokens expand their own C(m,2) ordered pairs
+    row-locally inside codegen — no token self-join shuffle; pair and
+    token counts are two hash aggregations whose output is bounded by
+    the vocabulary (pairs ≤ |V|²/2), not the corpus. The PMI arithmetic
+    is exact BIGINT products ending in one double division + one ln —
+    deterministic across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    baskets = docs.select(
+        F.array_sort(
+            F.array_remove(F.array_distinct(F.split("text", " ")), "")
+        ).alias("items")
+    )
+    n_frame = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tok_counts = (
+        baskets.select(F.explode("items").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda a, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    ta = tok_counts.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    tb = tok_counts.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    joined = (
+        pairs.join(F.broadcast(ta), "tok_a")
+        .join(F.broadcast(tb), "tok_b")
+        .crossJoin(F.broadcast(n_frame))
+    )
+    ratio_ln = F.log(
+        (F.col("n_ab") * F.col("n_docs")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return joined.select(
+        "tok_a",
+        "tok_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(ratio_ln, 6).alias("pmi"),
+        F.when(F.col("n_ab") == F.col("n_docs"), F.lit(1.0))
+        .otherwise(
+            F.round(
+                ratio_ln
+                / F.log(
+                    F.col("n_docs").cast("double") / F.col("n_ab").cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("npmi"),
+    )
+
+
+PMI_TOKEN_SQL = f"""
+WITH d AS (
+  SELECT row_number() OVER () AS did,
+         list_sort(list_distinct(
+           list_filter(string_split(text, ' '), x -> x <> ''))) AS items
+  FROM documents
+), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM d),
+tok AS (
+  SELECT did, unnest(items) AS tok FROM d
+), tc AS (SELECT tok, COUNT(*)::BIGINT AS n_tok FROM tok GROUP BY tok),
+pc AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*)::BIGINT AS n_ab
+  FROM tok a JOIN tok b ON a.did = b.did AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT tok_a, tok_b, ta.n_tok AS n_a, tb.n_tok AS n_b, n_ab,
+  ROUND(LN((n_ab * n_docs)::DOUBLE / (ta.n_tok * tb.n_tok)::DOUBLE), 6)
+    AS pmi,
+  CASE WHEN n_ab = n_docs THEN 1.0::DOUBLE
+       ELSE ROUND(
+         LN((n_ab * n_docs)::DOUBLE / (ta.n_tok * tb.n_tok)::DOUBLE)
+         / LN(n_docs::DOUBLE / n_ab::DOUBLE), 6) END AS npmi
+FROM pc
+JOIN tc ta ON pc.tok_a = ta.tok
+JOIN tc tb ON pc.tok_b = tb.tok
+CROSS JOIN n
+"""
+
+# ------------------------------------------------ purged time-series CV
+
+_CV_K = 5
+_CV_EMBARGO = 86_400  # 1 day, seconds
+
+
+def purged_timeseries_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold time-series cross-validation with an embargo gap
+    (López de Prado 2018) — the leakage-aware split a temporal model
+    pipeline needs where ``fold_assignment_leakfree`` handles the
+    entity-level case: each fold's TEST span is a contiguous time
+    range, and training excludes everything within the embargo window
+    around it, so label horizons that straddle the boundary can't
+    leak. Output per fold: the span, test/purged/train counts, and the
+    surviving train fraction.
+
+    Scale: one min/max/count aggregation fixes the fold grid; the grid
+    (K rows) broadcasts back over the events for a single
+    classify-and-aggregate pass — partial map-side aggregation leaves
+    K rows per partition in the shuffle. No sort, no window; epoch
+    arithmetic is exact BIGINT.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("at")
+    )
+    bounds = ev.agg(
+        F.min("at").alias("t0"),
+        F.max("at").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    width = F.floor((F.col("t1") - F.col("t0") + 1) / _CV_K).cast("bigint")
+    folds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_CV_K - 1))).alias("fold_i"),
+            "t0",
+            "t1",
+            "n_total",
+        )
+        .select(
+            F.col("fold_i").cast("bigint").alias("fold"),
+            (F.col("t0") + F.col("fold_i").cast("bigint") * width).alias("fold_start"),
+            F.when(F.col("fold_i") == _CV_K - 1, F.col("t1") + 1)
+            .otherwise(F.col("t0") + (F.col("fold_i").cast("bigint") + 1) * width)
+            .alias("fold_end"),
+            "n_total",
+        )
+    )
+    is_test = (F.col("at") >= F.col("fold_start")) & (F.col("at") < F.col("fold_end"))
+    in_embargo = (F.col("at") >= F.col("fold_start") - _CV_EMBARGO) & (
+        F.col("at") < F.col("fold_end") + _CV_EMBARGO
+    )
+    return (
+        ev.crossJoin(F.broadcast(folds))
+        .groupBy("fold", "fold_start", "fold_end")
+        .agg(
+            F.sum(is_test.cast("int")).cast("bigint").alias("n_test"),
+            F.sum((in_embargo & ~is_test).cast("int")).cast("bigint").alias("n_purged"),
+            F.sum((~in_embargo).cast("int")).cast("bigint").alias("n_train"),
+            F.round(
+                F.sum((~in_embargo).cast("int")).cast("double")
+                / F.max("n_total").cast("double"),
+                6,
+            ).alias("train_frac"),
+        )
+    )
+
+
+PURGED_CV_SQL = f"""
+WITH e AS (SELECT FLOOR(epoch(ts))::BIGINT AS at FROM events),
+b AS (SELECT MIN(at) AS t0, MAX(at) AS t1, COUNT(*)::BIGINT AS n_total
+      FROM e),
+f AS (
+  SELECT k.fold,
+         b.t0 + k.fold * ((b.t1 - b.t0 + 1) // {_CV_K}) AS fold_start,
+         CASE WHEN k.fold = {_CV_K - 1} THEN b.t1 + 1
+              ELSE b.t0 + (k.fold + 1) * ((b.t1 - b.t0 + 1) // {_CV_K})
+         END AS fold_end,
+         b.n_total
+  FROM b CROSS JOIN (
+    SELECT unnest([{", ".join(str(k) for k in range(_CV_K))}])::BIGINT AS fold
+  ) k
+)
+SELECT f.fold, f.fold_start, f.fold_end,
+  SUM(CASE WHEN e.at >= f.fold_start AND e.at < f.fold_end
+           THEN 1 ELSE 0 END)::BIGINT AS n_test,
+  SUM(CASE WHEN e.at >= f.fold_start - {_CV_EMBARGO}
+            AND e.at < f.fold_end + {_CV_EMBARGO}
+            AND NOT (e.at >= f.fold_start AND e.at < f.fold_end)
+           THEN 1 ELSE 0 END)::BIGINT AS n_purged,
+  SUM(CASE WHEN e.at < f.fold_start - {_CV_EMBARGO}
+            OR e.at >= f.fold_end + {_CV_EMBARGO}
+           THEN 1 ELSE 0 END)::BIGINT AS n_train,
+  ROUND(SUM(CASE WHEN e.at < f.fold_start - {_CV_EMBARGO}
+                  OR e.at >= f.fold_end + {_CV_EMBARGO}
+                 THEN 1 ELSE 0 END)::DOUBLE / MAX(f.n_total)::DOUBLE, 6)
+    AS train_frac
+FROM e CROSS JOIN f
+GROUP BY 1, 2, 3
+"""
+
+# ------------------------------------------------ Benford profile
+
+
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic fabricated-data screen a data-quality
+    suite runs over monetary columns. Output per digit 1-9: count,
+    observed share, Benford expectation log10(1+1/d), and the
+    chi-square contribution.
+
+    Determinism: the digit comes from the DECIMAL(18,2) string
+    rendering (exact HALF_UP in both engines — no float log10 digit
+    extraction, which is off-by-one near powers of ten); shares and
+    chi-square terms are single fixed IEEE chains mirrored in the
+    oracle. Scale: one 9-group hash aggregation + a one-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("n_total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expected = F.col("n_total").cast("double") * p
+    diff = F.col("n").cast("double") - expected
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_total").cast("double"), 6).alias(
+            "obs_share"
+        ),
+        F.round(p, 6).alias("benford_share"),
+        F.round(diff * diff / expected, 6).alias("chisq_term"),
+    )
+
+
+BENFORD_SQL = """
+WITH d AS (
+  SELECT substr(o_totalprice::DECIMAL(18,2)::VARCHAR, 1, 1)::INT AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n)::BIGINT AS n_total FROM c)
+SELECT digit, n,
+  ROUND(n::DOUBLE / n_total::DOUBLE, 6) AS obs_share,
+  ROUND(LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE), 6) AS benford_share,
+  ROUND((n::DOUBLE - n_total::DOUBLE
+           * LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE))
+        * (n::DOUBLE - n_total::DOUBLE
+           * LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE))
+        / (n_total::DOUBLE
+           * LOG10(1.0::DOUBLE + 1.0::DOUBLE / digit::DOUBLE)), 6)
+    AS chisq_term
+FROM c CROSS JOIN t
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("hll_distinct_portable", hll_distinct_portable, HLL_DISTINCT_SQL)
+    register("pmi_token_pairs", pmi_token_pairs, PMI_TOKEN_SQL)
+    register("purged_timeseries_cv", purged_timeseries_cv, PURGED_CV_SQL)
+    register("benford_digit_profile", benford_digit_profile, BENFORD_SQL)

@@ -1,0 +1,99 @@
+"""Invariant tests for plans/stats_queries.py beyond the generic oracle
+mirror: HLL error envelope + mergeability, purged-CV partition
+completeness and embargo geometry, PMI algebraic identities, Benford
+share normalization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.plans import stats_queries
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_hll_portable_error_envelope(spark, sf_dir):
+    """HLL(p=8) relative standard error is 1.04/sqrt(256) = 6.5%;
+    allow 4 sigma per group against the exact distinct rider."""
+    rows = stats_queries.hll_distinct_portable(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_registers_hit <= 256
+        assert abs(r.hll_estimate - r.n_exact) <= max(0.26 * r.n_exact, 4), r
+
+
+def test_hll_register_state_is_mergeable(spark, sf_dir):
+    """max(rho) per register over any partition of the input composes
+    by max — split the events stream in two, merge register states,
+    and the merged sketch must equal the single-pass sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    regs = ev.select(
+        (F.col("event_id") % 2).alias("half"), h.alias("h")
+    ).select(
+        "half",
+        (F.col("h") % 256).alias("reg"),
+        F.expr("shiftright(h, 8)").alias("w"),
+    ).select(
+        "half",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin("w")))
+        .alias("rho"),
+    )
+    single = {
+        (r.reg): r.m
+        for r in regs.groupBy("reg").agg(F.max("rho").alias("m")).collect()
+    }
+    halves = (
+        regs.groupBy("half", "reg").agg(F.max("rho").alias("m"))
+        .groupBy("reg")
+        .agg(F.max("m").alias("m"))
+    )
+    merged = {r.reg: r.m for r in halves.collect()}
+    assert merged == single
+
+
+def test_purged_cv_partitions_every_event_exactly_once(spark, sf_dir):
+    rows = stats_queries.purged_timeseries_cv(spark, sf_dir).collect()
+    assert len(rows) == stats_queries._CV_K
+    n_total = load_table(spark, sf_dir, "events").count()
+    spans = sorted((r.fold_start, r.fold_end) for r in rows)
+    # contiguous, non-overlapping fold grid covering [min, max]
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e0 == s1
+    for r in rows:
+        # every event is exactly one of test/purged/train for each fold
+        assert r.n_test + r.n_purged + r.n_train == n_total
+        assert r.n_test > 0
+        # embargo strictly shrinks the training set vs a naive split
+        assert r.n_train < n_total - r.n_test
+        assert 0.0 <= r.train_frac <= 1.0
+
+
+def test_pmi_identities(spark, sf_dir):
+    rows = stats_queries.pmi_token_pairs(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    for r in rows:
+        assert r.tok_a < r.tok_b  # ordered pairs, no duplicates
+        assert r.n_ab <= min(r.n_a, r.n_b) <= n_docs
+        expect = math.log(r.n_ab * n_docs / (r.n_a * r.n_b))
+        assert abs(r.pmi - expect) < 1e-5
+        # NPMI bounded: [-1, 1]
+        assert -1.0 - 1e-9 <= r.npmi <= 1.0 + 1e-9
+
+
+def test_benford_shares_normalize(spark, sf_dir):
+    rows = stats_queries.benford_digit_profile(spark, sf_dir).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    # Benford expectation sums to 1 over the full digit support
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+    for r in rows:
+        assert r.chisq_term >= 0.0
