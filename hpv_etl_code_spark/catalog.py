@@ -310,6 +310,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "pmi_token_pairs",
     "purged_timeseries_cv",
     "benford_digit_profile",
+    "lsh_recall_eval",
 )
 
 

@@ -408,8 +408,164 @@ FROM c CROSS JOIN t
 """
 
 
+# ------------------------------------------------ LSH recall eval
+
+_EVAL_SAMPLE_MOD = 10  # deterministic 10% doc sample
+_EVAL_BLOCKS = 8
+_EVAL_THRESHOLD = 0.8
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality of the MinHash/LSH banding scheme,
+    measured the way a dedup pipeline should be audited: on a
+    DETERMINISTIC document sample, compare the banding's candidate
+    pairs against exact-Jaccard ground truth (≥ 0.8 on distinct token
+    sets) and report recall (truth pairs the bands surfaced) and
+    precision (candidates that were truly similar). The final LSH
+    output refines candidates with exact Jaccard, so candidate RECALL
+    is the only quality risk — this entry puts a number on it.
+
+    Scale: ground truth is inherently all-pairs, so it runs on a
+    bounded sample (doc_id % 10) through the same block-pair
+    partitioning as ``neardup_pairs_blocked`` — every unordered block
+    pair is one join group, a task's working set is two blocks, no
+    cartesian task, no broadcast of the sample. The banding side is
+    the production portable chain (16 md5 min-hashes, 4 bands) over
+    the same sample. Both pair sets are output-bounded; the final
+    metric agg is one full-outer join of pair keys + one row.
+    """
+    from ..operators.dedup import (
+        _portable_band_structs,
+        _portable_minhash_sig,
+        distinct_tokens,
+        jaccard,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _EVAL_SAMPLE_MOD == 0
+    )
+    base = d.select(
+        F.col("doc_id").alias("id"), distinct_tokens("text").alias("toks")
+    ).localCheckpoint(eager=True)  # feeds truth + banding branches
+
+    # ground truth: blocked all-pairs exact Jaccard over the sample
+    blk = base.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(_EVAL_BLOCKS)))
+    a = blk.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("b").alias("p"),
+        F.explode(F.sequence(F.col("b"), F.lit(_EVAL_BLOCKS - 1))).alias("q"),
+    )
+    bb = blk.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("p"),
+        F.col("b").alias("q"),
+    )
+    truth = (
+        a.join(bb, ["p", "q"])
+        .filter((F.col("p") < F.col("q")) | (F.col("id_a") < F.col("id_b")))
+        .filter(
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6)
+            >= _EVAL_THRESHOLD
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+    # production banding chain over the same sample (empty token sets
+    # carry no hashes — dropped, mirroring the oracle's natural drop)
+    sig = (
+        base.filter(F.size("toks") > 0)
+        .withColumn("sig", _portable_minhash_sig("toks", 16))
+        .select("id", F.explode(_portable_band_structs(4, 4)).alias("bs"))
+        .select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    )
+    cand = (
+        sig.withColumnRenamed("id", "id_a")
+        .join(sig.withColumnRenamed("id", "id_b"), ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    joined = truth.withColumn("in_t", F.lit(1)).join(
+        cand.withColumn("in_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    n_truth = F.count("in_t").cast("bigint")
+    n_cand = F.count("in_c").cast("bigint")
+    n_tp = (
+        F.sum((F.col("in_t").isNotNull() & F.col("in_c").isNotNull()).cast("int"))
+        .cast("bigint")
+    )
+    return joined.agg(
+        n_truth.alias("n_truth"),
+        n_cand.alias("n_candidates"),
+        n_tp.alias("n_tp"),
+        F.when(
+            n_cand > 0, F.round(n_tp.cast("double") / n_cand.cast("double"), 6)
+        ).alias("precision"),
+        F.when(
+            n_truth > 0, F.round(n_tp.cast("double") / n_truth.cast("double"), 6)
+        ).alias("recall"),
+    )
+
+
+LSH_RECALL_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id % {_EVAL_SAMPLE_MOD} = 0
+), truth AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM d a JOIN d b ON a.id < b.id
+  WHERE ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        greatest(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)), 1), 6)
+        >= {_EVAL_THRESHOLD}
+), e AS (
+  SELECT id, unnest(toks) AS tok FROM d
+), h AS (
+  SELECT id, s.seed,
+    MIN(('0x' || substr(md5(s.seed::VARCHAR || '|' || tok), 1, 15))::BIGINT)
+      AS mh
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY id, s.seed
+), bands AS (
+  SELECT id, seed // 4 AS band,
+    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM h GROUP BY id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+), j AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         coalesce(t.id_b, c.id_b) AS id_b,
+         t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+  FROM truth t
+  FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT
+  SUM(CASE WHEN in_t THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+  SUM(CASE WHEN in_c THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+  SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+  CASE WHEN SUM(CASE WHEN in_c THEN 1 ELSE 0 END) > 0 THEN
+    ROUND(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)::DOUBLE
+          / SUM(CASE WHEN in_c THEN 1 ELSE 0 END)::DOUBLE, 6)
+  END AS precision,
+  CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN
+    ROUND(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END)::DOUBLE
+          / SUM(CASE WHEN in_t THEN 1 ELSE 0 END)::DOUBLE, 6)
+  END AS recall
+FROM j
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("hll_distinct_portable", hll_distinct_portable, HLL_DISTINCT_SQL)
     register("pmi_token_pairs", pmi_token_pairs, PMI_TOKEN_SQL)
     register("purged_timeseries_cv", purged_timeseries_cv, PURGED_CV_SQL)
     register("benford_digit_profile", benford_digit_profile, BENFORD_SQL)
+    register("lsh_recall_eval", lsh_recall_eval, LSH_RECALL_SQL)

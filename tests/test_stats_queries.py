@@ -88,6 +88,19 @@ def test_pmi_identities(spark, sf_dir):
         assert -1.0 - 1e-9 <= r.npmi <= 1.0 + 1e-9
 
 
+def test_lsh_recall_eval_bounds(spark, sf_dir):
+    """Candidate recall must sit near the banding theory value
+    (1-(1-J^r)^b ≈ 0.88 at J=0.8, r=4, b=4 — higher on real corpora
+    whose similar pairs exceed the threshold); the TP count is bounded
+    by both sides."""
+    r = stats_queries.lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert r.n_tp <= min(r.n_truth, r.n_candidates)
+    if r.n_truth:
+        assert 0.5 <= r.recall <= 1.0
+    if r.n_candidates:
+        assert 0.0 <= r.precision <= 1.0
+
+
 def test_benford_shares_normalize(spark, sf_dir):
     rows = stats_queries.benford_digit_profile(spark, sf_dir).collect()
     digits = {r.digit for r in rows}
