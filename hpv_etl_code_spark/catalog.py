@@ -311,6 +311,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "purged_timeseries_cv",
     "benford_digit_profile",
     "lsh_recall_eval",
+    "ks_test_drift",
+    "zonemap_prune_stats",
 )
 
 

@@ -563,9 +563,248 @@ FROM j
 """
 
 
+# ------------------------------------------------ KS two-sample drift
+
+_KS_CRIT_95 = 1.358  # c(alpha) for alpha = 0.05
+
+
+def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: split
+    the stream at its time midpoint and compare early-vs-late value
+    distributions — the exact-statistic companion to the binned
+    ``psi_value_drift`` (PSI needs bin choices; KS is bin-free).
+
+    Determinism: the KS statistic is computed ENTIRELY in integer
+    arithmetic — D = max |cumA·nB − cumB·nA| over the merged distinct
+    values, divided ONCE by nA·nB at the end — so no float
+    accumulation ever crosses a shuffle. The 95% critical value is one
+    sqrt (correctly-rounded IEEE) mirrored in the oracle.
+
+    Scale: one (type, value) pre-aggregation collapses the window
+    input to distinct values; the cumulative window then runs per
+    event type — parallelism is bounded by type cardinality, so a
+    wide-type deployment would pre-bucket values (the PSI entry's
+    shape) or range-repartition within type. No global sort.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("at"))
+    )
+    mid_frame = ev.agg(
+        F.floor((F.min("at") + F.max("at")) / 2).cast("bigint").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(mid_frame))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum((F.col("at") < F.col("mid")).cast("int")).cast("bigint").alias("ca"),
+            F.sum((F.col("at") >= F.col("mid")).cast("int")).cast("bigint").alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    stepped = counts.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    agg = stepped.groupBy("event_type").agg(
+        F.max("na").alias("n_early"),
+        F.max("nb").alias("n_late"),
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        ).alias("dmax"),
+    )
+    ks_d = F.round(
+        F.col("dmax").cast("double")
+        / (F.col("n_early") * F.col("n_late")).cast("double"),
+        6,
+    )
+    ks_crit = F.round(
+        F.lit(_KS_CRIT_95)
+        * F.sqrt(
+            (F.col("n_early") + F.col("n_late")).cast("double")
+            / (F.col("n_early") * F.col("n_late")).cast("double")
+        ),
+        6,
+    )
+    return agg.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        ks_d.alias("ks_d"),
+        ks_crit.alias("ks_crit"),
+        (ks_d > ks_crit).alias("drifted"),
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, FLOOR(epoch(ts))::BIGINT AS at
+  FROM events WHERE value IS NOT NULL
+), b AS (SELECT (MIN(at) + MAX(at)) // 2 AS mid FROM e),
+c AS (
+  SELECT event_type, value,
+    SUM(CASE WHEN at < mid THEN 1 ELSE 0 END)::BIGINT AS ca,
+    SUM(CASE WHEN at >= mid THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM e CROSS JOIN b GROUP BY 1, 2
+), w AS (
+  SELECT event_type,
+    SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cuma,
+    SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cumb,
+    SUM(ca) OVER (PARTITION BY event_type)::BIGINT AS na,
+    SUM(cb) OVER (PARTITION BY event_type)::BIGINT AS nb
+  FROM c
+)
+SELECT event_type, MAX(na) AS n_early, MAX(nb) AS n_late,
+  ROUND(MAX(abs(cuma * nb - cumb * na))::DOUBLE
+        / (MAX(na) * MAX(nb))::DOUBLE, 6) AS ks_d,
+  ROUND({_KS_CRIT_95!r} * sqrt((MAX(na) + MAX(nb))::DOUBLE
+        / (MAX(na) * MAX(nb))::DOUBLE), 6) AS ks_crit,
+  ROUND(MAX(abs(cuma * nb - cumb * na))::DOUBLE
+        / (MAX(na) * MAX(nb))::DOUBLE, 6)
+    > ROUND({_KS_CRIT_95!r} * sqrt((MAX(na) + MAX(nb))::DOUBLE
+        / (MAX(na) * MAX(nb))::DOUBLE), 6) AS drifted
+FROM w GROUP BY event_type
+"""
+
+# ------------------------------------------------ zone-map pruning
+
+_ZM_ROWS_PER_FILE = 1000
+_ZM_CK_LO, _ZM_CK_HI = 40, 80  # custkey rectangle [lo, hi)
+_ZM_PQ_LO, _ZM_PQ_HI = 2000, 6000  # quantized-price rectangle [lo, hi)
+
+
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Z-order: simulate per-file zone maps (min/max column stats)
+    under two physical layouts of the same table — insertion order vs
+    Morton Z-order on (custkey, quantized price) — and measure how many
+    files a 2-D rectangle predicate must actually read. Natural order
+    gives tight stats on the insertion key only, so a rectangle on two
+    OTHER columns hits nearly every file; Z-order keeps both dimensions
+    locally bounded per file, so most files are skipped. Output per
+    layout: file/row counts, rows scanned vs rows matching, and the
+    read amplification — the number the layout operator
+    (``operators/layout.py::zorder_layout``) exists to shrink.
+
+    Scale: file ids come from the two-phase bucketed global index (no
+    single-partition sort); zone-map stats are one hash aggregation per
+    layout; everything else is integer arithmetic on file summaries.
+    """
+    from ..operators.layout import global_row_index, morton_z16
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 32).cast("bigint").alias("price_q"),
+    )
+    base = o.withColumn("zval", morton_z16(F.col("o_custkey"), F.col("price_q")))
+    lay_nat = global_row_index(base, key="o_orderkey").withColumn(
+        "layout", F.lit("natural")
+    )
+    lay_z = global_row_index(base, key="zval", tiebreak=("o_orderkey",)).withColumn(
+        "layout", F.lit("zorder")
+    )
+    both = lay_nat.unionByName(lay_z).withColumn(
+        "file_id", F.floor((F.col("global_idx") - 1) / _ZM_ROWS_PER_FILE)
+    )
+    match = (
+        (F.col("o_custkey") >= _ZM_CK_LO)
+        & (F.col("o_custkey") < _ZM_CK_HI)
+        & (F.col("price_q") >= _ZM_PQ_LO)
+        & (F.col("price_q") < _ZM_PQ_HI)
+    )
+    per_file = both.groupBy("layout", "file_id").agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("price_q").alias("pq_min"),
+        F.max("price_q").alias("pq_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(match.cast("int")).cast("bigint").alias("n_match"),
+    )
+    hit = (
+        (F.col("ck_max") >= _ZM_CK_LO)
+        & (F.col("ck_min") < _ZM_CK_HI)
+        & (F.col("pq_max") >= _ZM_PQ_LO)
+        & (F.col("pq_min") < _ZM_PQ_HI)
+    )
+    scanned = F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint")
+    matching = F.sum("n_match").cast("bigint")
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_files_read"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        scanned.alias("n_rows_scanned"),
+        matching.alias("n_rows_matching"),
+        F.when(
+            matching > 0, F.round(scanned.cast("double") / matching.cast("double"), 4)
+        ).alias("read_amplification"),
+    )
+
+
+def _zonemap_sql() -> str:
+    from ..operators.layout import morton_z16_sql
+
+    z = morton_z16_sql("o_custkey", "CAST(floor(o_totalprice / 32) AS BIGINT)")
+    pred = (
+        f"o_custkey >= {_ZM_CK_LO} AND o_custkey < {_ZM_CK_HI} "
+        f"AND price_q >= {_ZM_PQ_LO} AND price_q < {_ZM_PQ_HI}"
+    )
+    hit = (
+        f"ck_max >= {_ZM_CK_LO} AND ck_min < {_ZM_CK_HI} "
+        f"AND pq_max >= {_ZM_PQ_LO} AND pq_min < {_ZM_PQ_HI}"
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice / 32) AS BIGINT) AS price_q,
+         {z} AS zval
+  FROM orders
+), lay AS (
+  SELECT 'natural' AS layout,
+         row_number() OVER (ORDER BY o_orderkey) AS gi, o_custkey, price_q
+  FROM b
+  UNION ALL
+  SELECT 'zorder',
+         row_number() OVER (ORDER BY zval, o_orderkey), o_custkey, price_q
+  FROM b
+), f AS (
+  SELECT layout, (gi - 1) // {_ZM_ROWS_PER_FILE} AS file_id,
+         MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+         MIN(price_q) AS pq_min, MAX(price_q) AS pq_max,
+         COUNT(*)::BIGINT AS n_rows,
+         SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout, COUNT(*)::BIGINT AS n_files,
+  SUM(CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT AS n_files_read,
+  SUM(n_rows)::BIGINT AS n_rows,
+  SUM(CASE WHEN {hit} THEN n_rows ELSE 0 END)::BIGINT AS n_rows_scanned,
+  SUM(n_match)::BIGINT AS n_rows_matching,
+  CASE WHEN SUM(n_match) > 0 THEN
+    ROUND(SUM(CASE WHEN {hit} THEN n_rows ELSE 0 END)::DOUBLE
+          / SUM(n_match)::DOUBLE, 4)
+  END AS read_amplification
+FROM f GROUP BY layout
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("hll_distinct_portable", hll_distinct_portable, HLL_DISTINCT_SQL)
     register("pmi_token_pairs", pmi_token_pairs, PMI_TOKEN_SQL)
     register("purged_timeseries_cv", purged_timeseries_cv, PURGED_CV_SQL)
     register("benford_digit_profile", benford_digit_profile, BENFORD_SQL)
     register("lsh_recall_eval", lsh_recall_eval, LSH_RECALL_SQL)
+    register("ks_test_drift", ks_test_drift, KS_DRIFT_SQL)
+    register("zonemap_prune_stats", zonemap_prune_stats, _zonemap_sql())

@@ -101,6 +101,46 @@ def test_lsh_recall_eval_bounds(spark, sf_dir):
         assert 0.0 <= r.precision <= 1.0
 
 
+def test_ks_statistic_matches_reference(spark, sf_dir):
+    """Exact KS D per type must equal a direct numpy computation of
+    sup|F1 - F2| on the same midpoint split."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("at"))
+        .collect()
+    )
+    mid = (min(r.at for r in ev) + max(r.at for r in ev)) // 2
+    got = {r.event_type: r for r in stats_queries.ks_test_drift(spark, sf_dir).collect()}
+    for et in {r.event_type for r in ev}:
+        a = np.sort([r.value for r in ev if r.event_type == et and r.at < mid])
+        b = np.sort([r.value for r in ev if r.event_type == et and r.at >= mid])
+        grid = np.union1d(a, b)
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        d = np.max(np.abs(fa - fb))
+        r = got[et]
+        assert (r.n_early, r.n_late) == (len(a), len(b))
+        assert abs(r.ks_d - d) < 1e-6, (et, r.ks_d, d)
+
+
+def test_zonemap_zorder_prunes_at_least_as_well(spark, sf_dir):
+    rows = {r.layout: r for r in stats_queries.zonemap_prune_stats(spark, sf_dir).collect()}
+    assert set(rows) == {"natural", "zorder"}
+    nat, zo = rows["natural"], rows["zorder"]
+    # same table, same file sizing → identical totals
+    assert nat.n_rows == zo.n_rows
+    assert nat.n_rows_matching == zo.n_rows_matching
+    # zone maps never skip a file containing a match
+    for r in rows.values():
+        assert r.n_rows_scanned >= r.n_rows_matching
+        assert r.n_files_read <= r.n_files
+    # the whole point: clustering by the predicate dims reads no more
+    assert zo.n_files_read <= nat.n_files_read
+
+
 def test_benford_shares_normalize(spark, sf_dir):
     rows = stats_queries.benford_digit_profile(spark, sf_dir).collect()
     digits = {r.digit for r in rows}
