@@ -313,6 +313,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "lsh_recall_eval",
     "ks_test_drift",
     "zonemap_prune_stats",
+    "target_encoding_loo",
+    "bfs_hops_copurchase",
 )
 
 

@@ -563,6 +563,61 @@ FROM j
 """
 
 
+# ------------------------------------------------ LOO target encoding
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leak-aware way to turn ``c_mktsegment`` into a numeric feature:
+    each row's encoding is the mean target (account balance) of its
+    OWN category EXCLUDING the row itself, so the feature never
+    memorizes its own label (the companion, at the fold level, is
+    ``fold_assignment_leakfree``).
+
+    Determinism: LOO mean = (S − x)/(n − 1) with S an exact DECIMAL
+    sum and x exact (2-dp money) — one float division per row, no
+    float accumulation across partitions. Scale: one category-sized
+    aggregation broadcast back over the rows; no window, no
+    per-category shuffle of the fact side.
+    """
+    from ..functions.numeric import _dec
+
+    c = load_table(spark, sf_dir, "customer")
+    segs = c.groupBy("c_mktsegment").agg(
+        F.sum(_dec("c_acctbal")).alias("s_dec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+    )
+    j = c.join(F.broadcast(segs), "c_mktsegment")
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "n_seg",
+        F.when(
+            F.col("n_seg") > 1,
+            F.round(
+                (F.col("s_dec") - _dec("c_acctbal")).cast("double")
+                / (F.col("n_seg") - 1).cast("double"),
+                6,
+            ),
+        ).alias("loo_enc"),
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH s AS (
+  SELECT c_mktsegment,
+         SUM(CAST(c_acctbal AS DECIMAL(20,8))) AS s_dec,
+         COUNT(*)::BIGINT AS n_seg
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey, c.c_mktsegment, s.n_seg,
+  CASE WHEN s.n_seg > 1 THEN
+    ROUND(CAST(CAST(s.s_dec - CAST(c.c_acctbal AS DECIMAL(20,8)) AS VARCHAR)
+               AS DOUBLE) / (s.n_seg - 1)::DOUBLE, 6)
+  END AS loo_enc
+FROM customer c JOIN s USING (c_mktsegment)
+"""
+
 # ------------------------------------------------ KS two-sample drift
 
 _KS_CRIT_95 = 1.358  # c(alpha) for alpha = 0.05
@@ -808,3 +863,4 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("lsh_recall_eval", lsh_recall_eval, LSH_RECALL_SQL)
     register("ks_test_drift", ks_test_drift, KS_DRIFT_SQL)
     register("zonemap_prune_stats", zonemap_prune_stats, _zonemap_sql())
+    register("target_encoding_loo", target_encoding_loo, TARGET_ENCODING_SQL)

@@ -506,6 +506,81 @@ SELECT est_join_size, exact_join_size FROM est, exact
 """
 
 
+# --------------------------------------------------- BFS reachability
+
+_BFS_MAX_HOPS = 3
+
+
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-hop distances over the part co-purchase
+    graph from the lowest part key, capped at 3 hops — the
+    reachability/ego-network primitive next to the fixpoint siblings
+    (``pagerank_orders_graph`` iterates to convergence,
+    ``dedup_components_portable`` to a fixpoint; BFS is the bounded-
+    frontier case). Output: hop-distance histogram.
+
+    Scale: the frontier expands via one edge join per hop; the visited
+    set is anti-joined so each vertex is settled exactly once (min
+    distance by construction — a vertex can't be reached at hop d
+    after being settled at d' < d). Frontier and visited frames are
+    eagerly checkpointed per round, so round k's plan does not re-run
+    rounds 1..k-1 (the round-5 components lesson). The edge list is
+    built once (pair expansion within orders, distinct) and
+    checkpointed — 3 reuses.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    und = a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    edges = (
+        und.select(F.col("pa").alias("node"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("node"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    p = load_table(spark, sf_dir, "part")
+    seed = p.agg(F.min("p_partkey").alias("node")).withColumn(
+        "dist", F.lit(0).cast("bigint")
+    )
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.select("node")
+            .join(edges, "node")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM e0
+  UNION ALL
+  SELECT pb, pa FROM e0
+), walk(node, dist) AS (
+  SELECT MIN(p_partkey), 0 FROM part
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_BFS_MAX_HOPS}
+), m AS (SELECT node, MIN(dist)::BIGINT AS dist FROM walk GROUP BY node)
+SELECT dist, COUNT(*)::BIGINT AS n_nodes FROM m GROUP BY dist
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "interval_containment_join",
@@ -517,3 +592,4 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("cms_frequency_portable", cms_frequency_portable, CMS_FREQUENCY_SQL)
     register("interval_union_length", interval_union_length, INTERVAL_UNION_SQL)
     register("join_size_estimate_cms", join_size_estimate_cms, JOIN_SIZE_CMS_SQL)
+    register("bfs_hops_copurchase", bfs_hops_copurchase, BFS_HOPS_SQL)

@@ -141,6 +141,68 @@ def test_zonemap_zorder_prunes_at_least_as_well(spark, sf_dir):
     assert zo.n_files_read <= nat.n_files_read
 
 
+def test_target_encoding_loo_excludes_own_row(spark, sf_dir):
+    """For any category, sum of (loo_enc * (n-1)) + own value must
+    reconstruct the category total; and a row's encoding must differ
+    from the plain category mean whenever its value differs from it."""
+    import collections
+
+    rows = stats_queries.target_encoding_loo(spark, sf_dir).collect()
+    c = {
+        r.c_custkey: r.c_acctbal
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    by_seg = collections.defaultdict(list)
+    for r in rows:
+        by_seg[r.c_mktsegment].append(r)
+    for seg, rs in by_seg.items():
+        total = sum(c[r.c_custkey] for r in rs)
+        n = len(rs)
+        assert all(r.n_seg == n for r in rs)
+        for r in rs[:50]:
+            expect = (total - c[r.c_custkey]) / (n - 1)
+            assert abs(r.loo_enc - expect) < 1e-4, (seg, r.c_custkey)
+
+
+def test_bfs_hops_min_distance(spark, sf_dir):
+    """BFS histogram must match a driver-side reference BFS on the
+    collected edge list."""
+    from hpv_etl_code_spark.plans import temporal_graph_queries as tg
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    import collections
+
+    orders = collections.defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    adj = collections.defaultdict(set)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+    seed = min(
+        r.p_partkey for r in load_table(spark, sf_dir, "part").collect()
+    )
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, tg._BFS_MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    expect = collections.Counter(dist.values())
+    got = {
+        r.dist: r.n_nodes
+        for r in tg.bfs_hops_copurchase(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
 def test_benford_shares_normalize(spark, sf_dir):
     rows = stats_queries.benford_digit_profile(spark, sf_dir).collect()
     digits = {r.digit for r in rows}
