@@ -315,6 +315,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "zonemap_prune_stats",
     "target_encoding_loo",
     "bfs_hops_copurchase",
+    "hll_sliding_distinct",
 )
 
 

@@ -563,6 +563,115 @@ FROM j
 """
 
 
+# ------------------------------------------ sliding HLL distinct
+
+
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per TRAILING 7-day window, via merged HyperLogLog
+    register states — the query that shows WHY mergeable sketches earn
+    their keep at 100 TB: exact sliding distinct must re-scan every
+    window's raw rows (7× read amplification, unbounded per-window
+    state), while HLL keeps 256 bytes per day and merges windows by
+    ``max`` per register. Same portable register algebra as
+    :func:`hll_distinct_portable`; the merge is the window function.
+
+    Plan: one (day, register) aggregation over the events; densify
+    against the 256-register grid (a broadcast dimension, constant
+    size); one RANGE window (6 preceding days) per register; one
+    day-level aggregation. Everything before the final division is
+    exact integer arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    e = ev.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("di"),
+        h.alias("h"),
+    )
+    r = e.select(
+        "di",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.expr(f"shiftright(h, {_HLL_P})").alias("w"),
+    ).select(
+        "di",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin("w")))
+        .alias("rho"),
+    )
+    m = r.groupBy("di", "reg").agg(F.max("rho").alias("m_rho"))
+    days = e.select("di").distinct()
+    regs = spark.range(_HLL_M).select(F.col("id").cast("int").alias("reg"))
+    grid = days.crossJoin(F.broadcast(regs))
+    j = grid.join(m, ["di", "reg"], "left")
+    from pyspark.sql import Window
+
+    w7 = Window.partitionBy("reg").orderBy("di").rangeBetween(-6, 0)
+    merged = j.select("di", "reg", F.max("m_rho").over(w7).alias("m7"))
+    s = merged.groupBy("di").agg(
+        F.count("m7").cast("bigint").alias("n_regs_hit"),
+        F.sum(
+            F.when(F.col("m7").isNull(), F.lit(1 << 53)).otherwise(
+                F.expr("shiftleft(cast(1 as bigint), cast(53 - m7 as int))")
+            )
+        )
+        .cast("bigint")
+        .alias("stot"),
+    )
+    v = F.lit(_HLL_M) - F.col("n_regs_hit")
+    raw = F.lit(_HLL_C) / F.col("stot").cast("double")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(_HLL_SMALL)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return s.select(
+        "di", "n_regs_hit", F.round(est, 4).alias("hll_7d_estimate")
+    )
+
+
+HLL_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT (FLOOR(epoch(ts))::BIGINT // 86400) AS di,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT di, h % {_HLL_M} AS reg,
+         CASE WHEN (h >> {_HLL_P}) = 0 THEN 53
+              ELSE 53 - length(bin(h >> {_HLL_P})) END AS rho
+  FROM e
+), m AS (
+  SELECT di, reg, MAX(rho) AS m_rho FROM r GROUP BY 1, 2
+), days AS (SELECT DISTINCT di FROM e),
+grid AS (
+  SELECT d.di, g.reg
+  FROM days d CROSS JOIN
+       (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) g
+), j AS (
+  SELECT grid.di, grid.reg, m.m_rho
+  FROM grid LEFT JOIN m ON grid.di = m.di AND grid.reg = m.reg
+), w AS (
+  SELECT di, reg,
+         MAX(m_rho) OVER (PARTITION BY reg ORDER BY di
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+  FROM j
+), s AS (
+  SELECT di, COUNT(m7)::BIGINT AS n_regs_hit,
+         SUM(CASE WHEN m7 IS NULL THEN {1 << 53}::BIGINT
+                  ELSE 1::BIGINT << (53 - m7) END)::BIGINT AS stot
+  FROM w GROUP BY di
+)
+SELECT di, n_regs_hit,
+  ROUND(CASE
+    WHEN ({_HLL_M} - n_regs_hit) > 0
+     AND {_HLL_C!r} / stot::DOUBLE <= {_HLL_SMALL!r}
+    THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r}
+           / ({_HLL_M} - n_regs_hit)::DOUBLE)
+    ELSE {_HLL_C!r} / stot::DOUBLE
+  END, 4) AS hll_7d_estimate
+FROM s
+"""
+
 # ------------------------------------------------ LOO target encoding
 
 
@@ -864,3 +973,4 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("ks_test_drift", ks_test_drift, KS_DRIFT_SQL)
     register("zonemap_prune_stats", zonemap_prune_stats, _zonemap_sql())
     register("target_encoding_loo", target_encoding_loo, TARGET_ENCODING_SQL)
+    register("hll_sliding_distinct", hll_sliding_distinct, HLL_SLIDING_SQL)

@@ -141,6 +141,30 @@ def test_zonemap_zorder_prunes_at_least_as_well(spark, sf_dir):
     assert zo.n_files_read <= nat.n_files_read
 
 
+def test_hll_sliding_tracks_exact_window_distinct(spark, sf_dir):
+    """The merged 7-day register estimate must sit inside the HLL
+    error envelope of the exact trailing-window distinct count,
+    computed driver-side."""
+    import collections
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("di"),
+            "user_id",
+        )
+        .collect()
+    )
+    by_day = collections.defaultdict(set)
+    for r in ev:
+        by_day[r.di].add(r.user_id)
+    got = {r.di: r.hll_7d_estimate for r in stats_queries.hll_sliding_distinct(spark, sf_dir).collect()}
+    assert set(got) == set(by_day)
+    for di, est in got.items():
+        exact = len(set().union(*(by_day.get(d, set()) for d in range(di - 6, di + 1))))
+        assert abs(est - exact) <= max(0.26 * exact, 4), (di, est, exact)
+
+
 def test_target_encoding_loo_excludes_own_row(spark, sf_dir):
     """For any category, sum of (loo_enc * (n-1)) + own value must
     reconstruct the category total; and a row's encoding must differ
