@@ -316,6 +316,13 @@ _ROTATION_POOL: tuple[str, ...] = (
     "target_encoding_loo",
     "bfs_hops_copurchase",
     "hll_sliding_distinct",
+    "ols_segment_trend",
+    "token_entropy_by_source",
+    "prefix_filter_jaccard_pairs",
+    "phrase_search_docs",
+    "roundtrip_json_events",
+    "roundtrip_orc_events",
+    "roundtrip_csv_events",
 )
 
 

@@ -14,9 +14,11 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         behavior_queries,
         corpus_pipeline,
         decontam_queries,
+        format_queries,
         func_batteries2,
         governance_queries,
         func_batteries3,
+        inference_queries,
         image_queries,
         merged_queries,
         mining_queries,
@@ -28,6 +30,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         relational_queries,
         search_queries,
         scale_queries,
+        simjoin_queries,
         stats_queries,
         stream_queries,
         temporal_graph_queries,
@@ -65,3 +68,6 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     olap_queries.register_entries(register)
     governance_queries.register_entries(register)
     stats_queries.register_entries(register)
+    inference_queries.register_entries(register)
+    simjoin_queries.register_entries(register)
+    format_queries.register_entries(register)
