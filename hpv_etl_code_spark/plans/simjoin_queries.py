@@ -47,9 +47,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, broadcast) → order each doc's tokens rarest-first by
     (df, token) — no global rank window needed, the (df, token) tuple
     IS the order — keep only the first |t| − ⌈τ·|t|⌉ + 1 tokens (the
-    prefix), self-join on prefix token, then verify candidates with
-    the EXACT integer predicate 10·|a∩b| ≥ 9·|a∪b|. ⌈9s/10⌉ is
-    computed as (9s+9) DIV 10 — integer in both engines.
+    prefix), self-join on prefix token UNDER the PPJoin size and
+    positional filters (see inline comment — both exactness-preserving,
+    both pure integer), then verify candidates with the EXACT integer
+    predicate 10·|a∩b| ≥ 9·|a∪b|. ⌈9s/10⌉ is computed as (9s+9) DIV 10
+    — integer in both engines. The positional filter is what survives
+    this corpus's adversarial 31-token vocabulary: every token bucket
+    is huge (no token is rare), so position-bounded overlap is the only
+    effective pre-verification cut.
 
     The oracle generates candidates from ANY shared token (a strict
     superset of prefix candidates) and applies the same exact
@@ -90,16 +95,42 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = by_rarity.select(
         "doc_id",
-        F.explode(
+        F.size("ordered").alias("s"),
+        F.posexplode(
             F.slice(F.transform("ordered", lambda x: x["tok"]), 1, pref_len)
-        ).alias("tok"),
+        ).alias("i0", "tok"),
+    ).select(
+        "doc_id", "s", (F.col("i0") + 1).alias("i"), "tok"
     )
+    # PPJoin candidate pruning, both exactness-preserving theorems:
+    # - size filter: J(a,b) ≥ 9/10 ⇒ 9·|a| ≤ 10·|b| and 9·|b| ≤ 10·|a|
+    # - positional filter: if the first shared token sits at rarity
+    #   position i in a and j in b, the overlap is ≤ min(|a|−i,|b|−j)+1,
+    #   which must reach the overlap threshold α = ⌈(τ/(1+τ))(|a|+|b|)⌉
+    #   = (9(|a|+|b|)+18) DIV 19. Integer arithmetic throughout — no
+    #   float seam, and a qualifying pair always survives via its FIRST
+    #   shared token (both conditions hold there), so no false negatives.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(_TAU_NUM) * F.col("a.s") <= F.lit(_TAU_DEN) * F.col("b.s"))
+            & (F.lit(_TAU_NUM) * F.col("b.s") <= F.lit(_TAU_DEN) * F.col("a.s"))
+            & (
+                F.least(
+                    F.col("a.s") - F.col("a.i"), F.col("b.s") - F.col("b.i")
+                )
+                + 1
+                >= F.expr(
+                    "CAST(({n} * (a.s + b.s) + {c}) DIV {d} AS INT)".format(
+                        n=_TAU_NUM,
+                        c=_TAU_NUM + _TAU_DEN - 1,
+                        d=_TAU_NUM + _TAU_DEN,
+                    )
+                )
+            ),
         )
         .select(
             F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
