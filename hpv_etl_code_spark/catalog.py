@@ -323,6 +323,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "roundtrip_json_events",
     "roundtrip_orc_events",
     "roundtrip_csv_events",
+    "compaction_plan_events",
+    "join_skew_report",
 )
 
 

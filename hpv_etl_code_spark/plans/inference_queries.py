@@ -58,6 +58,17 @@ def ols_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    return ols_trend(j)
+
+
+def ols_trend(j: DataFrame) -> DataFrame:
+    """OLS over a (segment, x, y) frame — exact-decimal sufficient
+    statistics + the fixed IEEE chain (see :func:`ols_segment_trend`).
+    Split out so the STREAMING path can reuse it verbatim: the
+    statistics are plain mergeable sums, i.e. a native Structured
+    Streaming aggregation (complete mode), no custom state — the
+    stream ≡ batch equality is locked in tests/test_streaming_ols.py.
+    """
     g = j.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").alias("sx"),

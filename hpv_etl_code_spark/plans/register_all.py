@@ -23,6 +23,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         merged_queries,
         mining_queries,
         olap_queries,
+        ops_queries,
         packing_queries,
         parity_queries,
         profiling_queries,
@@ -71,3 +72,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     inference_queries.register_entries(register)
     simjoin_queries.register_entries(register)
     format_queries.register_entries(register)
+    ops_queries.register_entries(register)
