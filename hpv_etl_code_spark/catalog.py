@@ -325,6 +325,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "roundtrip_csv_events",
     "compaction_plan_events",
     "join_skew_report",
+    "hilbert_key_orders",
+    "hilbert_prune_stats",
 )
 
 

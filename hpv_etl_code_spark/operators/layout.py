@@ -174,3 +174,88 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def hilbert_xy2d(df: DataFrame, x: str, y: str, out: str, order: int = 8) -> DataFrame:
+    """Hilbert-curve index of two pre-quantized dimensions in
+    [0, 2^order): the locality-preserving successor to Morton Z-order.
+    Consecutive Hilbert positions are always GRID NEIGHBORS (unit
+    steps, no Z-shape jumps), so range-partitioning by the Hilbert key
+    gives files whose (x, y) bounding boxes are tighter than Z-order's
+    — measurably fewer files read per rectangle predicate (see
+    ``plans/ops_queries.hilbert_prune_stats``).
+
+    The classic per-level rotate/reflect recurrence (Hamilton 2006 /
+    the public-domain xy2d form, per-level reflection width s) is
+    sequential in s, so it unrolls into ``order`` chained projections —
+    all inside one whole-stage-codegen span, zero shuffles, pure
+    64-bit integer ops reproducible by any engine
+    (:func:`hilbert_xy2d_sql` is the oracle twin; bijectivity and the
+    unit-step property are pytest-locked on a full grid).
+    """
+    cur = df.withColumn("__hx", F.col(x).cast("long")).withColumn(
+        "__hy", F.col(y).cast("long")
+    ).withColumn(out, F.lit(0).cast("long"))
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        # s*s as a LONG literal: at order 16 the level weight is 2^30
+        # and ×3 overflows INT under ANSI once the top bit is set
+        new_d = F.col(out) + F.lit(s * s).cast("long") * (
+            F.lit(3) * rx
+        ).bitwiseXOR(ry)
+        new_x = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hy")).otherwise(
+                F.col("__hy")
+            ),
+        ).otherwise(F.col("__hx"))
+        new_y = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hx")).otherwise(
+                F.col("__hx")
+            ),
+        ).otherwise(F.col("__hy"))
+        cur = cur.withColumns(
+            {"__hx": new_x, "__hy": new_y, out: new_d}
+        )
+        s >>= 1
+    return cur.drop("__hx", "__hy")
+
+
+def hilbert_xy2d_sql(
+    carry_cols: str,
+    x_expr: str,
+    y_expr: str,
+    source_sql: str,
+    order: int = 8,
+    out: str = "hval",
+) -> str:
+    """ANSI-SQL twin of :func:`hilbert_xy2d`: the same per-level
+    recurrence as a stack of ``order`` CTE layers (linear text size —
+    inlining would double the expression per level). Returns a complete
+    ``WITH … SELECT`` statement over ``source_sql``, carrying
+    ``carry_cols`` through and emitting the Hilbert index as ``out``."""
+    lines = [
+        f"WITH __h0 AS (SELECT {carry_cols}, ({x_expr})::BIGINT AS __hx,"
+        f" ({y_expr})::BIGINT AS __hy, 0::BIGINT AS __hd FROM {source_sql})"
+    ]
+    s = 1 << (order - 1)
+    i = 0
+    while s > 0:
+        rx = f"(CASE WHEN (__hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (__hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        lines.append(
+            f", __h{i + 1} AS (SELECT {carry_cols},"
+            f" __hd + {s * s} * xor(3 * {rx}, {ry}) AS __hd,"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - __hy ELSE __hy END) ELSE __hx END AS __hx,"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - __hx ELSE __hx END) ELSE __hy END AS __hy"
+            f" FROM __h{i})"
+        )
+        s >>= 1
+        i += 1
+    lines.append(f"SELECT {carry_cols}, __hd AS {out} FROM __h{i}")
+    return "\n".join(lines)

@@ -171,8 +171,192 @@ FROM per_key GROUP BY 1
 """
 
 
+# ------------------------------------------------ Hilbert layout
+
+_HB_ORDER = 16
+_HB_MASK = (1 << _HB_ORDER) - 1
+# zone-map simulation constants shared with stats_queries.zonemap_*
+_HB_ROWS_PER_FILE = 1000
+_HB_CK_LO, _HB_CK_HI = 40, 80
+_HB_PQ_LO, _HB_PQ_HI = 2000, 6000
+
+
+def _orders_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").bitwiseAND(F.lit(_HB_MASK)).alias(
+            "ck16"
+        ),
+        F.floor(F.col("o_totalprice") / 32)
+        .cast("long")
+        .bitwiseAND(F.lit(_HB_MASK))
+        .alias("pq16"),
+    )
+
+
+def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (custkey, quantized price) —
+    the locality-preserving upgrade of ``zorder_key_orders``: unlike
+    Morton's Z-shaped jumps, consecutive Hilbert positions are always
+    grid neighbors, so key-range file spans have tighter per-dimension
+    bounds (measured next door in ``hilbert_prune_stats``). The entry
+    hash-checks the 16-level rotate/reflect recurrence against the
+    stacked-CTE SQL twin; bijectivity and the unit-step property are
+    pytest-locked on a full grid (tests/test_ops_queries.py)."""
+    from ..operators.layout import hilbert_xy2d
+
+    return hilbert_xy2d(
+        _orders_quantized(spark, sf_dir), "ck16", "pq16", "hval",
+        order=_HB_ORDER,
+    ).select("o_orderkey", "hval")
+
+
+def _hilbert_key_sql() -> str:
+    from ..operators.layout import hilbert_xy2d_sql
+
+    inner = hilbert_xy2d_sql(
+        "o_orderkey",
+        f"o_custkey & {_HB_MASK}",
+        f"CAST(floor(o_totalprice / 32) AS BIGINT) & {_HB_MASK}",
+        "orders",
+        order=_HB_ORDER,
+    )
+    return inner
+
+
+def hilbert_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Hilbert over Z-order: the same zone-map pruning simulation
+    as ``zonemap_prune_stats`` (simulated per-file min/max stats, same
+    rectangle predicate, same file size), run under BOTH
+    multi-dimensional layouts. Hilbert's unit-step locality keeps every
+    file's (custkey, price) bounding box tighter, so the rectangle
+    touches fewer files — read amplification ≤ Z-order's (asserted in
+    tests on real data, hash-checked here against the SQL twin).
+
+    Scale: identical shape to zonemap_prune_stats — two-phase global
+    index per layout (no single-partition data sort), one file-stats
+    aggregation, integer arithmetic on file summaries.
+    """
+    from ..operators.layout import (
+        global_row_index,
+        hilbert_xy2d,
+        morton_z16,
+    )
+
+    o = _orders_quantized(spark, sf_dir)
+    base = hilbert_xy2d(
+        o.withColumn("zval", morton_z16(F.col("ck16"), F.col("pq16"))),
+        "ck16",
+        "pq16",
+        "hval",
+        order=_HB_ORDER,
+    )
+    lay_z = global_row_index(
+        base, key="zval", tiebreak=("o_orderkey",)
+    ).withColumn("layout", F.lit("zorder"))
+    lay_h = global_row_index(
+        base, key="hval", tiebreak=("o_orderkey",)
+    ).withColumn("layout", F.lit("hilbert"))
+    both = lay_z.unionByName(lay_h).withColumn(
+        "file_id", F.floor((F.col("global_idx") - 1) / _HB_ROWS_PER_FILE)
+    )
+    match = (
+        (F.col("ck16") >= _HB_CK_LO)
+        & (F.col("ck16") < _HB_CK_HI)
+        & (F.col("pq16") >= _HB_PQ_LO)
+        & (F.col("pq16") < _HB_PQ_HI)
+    )
+    per_file = both.groupBy("layout", "file_id").agg(
+        F.min("ck16").alias("ck_min"),
+        F.max("ck16").alias("ck_max"),
+        F.min("pq16").alias("pq_min"),
+        F.max("pq16").alias("pq_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(match.cast("int")).cast("bigint").alias("n_match"),
+    )
+    hit = (
+        (F.col("ck_max") >= _HB_CK_LO)
+        & (F.col("ck_min") < _HB_CK_HI)
+        & (F.col("pq_max") >= _HB_PQ_LO)
+        & (F.col("pq_min") < _HB_PQ_HI)
+    )
+    scanned = F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint")
+    matching = F.sum("n_match").cast("bigint")
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_files_read"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        scanned.alias("n_rows_scanned"),
+        matching.alias("n_rows_matching"),
+        F.when(
+            matching > 0,
+            F.round(scanned.cast("double") / matching.cast("double"), 4),
+        ).alias("read_amplification"),
+    )
+
+
+def _hilbert_prune_sql() -> str:
+    from ..operators.layout import hilbert_xy2d_sql, morton_z16_sql
+
+    z = morton_z16_sql("ck16", "pq16")
+    hsql = hilbert_xy2d_sql(
+        "o_orderkey",
+        "ck16",
+        "pq16",
+        "q",
+        order=_HB_ORDER,
+    )
+    pred = (
+        f"ck16 >= {_HB_CK_LO} AND ck16 < {_HB_CK_HI} "
+        f"AND pq16 >= {_HB_PQ_LO} AND pq16 < {_HB_PQ_HI}"
+    )
+    hit = (
+        f"ck_max >= {_HB_CK_LO} AND ck_min < {_HB_CK_HI} "
+        f"AND pq_max >= {_HB_PQ_LO} AND pq_min < {_HB_PQ_HI}"
+    )
+    return f"""
+WITH q AS (
+  SELECT o_orderkey, o_custkey & {_HB_MASK} AS ck16,
+         CAST(floor(o_totalprice / 32) AS BIGINT) & {_HB_MASK} AS pq16
+  FROM orders
+), hb AS (
+  {hsql.replace(chr(10), " ")}
+), b AS (
+  SELECT q.o_orderkey, q.ck16, q.pq16, {z} AS zval, hb.hval
+  FROM q JOIN hb ON q.o_orderkey = hb.o_orderkey
+), lay AS (
+  SELECT 'zorder' AS layout,
+         row_number() OVER (ORDER BY zval, o_orderkey) AS gi, ck16, pq16
+  FROM b
+  UNION ALL
+  SELECT 'hilbert',
+         row_number() OVER (ORDER BY hval, o_orderkey), ck16, pq16
+  FROM b
+), f AS (
+  SELECT layout, (gi - 1) // {_HB_ROWS_PER_FILE} AS file_id,
+         MIN(ck16) AS ck_min, MAX(ck16) AS ck_max,
+         MIN(pq16) AS pq_min, MAX(pq16) AS pq_max,
+         COUNT(*)::BIGINT AS n_rows,
+         SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout, COUNT(*)::BIGINT AS n_files,
+  SUM(CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT AS n_files_read,
+  SUM(n_rows)::BIGINT AS n_rows,
+  SUM(CASE WHEN {hit} THEN n_rows ELSE 0 END)::BIGINT AS n_rows_scanned,
+  SUM(n_match)::BIGINT AS n_rows_matching,
+  CASE WHEN SUM(n_match) > 0 THEN
+    ROUND(SUM(CASE WHEN {hit} THEN n_rows ELSE 0 END)::DOUBLE
+          / SUM(n_match)::DOUBLE, 4)
+  END AS read_amplification
+FROM f GROUP BY 1
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "compaction_plan_events", compaction_plan_events, COMPACTION_PLAN_SQL
     )
     register("join_skew_report", join_skew_report, JOIN_SKEW_SQL)
+    register("hilbert_key_orders", hilbert_key_orders, _hilbert_key_sql())
+    register("hilbert_prune_stats", hilbert_prune_stats, _hilbert_prune_sql())
