@@ -327,6 +327,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "join_skew_report",
     "hilbert_key_orders",
     "hilbert_prune_stats",
+    "cusum_user_cents",
+    "bootstrap_ci_mean",
 )
 
 

@@ -14,7 +14,7 @@ training-data-pipeline use case (feature trends, corpus balance).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -202,8 +202,275 @@ FROM s
 """
 
 
+# ------------------------------------------------ CUSUM change detection
+
+_CUSUM_CHUNK = 32  # small so the gate data exercises multi-chunk compose
+_CUSUM_H_MULT = 8  # alarm threshold = 8·k (k = global mean cents)
+
+
+def _cusum_compose(a, b):  # noqa: ANN001 — Column struct lambda
+    """Associative composition of CUSUM chunk summaries in the exact
+    integer (max, +) algebra. Summary of a chunk: t = Σz; m = final
+    CUSUM entering at 0 (= max clamped suffix sum); mt = max prefix
+    total; mm = max CUSUM over the chunk's prefixes entering at 0."""
+    return F.struct(
+        (a["t"] + b["t"]).alias("t"),
+        F.greatest(b["m"], a["m"] + b["t"]).alias("m"),
+        F.greatest(a["mt"], a["t"] + b["mt"]).alias("mt"),
+        F.greatest(a["mm"], b["mm"], a["m"] + b["mt"]).alias("mm"),
+    )
+
+
+def cusum_user_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change detection over event values (Page 1954):
+    s_i = max(0, s_{i−1} + z_i) with z_i = cents_i − k (k = global mean
+    cents, integer DIV) — the classic sequential drift alarm. Emits the
+    final CUSUM state, the running maximum (the detection statistic),
+    and the alarm flag max ≥ 8k.
+
+    The clamped recurrence is NOT a window frame, but it IS an
+    associative fold in the exact integer (max, +) algebra: a chunk
+    summarizes to (Σz, max-clamped-suffix, max-prefix-total,
+    max-prefix-CUSUM) and summaries compose left-to-right — the same
+    segmented decomposition as ``ewma_user_values``, with one decisive
+    difference: every operation is INTEGER max/plus, so reassociation
+    is EXACT (no IEEE seam), chunk-size invariance is an identity
+    rather than a 6dp contract (property-tested at widths 1/7/32/∞),
+    and the DuckDB oracle can run the plain whole-history fold.
+
+    Scale: per-chunk state is ≤ chunk values, per-user compose holds
+    n/chunk summaries (the long-tail-entity OOM guard); one exchange
+    computes rn + chunking, and the 1-row k is a broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return cusum_segments(ev, chunk=_CUSUM_CHUNK)
+
+
+def cusum_segments(ev: DataFrame, chunk: int = _CUSUM_CHUNK) -> DataFrame:
+    """The segmented fold over a (user_id, ts, event_id, cents) frame —
+    output is EXACTLY chunk-size-invariant (integer max/plus is
+    associative; property-tested at widths 1/7/32/10⁹)."""
+    k1 = ev.agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("__k")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = (
+        ev.join(F.broadcast(k1))
+        .withColumn("z", F.col("cents") - F.col("__k"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    zs = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "z"))), lambda s: s["z"]
+    )
+    units = F.transform(
+        zs,
+        lambda z: F.struct(
+            z.alias("t"),
+            F.greatest(F.lit(0).cast("long"), z).alias("m"),
+            z.alias("mt"),
+            F.greatest(F.lit(0).cast("long"), z).alias("mm"),
+        ),
+    )
+    chunk_summary = F.aggregate(
+        F.slice(units, 2, F.size(units) - 1),
+        F.element_at(units, 1),
+        _cusum_compose,
+    )
+    summaries = (
+        ordered.withColumn("cid", F.expr(f"(rn - 1) DIV {chunk}"))
+        .groupBy("user_id", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            chunk_summary.alias("cs"),
+            F.max("__k").alias("__k"),
+        )
+    )
+    per_user = summaries.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cs")))
+        ).alias("css"),
+        F.max("__k").alias("__k"),
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.slice(F.col("css"), 2, F.size("css") - 1), lambda s: s["cs"]
+        ),
+        F.element_at(F.col("css"), 1)["cs"],
+        _cusum_compose,
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        folded["m"].alias("final_cusum"),
+        folded["mm"].alias("max_cusum"),
+        (folded["mm"] >= F.lit(_CUSUM_H_MULT) * F.col("__k")).alias(
+            "alarmed"
+        ),
+    )
+
+
+# Oracle: the closed-form window identity for the clamped recurrence —
+# s_i = P_i − min(0, min_{l≤i} P_l) with P the prefix sum of z. Exact
+# integers, so equality with the segmented Spark fold IS the
+# associativity theorem. (A list_reduce twin hit a DuckDB v1.0.0 lambda
+# mis-evaluation on ≥3-element struct folds; the window form is also
+# simply stronger as an independent oracle.)
+CUSUM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents
+  FROM events
+), kk AS (
+  SELECT (SUM(cents) // COUNT(*))::BIGINT AS k FROM ev
+), p AS (
+  SELECT user_id, k,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    SUM(cents - k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS pf
+  FROM ev CROSS JOIN kk
+), s AS (
+  SELECT user_id, k, rn,
+    (pf - least(0, MIN(pf) OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING)))::BIGINT AS si
+  FROM p
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       max_by(si, rn)::BIGINT AS final_cusum,
+       MAX(si)::BIGINT AS max_cusum,
+       MAX(si) >= {_CUSUM_H_MULT} * MAX(k) AS alarmed
+FROM s GROUP BY user_id
+"""
+
+
+# ------------------------------------------------ deterministic bootstrap
+
+_BOOT_B = 40  # replicates = one bit each of the 60-bit row hash
+_BOOT_LO_K, _BOOT_HI_K = 2, 39  # order statistics ≈ 5% / 95% envelope
+
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type bootstrap confidence envelope for the mean value —
+    resampling WITHOUT randomness: replicate b keeps a row iff bit b of
+    the row's 60-bit md5 hash is set (40 independent fair half-samples,
+    the m-out-of-n subsample bootstrap with m≈n/2). Deterministic by
+    construction, so the driver hash-checks a procedure that is usually
+    unreproducible across engines; replicate means use exact decimal
+    sums (one double division each) and the envelope is pure
+    order-statistic selection (ranks 2/39 of 40, ties broken by
+    replicate id) — no interpolated quantile seam.
+
+    Scale: the replicate dimension is a 40× map-side expansion feeding
+    ONE partial-agg exchange keyed (event_type, b) — state is
+    40·|types| cells regardless of input rows; the envelope selection
+    runs on 40-row groups. Subsampling keeps every replicate half-size,
+    so memory never exceeds the plain aggregation's.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    reps = (
+        ev.select(
+            "event_type",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            "h",
+        )
+        .filter(F.expr("(h >> b) & 1 = 1"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(F.col("cents").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .withColumn("mean_b", F.col("s") / F.col("m").cast("double"))
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(w))
+    env = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(
+            F.max(F.when(F.col("rk") == _BOOT_LO_K, F.col("mean_b"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rk") == _BOOT_HI_K, F.col("mean_b"))), 6
+        ).alias("ci_hi"),
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_cents"),
+    )
+    return full.join(env, "event_type").select(
+        "event_type",
+        "n_events",
+        "mean_cents",
+        "n_replicates",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), reps AS (
+  SELECT event_type, b,
+         COUNT(*)::BIGINT AS m,
+         CAST(CAST(SUM(CAST(cents AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*)::DOUBLE AS mean_b
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+  WHERE (h >> b) & 1 = 1
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_b, b) AS rk
+  FROM reps
+), env AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_replicates,
+         ROUND(MAX(CASE WHEN rk = {_BOOT_LO_K} THEN mean_b END), 6) AS ci_lo,
+         ROUND(MAX(CASE WHEN rk = {_BOOT_HI_K} THEN mean_b END), 6) AS ci_hi
+  FROM ranked GROUP BY 1
+), overall AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+         ROUND(CAST(CAST(SUM(CAST(cents AS DECIMAL(20,8))) AS VARCHAR)
+               AS DOUBLE) / COUNT(*)::DOUBLE, 6) AS mean_cents
+  FROM ev GROUP BY 1
+)
+SELECT overall.event_type, n_events, mean_cents, n_replicates, ci_lo, ci_hi
+FROM overall JOIN env ON overall.event_type = env.event_type
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("ols_segment_trend", ols_segment_trend, OLS_SEGMENT_TREND_SQL)
     register(
         "token_entropy_by_source", token_entropy_by_source, TOKEN_ENTROPY_SQL
     )
+    register("cusum_user_cents", cusum_user_cents, CUSUM_SQL)
+    register("bootstrap_ci_mean", bootstrap_ci_mean, BOOTSTRAP_CI_SQL)

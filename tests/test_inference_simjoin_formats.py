@@ -245,3 +245,86 @@ def test_roundtrip_checksum_detects_field_damage(spark, sf_dir):
     h = {r.event_type: r.sig_sum for r in honest}
     m = {r.event_type: r.sig_sum for r in mangled}
     assert h != m
+
+
+# --------------------------------------------------------------- CUSUM
+
+
+def test_cusum_chunk_invariance_and_reference(spark, sf_dir):
+    """Integer (max,+) is associative, so the segmented fold must be
+    EXACTLY invariant to chunk width — and match a sequential Python
+    reference of the clamped recurrence."""
+    from hpv_etl_code_spark.plans.inference_queries import cusum_segments
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    base = {
+        r.user_id: (r.n_events, r.final_cusum, r.max_cusum, r.alarmed)
+        for r in cusum_segments(ev, chunk=32).collect()
+    }
+    for width in (1, 7, 10**9):
+        got = {
+            r.user_id: (r.n_events, r.final_cusum, r.max_cusum, r.alarmed)
+            for r in cusum_segments(ev, chunk=width).collect()
+        }
+        assert got == base, width
+    # sequential reference on the driver
+    pdf = ev.toPandas()
+    k = int(pdf.cents.sum()) // len(pdf)
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in list(pdf.groupby("user_id"))[:20]:
+        s = mx = 0
+        for c in g.cents:
+            s = max(0, s + (int(c) - k))
+            mx = max(mx, s)
+        assert base[uid][1] == s and base[uid][2] == mx, uid
+
+
+def test_cusum_long_key_single_chunk_memory_shape(spark):
+    """A 20k-event key folds correctly through 32-wide chunks (the
+    long-tail-entity guard: per-task state is bounded by the chunk,
+    per-user compose by n/chunk summaries)."""
+    from hpv_etl_code_spark.plans.inference_queries import cusum_segments
+
+    n = 20000
+    ev = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+        F.col("id").alias("event_id"),
+        # alternating +/- drift with a burst in the middle
+        F.when(F.col("id").between(9000, 11000), F.lit(500))
+        .otherwise((F.col("id") % 7) - 3)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    row = cusum_segments(ev, chunk=32).collect()[0]
+    # python reference
+    import pandas as pd
+
+    pdf = ev.toPandas().sort_values("event_id")
+    k = int(pdf.cents.sum()) // n
+    s = mx = 0
+    for c in pdf.cents:
+        s = max(0, s + (int(c) - k))
+        mx = max(mx, s)
+    assert (row.n_events, row.final_cusum, row.max_cusum) == (n, s, mx)
+
+
+# ------------------------------------------------------------ bootstrap
+
+
+def test_bootstrap_envelope_contains_population_mean(spark, sf_dir):
+    """Sanity of the deterministic subsample bootstrap: the 5–95%
+    order-statistic envelope should bracket the full-sample mean
+    (half-samples of an i.i.d.-ish column; deterministic, so this is a
+    stable fact of the dataset, not a flaky statistical test), and the
+    bounds must be ordered."""
+    from hpv_etl_code_spark.plans.inference_queries import bootstrap_ci_mean
+
+    for r in bootstrap_ci_mean(spark, sf_dir).collect():
+        assert r.n_replicates == 40, r
+        assert r.ci_lo <= r.ci_hi, r
+        assert r.ci_lo <= r.mean_cents <= r.ci_hi, r
