@@ -329,6 +329,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "hilbert_prune_stats",
     "cusum_user_cents",
     "bootstrap_ci_mean",
+    "auc_purchase_score",
+    "decile_lift_table",
 )
 
 

@@ -1,0 +1,199 @@
+"""Model-evaluation entries (round 5, session 3): exact AUC via the
+Mann–Whitney rank-sum and a decile lift/gains table — the two readouts
+every training-data pipeline runs on a scored validation set. The
+"score" here is the events value column and the "label" is
+event_type = 'purchase' (a deterministic stand-in with realistic class
+balance); the machinery is score/label-agnostic.
+
+Determinism contract: tied-score groups get their exact average rank
+((min+max)/2 — a .5-exact double), rank sums ride DECIMAL(20,8), and
+each output float is one fixed division rounded to 6dp, mirrored
+verbatim in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+_LIFT_BUCKETS = 10
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        "event_id",
+    )
+
+
+def auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of score→label via the Mann–Whitney identity
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where R⁺ is the positive
+    class's rank sum under MIDRANKS for ties — bit-reproducible because
+    a tie group's average rank (min+max)/2 is exact in binary floats
+    and the rank sum aggregates through exact decimals. One ordered
+    pass, no pairwise expansion (the naive AUC join is n⁺·n⁻ pairs —
+    quadratic; the rank form is sort + two aggregates).
+
+    Scale: ranks come from ONE global sort exchange (range-partitioned,
+    no single task holds the table), the midrank adjustment is a
+    (score)-keyed aggregation, and everything downstream is a 1-row
+    summary. At 100 TB the same identity runs on a quantized-score
+    histogram (65k buckets) with identical midrank math.
+    """
+    s = _scored(spark, sf_dir)
+    # midrank per distinct score: ranks occupied are [rk, rk+cnt-1]
+    per_score = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("score")
+    ranked = per_score.withColumn(
+        "cum", F.sum("cnt").over(w)
+    ).withColumn(
+        "midrank",
+        (
+            (F.col("cum") - F.col("cnt") + 1).cast("double")
+            + F.col("cum").cast("double")
+        )
+        / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            (F.col("pos").cast("double") * F.col("midrank")).cast(
+                "decimal(20,8)"
+            )
+        )
+        .cast("double")
+        .alias("rank_sum_pos"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (
+        F.col("rank_sum_pos") - npos * (npos + 1.0) / 2.0
+    ) / (npos * nneg)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round("rank_sum_pos", 6).alias("rank_sum_pos"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+AUC_SQL = """
+WITH s AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), per_score AS (
+  SELECT score, COUNT(*)::BIGINT AS cnt, SUM(label)::BIGINT AS pos
+  FROM s GROUP BY 1
+), ranked AS (
+  SELECT pos, cnt,
+    ((SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - cnt + 1)::DOUBLE
+     + (SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING))::DOUBLE)
+      / 2.0 AS midrank
+  FROM per_score
+), agg AS (
+  SELECT SUM(pos)::BIGINT AS n_pos,
+         (SUM(cnt) - SUM(pos))::BIGINT AS n_neg,
+         CAST(CAST(SUM(CAST(pos::DOUBLE * midrank AS DECIMAL(20,8)))
+              AS VARCHAR) AS DOUBLE) AS rank_sum_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+  ROUND(rank_sum_pos, 6) AS rank_sum_pos,
+  ROUND((rank_sum_pos - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+        / (n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+FROM agg
+"""
+
+
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: rows ranked by score descending are cut
+    into 10 equal-population buckets (INTEGER arithmetic —
+    bucket = ((rank−1)·10) DIV n, no ntile ambiguity, ties broken by
+    event_id so both engines cut identically), and each bucket reports
+    its positive rate, lift vs the base rate, and cumulative gain —
+    the campaign-targeting readout.
+
+    Scale: one global sort exchange for ranks (range-partitioned),
+    one 10-group aggregation, a broadcast 1-row base rate. The
+    cumulative columns run over 10 metadata rows.
+    """
+    s = _scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("event_id"))
+    n1 = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("label").cast("bigint").alias("__p"),
+    )
+    bucketed = (
+        s.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(n1))
+        .withColumn(
+            "decile",
+            F.expr(f"((rk - 1) * {_LIFT_BUCKETS}) DIV __n").cast("bigint"),
+        )
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.max("__n").alias("__n"),
+        F.max("__p").alias("__p"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    base = F.col("__p").cast("double") / F.col("__n").cast("double")
+    cum_pos = F.sum("n_pos").over(wc)
+    return per.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(rate / base, 6).alias("lift"),
+        F.round(
+            cum_pos.cast("double") / F.col("__p").cast("double"), 6
+        ).alias("cum_gain"),
+    )
+
+
+LIFT_SQL = f"""
+WITH s AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         event_id
+  FROM events
+), n1 AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(label)::BIGINT AS p FROM s
+), bucketed AS (
+  SELECT label, n, p,
+    ((row_number() OVER (ORDER BY score DESC, event_id) - 1)
+      * {_LIFT_BUCKETS}) // n AS decile
+  FROM s CROSS JOIN n1
+), per AS (
+  SELECT decile::BIGINT AS decile, COUNT(*)::BIGINT AS n_rows,
+         SUM(label)::BIGINT AS n_pos, MAX(n) AS n, MAX(p) AS p
+  FROM bucketed GROUP BY 1
+)
+SELECT decile, n_rows, n_pos,
+  ROUND(n_pos::DOUBLE / n_rows::DOUBLE, 6) AS pos_rate,
+  ROUND((n_pos::DOUBLE / n_rows::DOUBLE) / (p::DOUBLE / n::DOUBLE), 6)
+    AS lift,
+  ROUND((SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::DOUBLE
+        / p::DOUBLE, 6) AS cum_gain
+FROM per
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register("auc_purchase_score", auc_purchase_score, AUC_SQL)
+    register("decile_lift_table", decile_lift_table, LIFT_SQL)

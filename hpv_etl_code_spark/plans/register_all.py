@@ -22,6 +22,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         image_queries,
         merged_queries,
         mining_queries,
+        mleval_queries,
         olap_queries,
         ops_queries,
         packing_queries,
@@ -73,3 +74,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     simjoin_queries.register_entries(register)
     format_queries.register_entries(register)
     ops_queries.register_entries(register)
+    mleval_queries.register_entries(register)

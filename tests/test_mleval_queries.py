@@ -1,0 +1,53 @@
+"""Invariant tests for plans/mleval_queries.py: rank-sum AUC vs the
+naive pairwise definition, and lift-table conservation laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.plans import mleval_queries
+from hpv_etl_code_spark.sources.registry import load_table
+
+
+def test_auc_matches_pairwise_definition(spark, sf_dir):
+    """AUC = P(score⁺ > score⁻) + ½·P(tie), computed naively over all
+    (pos, neg) pairs on the driver — the rank-sum identity must agree
+    to well inside the 6dp round."""
+    row = mleval_queries.auc_purchase_score(spark, sf_dir).collect()[0]
+    pdf = mleval_queries._scored(spark, sf_dir).toPandas()
+    pos = sorted(pdf[pdf.label == 1].score.tolist())
+    neg = sorted(pdf[pdf.label == 0].score.tolist())
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    import bisect
+
+    wins = ties = 0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo
+        ties += hi - lo
+    naive = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - naive) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_lift_table_conservation(spark, sf_dir):
+    rows = sorted(
+        mleval_queries.decile_lift_table(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    p = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_rows for r in rows) == n
+    assert sum(r.n_pos for r in rows) == p
+    # equal-population cut: bucket sizes differ by at most 1
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # cumulative gain ends at exactly 1
+    assert abs(rows[-1].cum_gain - 1.0) < 1e-9
+    # lift · base_rate == pos_rate (consistency at 6dp)
+    base = p / n
+    for r in rows:
+        assert abs(r.lift * base - r.pos_rate) < 5e-6, r
