@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -368,6 +369,102 @@ def ewma_stream(stream_df: DataFrame, alpha: float = 0.2, watermark: str = "1 ho
             _make_ewma(alpha),
             outputStructType=EWMA_SCHEMA,
             stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------ streaming CUSUM
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("final_cusum", LongType()),
+        StructField("max_cusum", LongType()),
+        StructField("alarmed", BooleanType()),
+    ]
+)
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("mx", LongType()),
+    ]
+)
+
+
+def _cents_exact(val: float) -> int:
+    """value → integer cents with the same HALF_UP semantics as the
+    batch path's CAST(value AS DECIMAL(12,2)) * 100 (2-decimal inputs
+    are exact; repr() gives the shortest-repr digits both casts see)."""
+    return int(
+        decimal.Decimal(repr(float(val))).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 100
+    )
+
+
+def _make_cusum(k: int, h: int):
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = (n, s, mx): O(1) per key, EXACT integers — the stream
+        # is bit-identical to the segmented batch fold by construction
+        # (integer (max,+) has no reassociation seam at all)
+        n, s, mx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for val in pdf["value"]:
+                if val is None or pd.isna(val):
+                    continue  # batch count('value') semantics: skip
+                z = _cents_exact(val) - k
+                s = max(0, s + z)
+                if s > mx:
+                    mx = s
+                n += 1
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            [(key[0], n, s, mx, mx >= h)],
+            columns=[
+                "user_id", "n_events", "final_cusum", "max_cusum", "alarmed"
+            ],
+        )
+
+    return fold
+
+
+def cusum_stream(
+    stream_df: DataFrame,
+    k: int,
+    h_mult: int = 8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CUSUM drift alarm — the batch entry
+    (plans/inference_queries.py::cusum_user_cents) as O(1)-state
+    ``applyInPandasWithState``. The reference level ``k`` is a FIXED
+    monitoring parameter here (in batch it is derived as the global
+    mean; a deployment pins it from the training window), and because
+    every operation is integer max/plus, stream output equals the batch
+    fold EXACTLY — same integers, same alarm bits — regardless of
+    micro-batch cut points (tests/test_streaming_cusum.py).
+
+    Ordering contract: per-key event time non-decreasing across
+    micro-batches (sorted within), as :func:`ewma_stream`."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_cusum(int(k), int(h_mult) * int(k)),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
