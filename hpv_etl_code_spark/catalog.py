@@ -331,6 +331,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "bootstrap_ci_mean",
     "auc_purchase_score",
     "decile_lift_table",
+    "touch_attribution",
 )
 
 

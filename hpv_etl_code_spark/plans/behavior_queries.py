@@ -339,8 +339,143 @@ FROM counted
 """
 
 
+# ------------------------------------------------ touch attribution
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, microseconds
+
+
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch conversion attribution: every
+    purchase credits the earliest / latest non-purchase event of the
+    same user inside the preceding 7 days (exclusive of the purchase
+    instant); purchases with no touch in window report as channel
+    '(none)'. Output: (channel, model, n_conversions, share).
+
+    Determinism: candidate touches come from a BANDED range join
+    (band = ts_us DIV window; a 7-day lookback spans exactly bands
+    {b−1, b} — the 2-band trick from operators/rangejoin.py), and the
+    per-purchase first/last selection uses min_by/max_by keyed on the
+    FULL (ts_us, event_id) struct, so timestamp ties cannot flip the
+    answer in either engine (a window RANGE frame with first/last would
+    leave same-microsecond ordering unspecified — the hazard this
+    formulation removes).
+
+    Scale: one banded equi-join (purchases replicated ×2 on band keys,
+    never a cross join), one per-purchase min_by/max_by aggregation,
+    and a channel-sized rollup. Join fan-out is bounded by per-user
+    events-per-window — the natural density of the log.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("us").alias("p_us"),
+        F.expr(f"us DIV {_ATTR_WINDOW_US}").alias("band"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("us").alias("t_us"),
+        F.expr(f"us DIV {_ATTR_WINDOW_US}").alias("t_band"),
+    )
+    p2 = purchases.withColumn(
+        "probe", F.explode(F.array(F.col("band") - 1, F.col("band")))
+    )
+    joined = p2.join(
+        touches,
+        (p2.user_id == touches.user_id)
+        & (p2.probe == touches.t_band)
+        & (touches.t_us >= p2.p_us - _ATTR_WINDOW_US)
+        & (touches.t_us < p2.p_us),
+    )
+    credits = joined.groupBy("p_id").agg(
+        F.min_by(
+            F.col("t_type"), F.struct(F.col("t_us"), F.col("t_id"))
+        ).alias("first_channel"),
+        F.max_by(
+            F.col("t_type"), F.struct(F.col("t_us"), F.col("t_id"))
+        ).alias("last_channel"),
+    )
+    attributed = purchases.join(credits, "p_id", "left").select(
+        "p_id",
+        F.coalesce("first_channel", F.lit("(none)")).alias("first"),
+        F.coalesce("last_channel", F.lit("(none)")).alias("last"),
+    )
+    totals = purchases.agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    models = attributed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("model"), F.col("first").alias("channel")),
+                F.struct(F.lit("last").alias("model"), F.col("last").alias("channel")),
+            )
+        ).alias("mc")
+    ).select("mc.model", "mc.channel")
+    return (
+        models.groupBy("channel", "model")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .join(F.broadcast(totals))
+        .select(
+            "channel",
+            "model",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double")
+                / F.col("__t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS us
+  FROM events
+), p AS (
+  SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+  WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id AS t_id, event_type AS t_type, us AS t_us
+  FROM ev WHERE event_type <> 'purchase'
+), joined AS (
+  SELECT p.p_id, t.t_type, t.t_us, t.t_id
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_us >= p.p_us - {_ATTR_WINDOW_US} AND t.t_us < p.p_us
+), ranked AS (
+  SELECT p_id, t_type,
+    row_number() OVER (PARTITION BY p_id ORDER BY t_us ASC, t_id ASC) AS rf,
+    row_number() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) AS rl
+  FROM joined
+), credits AS (
+  SELECT p_id,
+    MAX(CASE WHEN rf = 1 THEN t_type END) AS first_channel,
+    MAX(CASE WHEN rl = 1 THEN t_type END) AS last_channel
+  FROM ranked GROUP BY 1
+), attributed AS (
+  SELECT p.p_id,
+    COALESCE(first_channel, '(none)') AS f,
+    COALESCE(last_channel, '(none)') AS l
+  FROM p LEFT JOIN credits ON p.p_id = credits.p_id
+), models AS (
+  SELECT 'first' AS model, f AS channel FROM attributed
+  UNION ALL
+  SELECT 'last', l FROM attributed
+)
+SELECT channel, model, COUNT(*)::BIGINT AS n_conversions,
+  ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM p)::DOUBLE, 6) AS share
+FROM models GROUP BY 1, 2
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
+    register("touch_attribution", touch_attribution, ATTRIBUTION_SQL)
     register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)
     register("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_SQL)
     register("cohort_retention", cohort_retention, COHORT_SQL)

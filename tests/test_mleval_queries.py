@@ -51,3 +51,39 @@ def test_lift_table_conservation(spark, sf_dir):
     base = p / n
     for r in rows:
         assert abs(r.lift * base - r.pos_rate) < 5e-6, r
+
+
+def test_touch_attribution_conservation_and_reference(spark, sf_dir):
+    """Each model's credits sum to the purchase count, and the banded
+    join reproduces a driver-side sequential reference."""
+    from hpv_etl_code_spark.plans.behavior_queries import (
+        _ATTR_WINDOW_US,
+        touch_attribution,
+    )
+
+    rows = touch_attribution(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).toPandas()
+    purchases = ev[ev.event_type == "purchase"]
+    from collections import Counter
+
+    first_c, last_c = Counter(), Counter()
+    touches = ev[ev.event_type != "purchase"]
+    by_user = {u: g.sort_values(["us", "event_id"]) for u, g in touches.groupby("user_id")}
+    for _, p in purchases.iterrows():
+        g = by_user.get(p.user_id)
+        w = None if g is None else g[(g.us >= p.us - _ATTR_WINDOW_US) & (g.us < p.us)]
+        if w is None or len(w) == 0:
+            first_c["(none)"] += 1
+            last_c["(none)"] += 1
+        else:
+            first_c[w.iloc[0].event_type] += 1
+            last_c[w.iloc[-1].event_type] += 1
+    got_first = {r.channel: r.n_conversions for r in rows if r.model == "first"}
+    got_last = {r.channel: r.n_conversions for r in rows if r.model == "last"}
+    assert got_first == dict(first_c)
+    assert got_last == dict(last_c)
+    n_p = len(purchases)
+    assert sum(got_first.values()) == n_p and sum(got_last.values()) == n_p
