@@ -332,6 +332,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "auc_purchase_score",
     "decile_lift_table",
     "touch_attribution",
+    "t_closeness_census",
 )
 
 

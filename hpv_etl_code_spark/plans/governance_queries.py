@@ -343,8 +343,133 @@ FROM resid GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ t-closeness census
+
+_T_THRESHOLDS = (0.2, 0.35, 0.5)
+
+
+def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the governance trio (k-anonymity → identity,
+    l-diversity → attribute presence, t-closeness → attribute
+    DISTRIBUTION): a class can be k-anonymous and l-diverse yet still
+    leak because its sensitive-value mix differs sharply from the
+    population's. For the categorical sensitive attribute the earth-
+    mover distance reduces to total variation: t(class) = ½·Σ_s
+    |c_s/n_class − g_s/N|, zero-filled over the full sensitive domain
+    (absent values contribute their global share). QI = (nation,
+    balance band); sensitive = market segment — the same axes as the
+    l-diversity census, so the three reports compose.
+
+    Determinism: each term is two divisions + abs (identical chains in
+    both engines); the per-class sum over the sensitive domain rides
+    DECIMAL(20,8); thresholds compare the raw t on both sides.
+
+    Scale: one (QI, sensitive) aggregation, a broadcast domain join
+    (|domain| × |classes| grid — metadata-scale), and the usual
+    broadcast threshold sweep. Never a second pass over records.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    qi_sv = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        F.col("c_mktsegment").alias("sv"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_s"))
+    classes = qi_sv.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c_s").cast("bigint").alias("class_n")
+    )
+    global_sv = c.groupBy(F.col("c_mktsegment").alias("sv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("g_s")
+    )
+    totals = c.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    grid = (
+        classes.join(F.broadcast(global_sv))
+        .join(F.broadcast(totals))
+        .join(qi_sv, ["c_nationkey", "bal_band", "sv"], "left")
+        .na.fill({"c_s": 0})
+    )
+    term = F.abs(
+        F.col("c_s").cast("double") / F.col("class_n").cast("double")
+        - F.col("g_s").cast("double") / F.col("__n").cast("double")
+    )
+    per_class = grid.groupBy("c_nationkey", "bal_band").agg(
+        F.max("class_n").alias("class_n"),
+        (
+            F.sum(term.cast("decimal(20,8)")).cast("double") / F.lit(2.0)
+        ).alias("t"),
+    )
+    ts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _T_THRESHOLDS])).alias("t_max")
+    )
+    return (
+        per_class.crossJoin(F.broadcast(ts))
+        .groupBy("t_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("t") > F.col("t_max")).cast("int"))
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.sum(
+                F.when(F.col("t") > F.col("t_max"), F.col("class_n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_risky_records"),
+            F.sum("class_n").cast("long").alias("n_records"),
+            F.round(F.max("t"), 6).alias("max_t"),
+        )
+        .select(
+            "t_max",
+            "n_classes",
+            "n_violating_classes",
+            "n_risky_records",
+            F.round(
+                F.col("n_risky_records").cast("double")
+                / F.col("n_records").cast("double"),
+                6,
+            ).alias("risk_share"),
+            "max_t",
+        )
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH qi_sv AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000) AS bal_band,
+         c_mktsegment AS sv, COUNT(*)::BIGINT AS c_s
+  FROM customer GROUP BY 1, 2, 3
+), classes AS (
+  SELECT c_nationkey, bal_band, SUM(c_s)::BIGINT AS class_n
+  FROM qi_sv GROUP BY 1, 2
+), global_sv AS (
+  SELECT c_mktsegment AS sv, COUNT(*)::BIGINT AS g_s FROM customer GROUP BY 1
+), totals AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
+grid AS (
+  SELECT cl.c_nationkey, cl.bal_band, cl.class_n, g.sv, g.g_s, t.n,
+         COALESCE(q.c_s, 0)::BIGINT AS c_s
+  FROM classes cl CROSS JOIN global_sv g CROSS JOIN totals t
+  LEFT JOIN qi_sv q ON q.c_nationkey = cl.c_nationkey
+   AND q.bal_band = cl.bal_band AND q.sv = g.sv
+), per_class AS (
+  SELECT c_nationkey, bal_band, MAX(class_n) AS class_n,
+    CAST(CAST(SUM(CAST(abs(c_s::DOUBLE / class_n::DOUBLE
+                           - g_s::DOUBLE / n::DOUBLE) AS DECIMAL(20,8)))
+         AS VARCHAR) AS DOUBLE) / 2.0 AS t
+  FROM grid GROUP BY 1, 2
+), ts AS (SELECT unnest([{", ".join(str(t) for t in _T_THRESHOLDS)}]) AS t_max)
+SELECT t_max,
+  COUNT(*)::BIGINT AS n_classes,
+  SUM(CASE WHEN t > t_max THEN 1 ELSE 0 END)::BIGINT AS n_violating_classes,
+  SUM(CASE WHEN t > t_max THEN class_n ELSE 0 END)::BIGINT AS n_risky_records,
+  ROUND(SUM(CASE WHEN t > t_max THEN class_n ELSE 0 END)::DOUBLE
+        / SUM(class_n)::DOUBLE, 6) AS risk_share,
+  ROUND(MAX(t), 6) AS max_t
+FROM per_class CROSS JOIN ts
+GROUP BY t_max
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("k_anonymity_census", k_anonymity_census, K_ANONYMITY_SQL)
+    register("t_closeness_census", t_closeness_census, T_CLOSENESS_SQL)
     register("l_diversity_census", l_diversity_census, L_DIVERSITY_SQL)
     register("containment_pairs", containment_pairs, CONTAINMENT_SQL)
     register("dow_seasonality_events", dow_seasonality_events, DOW_SEASONALITY_SQL)

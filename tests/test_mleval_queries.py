@@ -87,3 +87,38 @@ def test_touch_attribution_conservation_and_reference(spark, sf_dir):
     assert got_last == dict(last_c)
     n_p = len(purchases)
     assert sum(got_first.values()) == n_p and sum(got_last.values()) == n_p
+
+
+def test_t_closeness_reference(spark, sf_dir):
+    """Per-class TVD vs a pandas reference (zero-filled domain), and
+    threshold monotonicity: higher t_max never flags more classes."""
+    from hpv_etl_code_spark.plans.governance_queries import (
+        t_closeness_census,
+    )
+
+    rows = sorted(
+        t_closeness_census(spark, sf_dir).collect(), key=lambda r: r.t_max
+    )
+    viol = [r.n_violating_classes for r in rows]
+    assert viol == sorted(viol, reverse=True)
+    # all three thresholds see identical class totals and max_t
+    assert len({(r.n_classes, r.max_t) for r in rows}) == 1
+    # pandas reference for max_t
+    pdf = load_table(spark, sf_dir, "customer").toPandas()
+    pdf["bal_band"] = (pdf.c_acctbal / 1000).apply(
+        lambda v: int(v // 1) if v >= 0 else -int(-v // 1) - (v % 1 != 0)
+    )
+    import math
+
+    pdf["bal_band"] = pdf.c_acctbal.apply(lambda v: math.floor(v / 1000))
+    n = len(pdf)
+    g = pdf.c_mktsegment.value_counts().to_dict()
+    max_t = 0.0
+    for _, cls in pdf.groupby(["c_nationkey", "bal_band"]):
+        ne = len(cls)
+        cc = cls.c_mktsegment.value_counts().to_dict()
+        t = 0.5 * sum(
+            abs(cc.get(s, 0) / ne - g[s] / n) for s in g
+        )
+        max_t = max(max_t, t)
+    assert abs(rows[0].max_t - max_t) < 1e-6
