@@ -333,6 +333,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "decile_lift_table",
     "touch_attribution",
     "t_closeness_census",
+    "ndcg_user_ranking",
 )
 
 

@@ -194,6 +194,135 @@ FROM per
 """
 
 
+# ------------------------------------------------------------- nDCG@k
+
+_NDCG_K = 10
+
+
+def ndcg_user_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of a spend-based user ranking per event_type: for each
+    type, users are ranked by total cents spent (the "model score",
+    ties broken by user_id) and judged against graded relevance =
+    event count (the "engagement label"); nDCG@10 compares the
+    score-ordered DCG against the ideal relevance-ordered DCG — the
+    ranking-quality readout of the eval trio (AUC = classification,
+    lift = targeting, nDCG = ranking).
+
+    Determinism: relevance and rank are integers; each DCG term is one
+    division by the literal log2(i+1) with i ≤ 10, summed through
+    DECIMAL(20,8); ndcg is one final division. Ideal ranking ties
+    break on user_id in both engines.
+
+    Scale: one (type, user) aggregation, two top-10 rank windows over
+    it (WindowGroupLimit prunes to 10 rows per type before the sort
+    completes), and a type-sized final join — nothing touches raw
+    events twice.
+    """
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("spend"),
+        F.count(F.lit(1)).cast("bigint").alias("rel"),
+    )
+    w_score = Window.partitionBy("event_type").orderBy(
+        F.col("spend").desc(), F.col("user_id")
+    )
+    w_ideal = Window.partitionBy("event_type").orderBy(
+        F.col("rel").desc(), F.col("user_id")
+    )
+    ranked = per_user.select(
+        "event_type",
+        "rel",
+        F.row_number().over(w_score).alias("rk_s"),
+        F.row_number().over(w_ideal).alias("rk_i"),
+    )
+    # literal 1/log2(i+1) discounts — the identical doubles in both
+    # engines (log2 of small ints is exact enough to be reproducible:
+    # the literal is computed HERE and inlined into the SQL twin too)
+    disc = {i: 1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)}
+    dcg_term = F.col("rel").cast("double") * F.element_at(
+        F.array(*[F.lit(disc[i]) for i in range(1, _NDCG_K + 1)]),
+        F.col("rk_s"),
+    )
+    idcg_term = F.col("rel").cast("double") * F.element_at(
+        F.array(*[F.lit(disc[i]) for i in range(1, _NDCG_K + 1)]),
+        F.col("rk_i"),
+    )
+    agg = (
+        ranked.filter(
+            (F.col("rk_s") <= _NDCG_K) | (F.col("rk_i") <= _NDCG_K)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("rk_s") <= _NDCG_K, dcg_term)
+                .otherwise(0.0)
+                .cast("decimal(20,8)")
+            )
+            .cast("double")
+            .alias("dcg"),
+            F.sum(
+                F.when(F.col("rk_i") <= _NDCG_K, idcg_term)
+                .otherwise(0.0)
+                .cast("decimal(20,8)")
+            )
+            .cast("double")
+            .alias("idcg"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.round("dcg", 6).alias("dcg_at_10"),
+        F.round("idcg", 6).alias("idcg_at_10"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg_at_10"),
+    )
+
+
+def _ndcg_sql() -> str:
+    import math
+
+    disc_list = ", ".join(
+        repr(1.0 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS spend,
+         COUNT(*)::BIGINT AS rel
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, rel,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY spend DESC, user_id) AS rk_s,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY rel DESC, user_id) AS rk_i
+  FROM per_user
+), agg AS (
+  SELECT event_type,
+    CAST(CAST(SUM(CAST(CASE WHEN rk_s <= {_NDCG_K}
+          THEN rel::DOUBLE * ([{disc_list}])[rk_s] ELSE 0.0 END
+          AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS dcg,
+    CAST(CAST(SUM(CAST(CASE WHEN rk_i <= {_NDCG_K}
+          THEN rel::DOUBLE * ([{disc_list}])[rk_i] ELSE 0.0 END
+          AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS idcg
+  FROM ranked
+  WHERE rk_s <= {_NDCG_K} OR rk_i <= {_NDCG_K}
+  GROUP BY 1
+)
+SELECT event_type,
+  ROUND(dcg, 6) AS dcg_at_10,
+  ROUND(idcg, 6) AS idcg_at_10,
+  ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg_at_10
+FROM agg
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("auc_purchase_score", auc_purchase_score, AUC_SQL)
     register("decile_lift_table", decile_lift_table, LIFT_SQL)
+    register("ndcg_user_ranking", ndcg_user_ranking, _ndcg_sql())

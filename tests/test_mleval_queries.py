@@ -122,3 +122,41 @@ def test_t_closeness_reference(spark, sf_dir):
         )
         max_t = max(max_t, t)
     assert abs(rows[0].max_t - max_t) < 1e-6
+
+
+def test_ndcg_reference_and_bounds(spark, sf_dir):
+    """nDCG@10 vs a pandas reference; 0 < ndcg <= 1 and idcg >= dcg."""
+    import math
+
+    from hpv_etl_code_spark.plans.mleval_queries import (
+        _NDCG_K,
+        ndcg_user_ranking,
+    )
+
+    rows = {r.event_type: r for r in ndcg_user_ranking(spark, sf_dir).collect()}
+    assert rows
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("spend"),
+            F.count(F.lit(1)).alias("rel"),
+        )
+        .toPandas()
+    )
+    for et, g in pdf.groupby("event_type"):
+        by_score = g.sort_values(
+            ["spend", "user_id"], ascending=[False, True]
+        ).rel.tolist()[:_NDCG_K]
+        by_rel = g.sort_values(
+            ["rel", "user_id"], ascending=[False, True]
+        ).rel.tolist()[:_NDCG_K]
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(by_score))
+        idcg = sum(r / math.log2(i + 2) for i, r in enumerate(by_rel))
+        r = rows[et]
+        assert abs(r.dcg_at_10 - dcg) < 1e-5, et
+        assert abs(r.idcg_at_10 - idcg) < 1e-5, et
+        assert r.idcg_at_10 >= r.dcg_at_10 - 1e-9
+        assert 0.0 < r.ndcg_at_10 <= 1.0 + 1e-9
