@@ -334,6 +334,12 @@ _ROTATION_POOL: tuple[str, ...] = (
     "touch_attribution",
     "t_closeness_census",
     "ndcg_user_ranking",
+    "kaplan_meier_userlife",
+    "acf_daily_cents",
+    "gapfill_linear_interp",
+    "chi_square_independence",
+    "pr_curve_deciles",
+    "calibration_bins_brier",
 )
 
 

@@ -467,8 +467,105 @@ FROM overall JOIN env ON overall.event_type = env.event_type
 """
 
 
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence on the event_type × ISO-weekday
+    contingency table, with Cramér's V effect size — "does activity mix
+    shift by weekday", the categorical-association companion to
+    `ab_welch_ttest` (means) and `ks_test_drift` (distributions).
+
+    Determinism: observed counts, row/column margins and N are exact
+    integers; each cell's χ² term uses the cross-multiplied identity
+    (O·N − r·c)²/(N·r·c) — numerator root is an exact BIGINT squared in
+    a double (exactly representable: |O·N − r·c| < 2⁵³ far beyond
+    100 TB), the denominator is the double product (N·r)·c in that
+    literal association order, terms sum through DECIMAL(20,8), and
+    Cramér's V is one IEEE sqrt (correctly rounded in both engines).
+
+    Scale: one groupBy over the raw table to ≤ types×7 cells; margins,
+    terms and the 1-row summary are all metadata-side (broadcast
+    joins). dof and the min(R,C)−1 normalizer come from the observed
+    table, not assumptions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    col_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows_dim"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols_dim"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .join(F.broadcast(tot))
+    )
+    dev = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    denom = (F.col("n").cast("double") * F.col("r").cast("double")) * F.col(
+        "c"
+    ).cast("double")
+    agg = joined.groupBy("n", "n_rows_dim", "n_cols_dim").agg(
+        F.sum((dev * dev / denom).cast("decimal(20,8)"))
+        .cast("double")
+        .alias("chi2")
+    )
+    dof = (F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * (F.least(F.col("n_rows_dim"), F.col("n_cols_dim")) - 1).cast(
+                "double"
+            )
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_obs"),
+        dof.alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH cells AS (
+  SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+), row_m AS (
+  SELECT event_type, SUM(o)::BIGINT AS r FROM cells GROUP BY 1
+), col_m AS (
+  SELECT dow, SUM(o)::BIGINT AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(o)::BIGINT AS n,
+         COUNT(DISTINCT event_type)::BIGINT AS n_rows_dim,
+         COUNT(DISTINCT dow)::BIGINT AS n_cols_dim
+  FROM cells
+), agg AS (
+  SELECT n, n_rows_dim, n_cols_dim,
+    CAST(CAST(SUM(CAST(
+      ((o * n - r * c)::DOUBLE * (o * n - r * c)::DOUBLE)
+        / ((n::DOUBLE * r::DOUBLE) * c::DOUBLE)
+      AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS chi2
+  FROM cells
+  JOIN row_m USING (event_type) JOIN col_m USING (dow) CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT n AS n_obs,
+  (n_rows_dim - 1) * (n_cols_dim - 1) AS dof,
+  ROUND(chi2, 6) AS chi2,
+  ROUND(sqrt(chi2 / (n::DOUBLE
+        * (least(n_rows_dim, n_cols_dim) - 1)::DOUBLE)), 6) AS cramers_v
+FROM agg
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("ols_segment_trend", ols_segment_trend, OLS_SEGMENT_TREND_SQL)
+    register(
+        "chi_square_independence", chi_square_independence, CHI_SQUARE_SQL
+    )
     register(
         "token_entropy_by_source", token_entropy_by_source, TOKEN_ENTROPY_SQL
     )

@@ -322,7 +322,233 @@ FROM agg
 """
 
 
+# ------------------------------------------------- PR curve / calibration
+
+
+def pr_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at ten operating points — the score-ranked
+    rows are cut at each decile boundary (same integer bucket rule as
+    `decile_lift_table`, ties broken by event_id) and each cut reports
+    the confusion counts for "predict positive above the cut":
+    TP/FP/FN are exact integers from ONE cumulative window over ten
+    bucket aggregates; precision/recall/F1 are single double divisions.
+
+    Scale: one global rank sort (range-partitioned), one 10-group
+    aggregation; the cumulative confusion counts and ratios run over
+    10 metadata rows.
+    """
+    s = _scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("event_id"))
+    n1 = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("label").cast("bigint").alias("__p"),
+    )
+    per = (
+        s.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(n1))
+        .withColumn(
+            "decile",
+            F.expr(f"((rk - 1) * {_LIFT_BUCKETS}) DIV __n").cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.max("__p").alias("__p"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "__p",
+        F.sum("n_rows").over(wc).alias("n_pred_pos"),
+        F.sum("n_pos").over(wc).alias("tp"),
+    )
+    precision = F.col("tp").cast("double") / F.col("n_pred_pos").cast("double")
+    recall = F.col("tp").cast("double") / F.col("__p").cast("double")
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("n_pred_pos") + F.col("__p")).cast("double")
+    )
+    return cum.select(
+        "decile",
+        "n_pred_pos",
+        "tp",
+        (F.col("n_pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("__p") - F.col("tp")).alias("fn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+PR_CURVE_SQL = f"""
+WITH s AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         event_id
+  FROM events
+), n1 AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(label)::BIGINT AS p FROM s
+), per AS (
+  SELECT ((row_number() OVER (ORDER BY score DESC, event_id) - 1)
+          * {_LIFT_BUCKETS}) // n AS decile,
+         label, p
+  FROM s CROSS JOIN n1
+), agg AS (
+  SELECT decile::BIGINT AS decile, COUNT(*)::BIGINT AS n_rows,
+         SUM(label)::BIGINT AS n_pos, MAX(p) AS p
+  FROM per GROUP BY 1
+), cum AS (
+  SELECT decile, p,
+    SUM(n_rows) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::BIGINT
+      AS n_pred_pos,
+    SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::BIGINT AS tp
+  FROM agg
+)
+SELECT decile, n_pred_pos, tp,
+  (n_pred_pos - tp)::BIGINT AS fp,
+  (p - tp)::BIGINT AS fn,
+  ROUND(tp::DOUBLE / n_pred_pos::DOUBLE, 6) AS precision,
+  ROUND(tp::DOUBLE / p::DOUBLE, 6) AS recall,
+  ROUND(2.0 * tp::DOUBLE / (n_pred_pos + p)::DOUBLE, 6) AS f1
+FROM cum
+"""
+
+
+_CAL_BINS = 10
+
+
+def calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table + Brier score/ECE summary for a
+    rank-calibrated score: predicted probability p = (rank−1)/(n−1)
+    (the percent-rank transform — rank ascending by score, ties broken
+    by event_id so both engines assign identical p), binned into ten
+    reliability buckets. Per-bin rows report mean predicted p vs the
+    observed positive rate and the |gap|; the bin = −1 summary row
+    reports the Brier score (mean (p−y)²), the base rate, and ECE
+    (Σ nᵇ/N·|gap|) in the same columns (the fold = −1 convention from
+    `fold_assignment_leakfree`).
+
+    Determinism: p is ONE double division of exact integers, (p−y)² is
+    IEEE multiply of that double, per-row terms sum through
+    DECIMAL(20,8), every ratio is a single final division rounded 6dp.
+
+    Scale: one rank sort exchange, one 10-group aggregation, a 1-row
+    summary — same shape as the AUC entry.
+    """
+    s = _scored(spark, sf_dir)
+    w = Window.orderBy("score", "event_id")
+    n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    p = (F.col("rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    tagged = (
+        s.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(n1))
+        .withColumn("p", p)
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(F.col("p") * _CAL_BINS).cast("bigint"),
+                F.lit(_CAL_BINS - 1).cast("bigint"),
+            ),
+        )
+    )
+    sq = (F.col("p") - F.col("label").cast("double")) * (
+        F.col("p") - F.col("label").cast("double")
+    )
+    per_bin = tagged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(F.col("p").cast("decimal(20,8)")).alias("sum_p"),
+        F.sum(sq.cast("decimal(20,8)")).alias("sum_sq"),
+    )
+    avg_p = F.col("sum_p").cast("double") / F.col("n_rows").cast("double")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    bins = per_bin.select(
+        "bin",
+        "n_rows",
+        F.round(avg_p, 6).alias("avg_pred"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(avg_p - pos_rate), 6).alias("abs_gap"),
+        "sum_sq",
+        "n_pos",
+        (
+            F.abs(avg_p - pos_rate).cast("decimal(20,8)")
+            * F.col("n_rows").cast("decimal(18,0)")
+        ).alias("gap_weight"),
+    )
+    summary = bins.agg(
+        F.lit(-1).cast("bigint").alias("bin"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("sum_sq").cast("double") / F.sum("n_rows").cast("double"), 6
+        ).alias("avg_pred"),
+        F.round(
+            F.sum("n_pos").cast("double") / F.sum("n_rows").cast("double"), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.sum("gap_weight").cast("double") / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("abs_gap"),
+    )
+    return bins.drop("sum_sq", "n_pos", "gap_weight").unionByName(summary)
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         event_id
+  FROM events
+), n1 AS (SELECT COUNT(*)::BIGINT AS n FROM s),
+tagged AS (
+  SELECT label,
+    (row_number() OVER (ORDER BY score, event_id) - 1)::DOUBLE
+      / (n - 1)::DOUBLE AS p
+  FROM s CROSS JOIN n1
+), binned AS (
+  SELECT least(floor(p * {_CAL_BINS})::BIGINT, {_CAL_BINS - 1}) AS bin,
+         label, p, (p - label::DOUBLE) * (p - label::DOUBLE) AS sq
+  FROM tagged
+), per_bin AS (
+  SELECT bin, COUNT(*)::BIGINT AS n_rows, SUM(label)::BIGINT AS n_pos,
+         SUM(CAST(p AS DECIMAL(20,8))) AS sum_p,
+         SUM(CAST(sq AS DECIMAL(20,8))) AS sum_sq
+  FROM binned GROUP BY 1
+), bins AS (
+  SELECT bin, n_rows,
+    ROUND(CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) / n_rows::DOUBLE, 6)
+      AS avg_pred,
+    ROUND(n_pos::DOUBLE / n_rows::DOUBLE, 6) AS pos_rate,
+    ROUND(abs(CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) / n_rows::DOUBLE
+              - n_pos::DOUBLE / n_rows::DOUBLE), 6) AS abs_gap,
+    sum_sq, n_pos,
+    CAST(abs(CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) / n_rows::DOUBLE
+             - n_pos::DOUBLE / n_rows::DOUBLE) AS DECIMAL(20,8))
+      * n_rows::DECIMAL(18,0) AS gap_weight
+  FROM per_bin
+)
+SELECT bin, n_rows, avg_pred, pos_rate, abs_gap FROM bins
+UNION ALL
+SELECT -1::BIGINT, SUM(n_rows)::BIGINT,
+  ROUND(CAST(CAST(SUM(sum_sq) AS VARCHAR) AS DOUBLE)
+        / SUM(n_rows)::DOUBLE, 6),
+  ROUND(SUM(n_pos)::DOUBLE / SUM(n_rows)::DOUBLE, 6),
+  ROUND(CAST(CAST(SUM(gap_weight) AS VARCHAR) AS DOUBLE)
+        / SUM(n_rows)::DOUBLE, 6)
+FROM bins
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("auc_purchase_score", auc_purchase_score, AUC_SQL)
     register("decile_lift_table", decile_lift_table, LIFT_SQL)
     register("ndcg_user_ranking", ndcg_user_ranking, _ndcg_sql())
+    register("pr_curve_deciles", pr_curve_deciles, PR_CURVE_SQL)
+    register(
+        "calibration_bins_brier", calibration_bins_brier, _calibration_sql()
+    )

@@ -35,8 +35,10 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         simjoin_queries,
         stats_queries,
         stream_queries,
+        survival_queries,
         temporal_graph_queries,
         text_queries,
+        timeseries_queries,
         tpch_queries,
         tpch_queries2,
         tpch_queries3,
@@ -75,3 +77,5 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     format_queries.register_entries(register)
     ops_queries.register_entries(register)
     mleval_queries.register_entries(register)
+    survival_queries.register_entries(register)
+    timeseries_queries.register_entries(register)
