@@ -340,6 +340,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "chi_square_independence",
     "pr_curve_deciles",
     "calibration_bins_brier",
+    "holt_linear_trend",
 )
 
 

@@ -231,6 +231,246 @@ FROM joined
 """
 
 
+# --------------------------------------------- Holt linear smoothing
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_HOLT_CHUNK = 32  # fixture-scale; size to ~4096 in production
+
+
+def _holt_consts() -> tuple[float, float, float, float]:
+    """The constant affine matrix A of the Holt recurrence
+    sₜ = A·sₜ₋₁ + cₜ with state s = (level, trend) and forcing
+    cₜ = (α·xₜ, αβ·xₜ):  A = [[1−α, 1−α], [−αβ, 1−αβ]]."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    return 1.0 - a, 1.0 - a, -(a * b), 1.0 - a * b
+
+
+def _affine_compose(acc, e):  # noqa: ANN001 — Column struct lambda
+    """(F_e, c_e) ∘ (F_acc, p_acc) — the element/chunk map applied
+    AFTER the accumulated map: F = F_e·F_acc, p = F_e·p_acc + c_e.
+    Literal sum-of-two-products op order; the DuckDB twin replays the
+    identical IEEE chain."""
+    return F.struct(
+        (e["f11"] * acc["f11"] + e["f12"] * acc["f21"]).alias("f11"),
+        (e["f11"] * acc["f12"] + e["f12"] * acc["f22"]).alias("f12"),
+        (e["f21"] * acc["f11"] + e["f22"] * acc["f21"]).alias("f21"),
+        (e["f21"] * acc["f12"] + e["f22"] * acc["f22"]).alias("f22"),
+        (e["f11"] * acc["p1"] + e["f12"] * acc["p2"] + e["p1"]).alias("p1"),
+        (e["f21"] * acc["p1"] + e["f22"] * acc["p2"] + e["p2"]).alias("p2"),
+    )
+
+
+def _identity_struct():  # noqa: ANN202
+    return F.struct(
+        F.lit(1.0).alias("f11"),
+        F.lit(0.0).alias("f12"),
+        F.lit(0.0).alias("f21"),
+        F.lit(1.0).alias("f22"),
+        F.lit(0.0).alias("p1"),
+        F.lit(0.0).alias("p2"),
+    )
+
+
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per user — the
+    MATRIX generalization of `mining_queries.ewma_user_values`'s scalar
+    segmented fold: the recurrence lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ is the affine map sₜ = A·sₜ₋₁ + cₜ
+    with CONSTANT A, so each element is a 2×2 affine map, affine maps
+    compose associatively, and the user's history folds as a SEGMENTED
+    scan: chunks of ≤{chunk} elements fold to one (F, p) summary each,
+    summaries compose in cid order, and the total map is applied once
+    to the seed (l₂ = x₂, b₂ = x₂−x₁; the recurrence starts at t=3 —
+    textbook Holt initialization; single-event users get b = 0).
+
+    Determinism: every step is the SAME generic affine composition
+    (sum-of-two-products literal order) in Spark's ``aggregate`` and
+    DuckDB's ``list_reduce``, so the hash matches bit-for-bit.
+
+    Scale: identical shape to the segmented EWMA — per-chunk tasks
+    hold ≤{chunk} doubles, the per-user compose holds n/{chunk}
+    six-double summaries (√n memory at the default sizing; recurse the
+    decomposition for more), and the chunk aggregation reuses the
+    user_id hash partitioning (groupBy(user_id, cid) co-partitions).
+    Forecast column: ŷ(t+3) = level + 3·trend.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return holt_segments(ev, chunk=_HOLT_CHUNK)
+
+
+def holt_segments(ev: DataFrame, chunk: int = _HOLT_CHUNK) -> DataFrame:
+    """Segmented Holt fold over an arbitrary events frame — the 6dp
+    output is chunk-size-invariant (property-tested against the
+    whole-history fold at several widths); raw IEEE bits are not
+    (reassociation), exactly as documented for `ewma_segments`."""
+    f11c, f12c, f21c, f22c = _holt_consts()
+    a, ab = _HOLT_ALPHA, _HOLT_ALPHA * _HOLT_BETA
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    seeds = ordered.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("x1"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("x2"),
+    )
+    elem = lambda x: F.struct(  # noqa: E731 — elementary map of one step
+        F.lit(f11c).alias("f11"),
+        F.lit(f12c).alias("f12"),
+        F.lit(f21c).alias("f21"),
+        F.lit(f22c).alias("f22"),
+        (F.lit(a) * x).alias("p1"),
+        (F.lit(ab) * x).alias("p2"),
+    )
+    ys = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"]
+    )
+    summaries = (
+        ordered.filter(F.col("rn") >= 3)
+        .withColumn("cid", F.expr(f"(rn - 3) DIV {chunk}"))
+        .groupBy("user_id", "cid")
+        .agg(
+            F.aggregate(
+                ys, _identity_struct(), lambda acc, x: _affine_compose(acc, elem(x))
+            ).alias("cs")
+        )
+    )
+    per_user = summaries.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cs"))).alias("maps")
+    )
+    total = F.aggregate(
+        F.coalesce(
+            F.transform("maps", lambda m: m["cs"]),
+            F.array().cast(
+                "array<struct<f11:double,f12:double,f21:double,"
+                "f22:double,p1:double,p2:double>>"
+            ),
+        ),
+        _identity_struct(),
+        _affine_compose,
+    )
+    joined = seeds.join(per_user, "user_id", "left").withColumn("tm", total)
+    l0 = F.coalesce(F.col("x2"), F.col("x1"))
+    b0 = F.coalesce(F.col("x2") - F.col("x1"), F.lit(0.0))
+    level = F.col("tm.f11") * l0 + F.col("tm.f12") * b0 + F.col("tm.p1")
+    trend = F.col("tm.f21") * l0 + F.col("tm.f22") * b0 + F.col("tm.p2")
+    return joined.select(
+        "user_id",
+        "n_events",
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + F.lit(3.0) * trend, 6).alias("forecast_h3"),
+    )
+
+
+def _holt_sql(chunk: int = _HOLT_CHUNK) -> str:
+    """The DuckDB twin folds DOUBLE[6] LIST accumulators, not structs:
+    this container's DuckDB (v1.0.0) updates a struct accumulator's
+    fields IN PLACE left-to-right inside ``list_reduce``, so a later
+    field expression reads the already-overwritten earlier fields —
+    fatal for a matrix compose where every output needs every old
+    input (verified: f21' came back as e.f21·f11_NEW + e.f22·f21_old).
+    List construction builds a fresh list per step, so [..] 6-lists
+    carry (f11,f12,f21,f22,p1,p2) with value semantics and the exact
+    Spark op chain."""
+    f11c, f12c, f21c, f22c = _holt_consts()
+    a, ab = _HOLT_ALPHA, _HOLT_ALPHA * _HOLT_BETA
+    ident = "[1.0,0.0,0.0,1.0,0.0,0.0]::DOUBLE[]"
+    elem_step = f"""(acc, e) -> [
+      {f11c!r}*acc[1] + {f12c!r}*acc[3],
+      {f11c!r}*acc[2] + {f12c!r}*acc[4],
+      {f21c!r}*acc[1] + {f22c!r}*acc[3],
+      {f21c!r}*acc[2] + {f22c!r}*acc[4],
+      {f11c!r}*acc[5] + {f12c!r}*acc[6] + e[1],
+      {f21c!r}*acc[5] + {f22c!r}*acc[6] + e[2]]"""
+    compose = """(acc, e) -> [
+      e[1]*acc[1] + e[2]*acc[3],
+      e[1]*acc[2] + e[2]*acc[4],
+      e[3]*acc[1] + e[4]*acc[3],
+      e[3]*acc[2] + e[4]*acc[4],
+      e[1]*acc[5] + e[2]*acc[6] + e[5],
+      e[3]*acc[5] + e[4]*acc[6] + e[6]]"""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, value::DOUBLE AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), seeds AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+    MAX(CASE WHEN rn = 1 THEN v END) AS x1,
+    MAX(CASE WHEN rn = 2 THEN v END) AS x2
+  FROM ordered GROUP BY user_id
+), summaries AS (
+  SELECT user_id, (rn - 3) // {chunk} AS cid,
+    list_reduce(
+      list_prepend({ident},
+        list_transform(list(v ORDER BY rn), x -> [{a!r} * x, {ab!r} * x])),
+      {elem_step}) AS cs
+  FROM ordered WHERE rn >= 3 GROUP BY user_id, (rn - 3) // {chunk}
+), per_user AS (
+  SELECT user_id, list(cs ORDER BY cid) AS maps FROM summaries GROUP BY user_id
+), folded AS (
+  SELECT s.user_id, s.n_events, s.x1, s.x2,
+    list_reduce(list_prepend({ident}, COALESCE(p.maps, [])),
+                {compose}) AS tm
+  FROM seeds s LEFT JOIN per_user p USING (user_id)
+)
+SELECT user_id, n_events,
+  ROUND(tm[1] * COALESCE(x2, x1) + tm[2] * COALESCE(x2 - x1, 0.0) + tm[5],
+        6) AS level,
+  ROUND(tm[3] * COALESCE(x2, x1) + tm[4] * COALESCE(x2 - x1, 0.0) + tm[6],
+        6) AS trend,
+  ROUND((tm[1] * COALESCE(x2, x1) + tm[2] * COALESCE(x2 - x1, 0.0) + tm[5])
+        + 3.0 * (tm[3] * COALESCE(x2, x1) + tm[4] * COALESCE(x2 - x1, 0.0)
+                 + tm[6]), 6) AS forecast_h3
+FROM folded
+"""
+
+
+def holt_simple_fold(ev: DataFrame) -> DataFrame:
+    """Reference whole-history Holt fold (equivalence twin for the
+    segmented entry, same role as `ewma_simple_fold`): per-key state is
+    the key's entire history — OOMs on pathologically long keys; kept
+    only for the chunk-size-invariance property test."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    per_user = (
+        ev.select("user_id", "ts", "event_id", F.col("value").cast("double").alias("value"))
+        .groupBy("user_id")
+        .agg(arr.alias("a"))
+    )
+    vals = F.transform("a", lambda s: s["value"])
+    x1 = F.element_at(vals, 1)
+    x2 = F.coalesce(F.element_at(vals, 2), x1)
+    b0 = F.coalesce(F.element_at(vals, 2) - x1, F.lit(0.0))
+    state = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        F.struct(x2.alias("l"), b0.alias("b")),
+        lambda acc, x: F.struct(
+            (
+                F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(b)
+                * (
+                    (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(1.0 - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + F.lit(3.0) * state["b"], 6).alias("forecast_h3"),
+    )
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("gapfill_linear_interp", gapfill_linear_interp, GAPFILL_SQL)
+    register("holt_linear_trend", holt_linear_trend, _holt_sql())
