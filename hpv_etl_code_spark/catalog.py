@@ -341,6 +341,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "pr_curve_deciles",
     "calibration_bins_brier",
     "holt_linear_trend",
+    "logrank_test_userlife",
+    "permutation_test_cents",
 )
 
 

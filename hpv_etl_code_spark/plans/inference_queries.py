@@ -561,11 +561,140 @@ FROM agg
 """
 
 
+_PERM_R = 40
+
+
+def permutation_test_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-vs-view mean-cents gap —
+    resampling WITHOUT randomness (the `bootstrap_ci_mean` trick):
+    replicate b relabels each row to pseudo-group-A iff bit b of the
+    row's 60-bit md5 hash is set (40 independent fair relabelings under
+    H₀: labels are exchangeable), and the two-sided p-value is the
+    smoothed exceedance rank (#{|Δ_b| ≥ |Δ_obs|} + 1)/(R + 1) — the
+    nonparametric companion to `ab_welch_ttest` that assumes no
+    variance model at all.
+
+    Determinism: group sums are exact integer cents; each replicate's
+    Δ_b is two double divisions and one subtraction; the exceedance
+    count is an integer; the driver hash-checks a procedure that is
+    usually unreproducible across engines.
+
+    Scale: the replicate dimension is a 40× map-side expansion feeding
+    ONE partial-agg exchange keyed (b) — state is 40 cells regardless
+    of input rows; the observed gap is a second 1-row aggregate and
+    the comparison is a broadcast of one row.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    base = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("in_a"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    obs = base.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("cents")).cast("bigint").alias("s_a"),
+        F.sum((1 - F.col("in_a")) * F.col("cents"))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    d_obs = F.col("s_a").cast("double") / F.col("n_a").cast("double") - F.col(
+        "s_b"
+    ).cast("double") / F.col("n_b").cast("double")
+    reps = (
+        base.select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_R - 1))).alias("b"),
+            F.expr("(h >> b) & 1").cast("int").alias("ra"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("ra").cast("bigint").alias("m_a"),
+            F.sum(1 - F.col("ra")).cast("bigint").alias("m_b"),
+            F.sum(F.col("ra") * F.col("cents")).cast("bigint").alias("t_a"),
+            F.sum((1 - F.col("ra")) * F.col("cents"))
+            .cast("bigint")
+            .alias("t_b"),
+        )
+    )
+    d_b = F.col("t_a").cast("double") / F.col("m_a").cast("double") - F.col(
+        "t_b"
+    ).cast("double") / F.col("m_b").cast("double")
+    joined = reps.join(F.broadcast(obs))
+    summary = joined.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.max(d_obs), 6).alias("diff_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.sum((F.abs(d_b) >= F.abs(d_obs)).cast("int"))
+        .cast("bigint")
+        .alias("n_extreme"),
+    )
+    return summary.select(
+        "n_a",
+        "n_b",
+        "diff_obs",
+        "n_replicates",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_replicates") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+PERMUTATION_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_a,
+         (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type IN ('purchase', 'view')
+), obs AS (
+  SELECT SUM(in_a)::BIGINT AS n_a, SUM(1 - in_a)::BIGINT AS n_b,
+         SUM(in_a * cents)::BIGINT AS s_a,
+         SUM((1 - in_a) * cents)::BIGINT AS s_b
+  FROM base
+), reps AS (
+  SELECT b,
+    SUM(ra)::BIGINT AS m_a, SUM(1 - ra)::BIGINT AS m_b,
+    SUM(ra * cents)::BIGINT AS t_a, SUM((1 - ra) * cents)::BIGINT AS t_b
+  FROM (
+    SELECT cents, u.b, ((h >> u.b) & 1)::INT AS ra
+    FROM base CROSS JOIN (SELECT unnest(range(0, {_PERM_R})) AS b) u
+  ) GROUP BY b
+), summary AS (
+  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+    ROUND(MAX(s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE), 6)
+      AS diff_obs,
+    COUNT(*)::BIGINT AS n_replicates,
+    SUM(CASE WHEN abs(t_a::DOUBLE / m_a::DOUBLE - t_b::DOUBLE / m_b::DOUBLE)
+             >= abs(s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+        THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+  FROM reps CROSS JOIN obs
+)
+SELECT n_a, n_b, diff_obs, n_replicates, n_extreme,
+  ROUND((n_extreme + 1)::DOUBLE / (n_replicates + 1)::DOUBLE, 6) AS p_value
+FROM summary
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("ols_segment_trend", ols_segment_trend, OLS_SEGMENT_TREND_SQL)
     register(
         "chi_square_independence", chi_square_independence, CHI_SQUARE_SQL
     )
+    register("permutation_test_cents", permutation_test_cents, PERMUTATION_SQL)
     register(
         "token_entropy_by_source", token_entropy_by_source, TOKEN_ENTROPY_SQL
     )

@@ -169,5 +169,174 @@ FROM km JOIN arrs USING (stratum)
 """
 
 
+# strata present at every fixture scale (sf0.001 has only 15 users and
+# no 'view' first-events; 'error'/'signup' cohorts exist everywhere)
+_LR_A = "error"
+_LR_B = "signup"
+
+
+def logrank_test_userlife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test comparing the survival of the
+    '{a}'-acquired vs '{b}'-acquired cohorts (same subjects/durations/
+    censoring as `kaplan_meier_userlife`): at every event time the
+    observed group-A events are compared against the hypergeometric
+    expectation E₁ = d·n₁/n with variance
+    d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1), and Z = (O₁−E₁)/√ΣV — the
+    curve-level significance readout that completes the survival
+    family (KM curve → log-rank comparison).
+
+    Determinism: O/d/n counts are exact integers; each E/V term is the
+    literal product chain ((d·r)·(1−r))·((n−d)/(n−1)) with r = n₁/n
+    one double division; terms sum through DECIMAL(20,8); Z is one
+    final division and one IEEE sqrt.
+
+    Scale: the subjects aggregation is the only full-data pass; event
+    times are calendar-bounded so the risk-set windows and the 1-row
+    summary are metadata-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    subjects = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+            .cast("bigint")
+            .alias("t"),
+            (F.max_by("event_type", okey) == _OBSERVED_TYPE)
+            .cast("int")
+            .alias("observed"),
+            F.min_by("event_type", okey).alias("stratum"),
+        )
+        .filter(F.col("stratum").isin(_LR_A, _LR_B))
+    )
+    in_a = (F.col("stratum") == _LR_A).cast("int")
+    at_t = subjects.groupBy("t").agg(
+        F.sum(F.col("observed") * in_a).cast("bigint").alias("d1"),
+        F.sum((1 - F.col("observed")) * in_a).cast("bigint").alias("c1"),
+        F.sum(F.col("observed") * (1 - in_a)).cast("bigint").alias("d2"),
+        F.sum((1 - F.col("observed")) * (1 - in_a)).cast("bigint").alias("c2"),
+    )
+    w_suffix = (
+        Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = (
+        at_t.withColumn(
+            "n1", F.sum(F.col("d1") + F.col("c1")).over(w_suffix)
+        )
+        .withColumn("n2", F.sum(F.col("d2") + F.col("c2")).over(w_suffix))
+        .withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn("d", F.col("d1") + F.col("d2"))
+        .filter(F.col("d") > 0)
+    )
+    r = F.col("n1").cast("double") / F.col("n").cast("double")
+    e_term = F.col("d").cast("double") * r
+    # the n>1 guard must live INSIDE the division (null divisor → null,
+    # no ANSI error): Spark's common-subexpression elimination hoists
+    # the division out of a WHEN guard and trips DIVIDE_BY_ZERO
+    v_term = (
+        (F.col("d").cast("double") * r)
+        * (F.lit(1.0) - r)
+        * (
+            (F.col("n") - F.col("d")).cast("double")
+            / F.when(F.col("n") > 1, (F.col("n") - 1).cast("double"))
+        )
+    )
+    agg = risk.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(e_term.cast("decimal(20,8)")).cast("double").alias("e1"),
+        F.sum(
+            F.when(F.col("n") > 1, v_term).otherwise(0.0).cast("decimal(20,8)")
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    counts = subjects.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum(in_a).cast("bigint").alias("n_group_a"),
+    )
+    # degenerate-data guard (a cohort pair with no shared risk sets has
+    # V = 0): null z/chi2 instead of a divide-by-zero — guard inside
+    # the divisor so CSE can't hoist an unguarded division
+    z = (F.col("o1").cast("double") - F.col("e1")) / F.sqrt(
+        F.when(F.col("v") > 0, F.col("v"))
+    )
+    return agg.join(F.broadcast(counts)).select(
+        "n_subjects",
+        "n_group_a",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v", 6).alias("var_sum"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+    )
+
+
+logrank_test_userlife.__doc__ = logrank_test_userlife.__doc__.format(
+    a=_LR_A, b=_LR_B
+)
+
+
+LOGRANK_SQL = f"""
+WITH subjects AS (
+  SELECT user_id,
+    date_diff('day', MIN(ts)::DATE, MAX(ts)::DATE)::BIGINT AS t,
+    CASE WHEN arg_max(event_type,
+           lpad(epoch_us(ts)::VARCHAR, 20, '0')
+             || lpad(event_id::VARCHAR, 12, '0')) = '{_OBSERVED_TYPE}'
+         THEN 1 ELSE 0 END AS observed,
+    arg_min(event_type,
+            lpad(epoch_us(ts)::VARCHAR, 20, '0')
+              || lpad(event_id::VARCHAR, 12, '0')) AS stratum
+  FROM events GROUP BY user_id
+), two AS (
+  SELECT t, observed,
+    CASE WHEN stratum = '{_LR_A}' THEN 1 ELSE 0 END AS in_a
+  FROM subjects WHERE stratum IN ('{_LR_A}', '{_LR_B}')
+), at_t AS (
+  SELECT t,
+    SUM(observed * in_a)::BIGINT AS d1,
+    SUM((1 - observed) * in_a)::BIGINT AS c1,
+    SUM(observed * (1 - in_a))::BIGINT AS d2,
+    SUM((1 - observed) * (1 - in_a))::BIGINT AS c2
+  FROM two GROUP BY t
+), risk AS (
+  SELECT t, d1, d2,
+    (SUM(d1 + c1) OVER (ORDER BY t
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS n1,
+    (SUM(d2 + c2) OVER (ORDER BY t
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS n2
+  FROM at_t
+), terms AS (
+  SELECT d1, d1 + d2 AS d, n1 + n2 AS n, n1 FROM risk WHERE d1 + d2 > 0
+), agg AS (
+  SELECT SUM(d1)::BIGINT AS o1,
+    CAST(CAST(SUM(CAST(d::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+         AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS e1,
+    CAST(CAST(SUM(CAST(CASE WHEN n > 1 THEN
+         (d::DOUBLE * (n1::DOUBLE / n::DOUBLE))
+           * (1.0 - n1::DOUBLE / n::DOUBLE)
+           * ((n - d)::DOUBLE / (n - 1)::DOUBLE)
+         ELSE 0.0 END AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS v
+  FROM terms
+), counts AS (
+  SELECT COUNT(*)::BIGINT AS n_subjects, SUM(in_a)::BIGINT AS n_group_a
+  FROM two
+)
+SELECT n_subjects, n_group_a, o1,
+  ROUND(e1, 6) AS e1,
+  ROUND(v, 6) AS var_sum,
+  ROUND((o1::DOUBLE - e1) / sqrt(CASE WHEN v > 0 THEN v END), 6) AS z,
+  ROUND(((o1::DOUBLE - e1) / sqrt(CASE WHEN v > 0 THEN v END))
+        * ((o1::DOUBLE - e1) / sqrt(CASE WHEN v > 0 THEN v END)), 6)
+    AS chi2
+FROM agg CROSS JOIN counts
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("kaplan_meier_userlife", kaplan_meier_userlife, KAPLAN_MEIER_SQL)
+    register("logrank_test_userlife", logrank_test_userlife, LOGRANK_SQL)
