@@ -469,3 +469,102 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------ streaming Holt
+
+HOLT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_h3", DoubleType()),
+    ]
+)
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("x1", DoubleType()),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+    ]
+)
+
+
+def _make_holt(alpha: float, beta: float):
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = (n, x1, level, trend): O(1) per key — the stream
+        # needs no segmentation because its state never holds history;
+        # the op chain is the whole-history simple fold VERBATIM
+        # (timeseries_queries.holt_simple_fold), so the final per-user
+        # row is bit-identical to the batch fold over the same prefix
+        n, x1, lvl, trd = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for val in pdf["value"]:
+                if val is None or pd.isna(val):
+                    continue  # dirty-data rule: skip, don't poison state
+                x = float(val)
+                if n == 0:
+                    x1, lvl, trd = x, x, 0.0
+                elif n == 1:
+                    lvl, trd = x, x - x1
+                else:
+                    lnew = alpha * x + (1.0 - alpha) * (lvl + trd)
+                    trd = beta * (lnew - lvl) + (1.0 - beta) * trd
+                    lvl = lnew
+                n += 1
+        state.update((n, x1, lvl, trd))
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    n,
+                    _round6_half_up(lvl),
+                    _round6_half_up(trd),
+                    _round6_half_up(lvl + 3.0 * trd),
+                )
+            ],
+            columns=["user_id", "n_events", "level", "trend", "forecast_h3"],
+        )
+
+    return fold
+
+
+def holt_stream(
+    stream_df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming Holt level+trend smoothing — the batch entry
+    (plans/timeseries_queries.py::holt_linear_trend) as O(1)-state
+    ``applyInPandasWithState``. The batch side needs the segmented
+    affine-map scan to bound per-task memory on unbounded history; the
+    stream's state is already two doubles, and it applies the simple
+    whole-history op chain verbatim, so the final per-user row is
+    BIT-IDENTICAL to holt_simple_fold over the same prefix (locked in
+    tests/test_stateful_holt.py) and matches the segmented batch entry
+    at the 6dp output contract.
+
+    Ordering contract: per-key event time non-decreasing across
+    micro-batches (sorted within), as :func:`ewma_stream`."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_holt(alpha, beta),
+            outputStructType=HOLT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
