@@ -343,6 +343,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "holt_linear_trend",
     "logrank_test_userlife",
     "permutation_test_cents",
+    "conformal_interval_cents",
 )
 
 

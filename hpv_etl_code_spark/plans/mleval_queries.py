@@ -544,6 +544,149 @@ FROM bins
 """
 
 
+# ------------------------------------------------- conformal intervals
+
+_CONF_ALPHA_PCT = 90  # nominal coverage, percent
+
+
+def conformal_interval_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for event value (cents)
+    with a per-event-type mean predictor: rows hash-split 3 ways
+    (md5 mod 4: 0-1 train, 2 calibrate, 3 test), the predictor is the
+    TRAIN half's per-type mean, q̂ is the ⌈(n_cal+1)·0.9⌉-th order
+    statistic of calibration |residuals| (the finite-sample-valid
+    conformal quantile — pure rank selection, no interpolation), and
+    the TEST rows report empirical coverage of ŷ ± q̂ — the
+    distribution-free uncertainty readout that completes the eval
+    family (discrimination = AUC, calibration = Brier, uncertainty =
+    conformal coverage).
+
+    Determinism: the split is the md5 hash; residuals are |cents·n −
+    sum|-scaled EXACT integers (the ÷n-free trick — comparing
+    |r_i·n| ≥ |q̂·n| is the same order as comparing the rationals, so
+    rank selection and coverage counting never touch a float);
+    reported floats are single final divisions.
+
+    Scale: three conditional aggregates over one pass (train sums),
+    one rank window per type over the calibration half
+    (range-partitioned sort), one broadcast of the |types|-row q̂
+    table, one test-half count — no joins wider than the type table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("split"),
+    )
+    train = base.filter(F.col("split") <= 1).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.sum("cents").cast("bigint").alias("sum_train"),
+    )
+    # scaled residual: |cents·n_train − sum_train| is an exact integer
+    # with the same ordering as |cents − mean|
+    scaled_res = F.abs(
+        F.col("cents") * F.col("n_train") - F.col("sum_train")
+    )
+    cal = (
+        base.filter(F.col("split") == 2)
+        .join(F.broadcast(train), "event_type")
+        .withColumn("r", scaled_res)
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "cents")
+    cal_n = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    qhat = (
+        cal.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(cal_n), "event_type")
+        .filter(
+            F.col("rk")
+            == F.ceil(
+                (F.col("n_cal") + 1) * _CONF_ALPHA_PCT / F.lit(100.0)
+            ).cast("bigint")
+        )
+        .select("event_type", "n_cal", F.col("r").alias("q_scaled"))
+    )
+    test = (
+        base.filter(F.col("split") == 3)
+        .join(F.broadcast(train), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("q_scaled").alias("q_scaled"),
+            F.max("n_train").alias("__n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((scaled_res <= F.col("q_scaled")).cast("int"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "event_type",
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.round(
+            F.col("q_scaled").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("qhat_cents"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+    (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 4 AS split
+  FROM events
+), train AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_train,
+         SUM(cents)::BIGINT AS sum_train
+  FROM base WHERE split <= 1 GROUP BY 1
+), cal AS (
+  SELECT b.event_type, abs(b.cents * t.n_train - t.sum_train) AS r, b.cents
+  FROM base b JOIN train t USING (event_type) WHERE b.split = 2
+), cal_n AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_cal FROM cal GROUP BY 1
+), qhat AS (
+  SELECT event_type, n_cal, r AS q_scaled
+  FROM (
+    SELECT c.event_type, n.n_cal, c.r,
+      row_number() OVER (PARTITION BY c.event_type ORDER BY c.r, c.cents)
+        AS rk
+    FROM cal c JOIN cal_n n USING (event_type)
+  ) WHERE rk = CAST(ceil((n_cal + 1) * {_CONF_ALPHA_PCT} / 100.0) AS BIGINT)
+), test AS (
+  SELECT b.event_type,
+    MAX(t.n_train) AS n_train, MAX(q.n_cal) AS n_cal,
+    MAX(q.q_scaled) AS q_scaled,
+    COUNT(*)::BIGINT AS n_test,
+    SUM(CASE WHEN abs(b.cents * t.n_train - t.sum_train) <= q.q_scaled
+        THEN 1 ELSE 0 END)::BIGINT AS n_covered
+  FROM base b JOIN train t USING (event_type) JOIN qhat q USING (event_type)
+  WHERE b.split = 3 GROUP BY 1
+)
+SELECT event_type, n_train, n_cal, n_test,
+  ROUND(q_scaled::DOUBLE / n_train::DOUBLE, 6) AS qhat_cents,
+  ROUND(n_covered::DOUBLE / n_test::DOUBLE, 6) AS coverage
+FROM test
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("auc_purchase_score", auc_purchase_score, AUC_SQL)
     register("decile_lift_table", decile_lift_table, LIFT_SQL)
@@ -551,4 +694,7 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("pr_curve_deciles", pr_curve_deciles, PR_CURVE_SQL)
     register(
         "calibration_bins_brier", calibration_bins_brier, _calibration_sql()
+    )
+    register(
+        "conformal_interval_cents", conformal_interval_cents, CONFORMAL_SQL
     )

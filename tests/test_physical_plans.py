@@ -413,3 +413,45 @@ def test_q15_view_computed_once(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_session4_stats_joins_stay_broadcast(spark, sf_dir):
+    """The session-4 statistics entries join metadata-sized aggregates
+    (margins, totals, q-hat tables) back to cell/row frames — every one
+    must be a broadcast, never a fact-sized SortMergeJoin."""
+    for name in (
+        "chi_square_independence",
+        "permutation_test_cents",
+        "logrank_test_userlife",
+        "conformal_interval_cents",
+        "acf_daily_cents",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_holt_chunk_agg_reuses_user_partitioning(spark, sf_dir):
+    """The segmented Holt fold must shuffle ONCE on user_id: the rn
+    window, the (user_id, cid) chunk aggregation and the per-user
+    compose all cluster by the user hash — count the exchanges."""
+    plan = _plan(spark, sf_dir, "holt_linear_trend")
+    import re
+
+    # scan-side exchanges: one hashpartitioning(user_id...) for the
+    # window/fold chain; the seeds aggregate reuses it (join adds a
+    # broadcast, not a shuffle, or one more hash exchange at most)
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange <= 2, f"{n_exchange} hash exchanges:\n{plan[:2000]}"
+
+
+def test_kaplan_meier_is_two_aggregates(spark, sf_dir):
+    """KM = subjects aggregation (the only full pass) + calendar-bounded
+    curve windows; no join against the raw table may appear."""
+    plan = _plan(spark, sf_dir, "kaplan_meier_userlife")
+    assert "SortMergeJoin" not in plan
+    # one user aggregation + one (stratum, t) aggregation feed windows
+    # (each scan prints once in the tree and once in the details, so
+    # count the per-scan Location lines)
+    assert plan.count("Location: InMemoryFileIndex") == 1, (
+        "events must be read once"
+    )
