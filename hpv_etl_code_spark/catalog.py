@@ -344,6 +344,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "logrank_test_userlife",
     "permutation_test_cents",
     "conformal_interval_cents",
+    "seasonal_decompose_weekly",
 )
 
 

@@ -470,7 +470,114 @@ def holt_simple_fold(ev: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------- classical seasonal decomposition
+
+
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily total-cents series
+    with weekly seasonality: trend = CENTERED 7-day moving average
+    (full windows only), detrended = x − trend, seasonal index =
+    per-ISO-weekday mean of the detrended series, and the output
+    reports each weekday's index plus the residual spread after
+    removing both trend and seasonality — the decomposition readout
+    behind `dow_seasonality_events`' raw profile.
+
+    Determinism: daily sums are exact integer cents and the 7-day
+    window SUM is an exact integer, so detrended = x − sum/7.0 is one
+    double division plus one subtraction (identical chain in both
+    engines); per-dow sums of detrended/|residual| terms ride
+    DECIMAL(20,8) (exact, order-free); every reported float is a
+    single final division rounded to 6dp.
+
+    Scale: one day-grained aggregate (calendar-bounded) feeds one
+    7-row window chain and a 7-group aggregate — all metadata after
+    the first pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(_cents()).alias("x")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("w_sum", F.sum("x").over(w7))
+        .withColumn("w_n", F.count("x").over(w7))
+        .filter(F.col("w_n") == 7)  # full centered windows only
+        .withColumn(
+            "detr",
+            F.col("x").cast("double")
+            - F.col("w_sum").cast("double") / F.lit(7.0),
+        )
+        .withColumn("dow", (F.weekday("d") + 1).cast("bigint"))
+    )
+    seasonal = trended.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("detr").cast("decimal(20,8)")).alias("s_detr"),
+    )
+    with_idx = trended.join(F.broadcast(seasonal), "dow").withColumn(
+        "resid",
+        F.col("detr")
+        - F.col("s_detr").cast("double") / F.col("n_days").cast("double"),
+    )
+    return (
+        with_idx.groupBy("dow")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max(
+                F.col("s_detr").cast("double") / F.col("n_days").cast("double")
+            ).alias("raw_idx"),
+            F.sum(F.abs(F.col("resid")).cast("decimal(20,8)")).alias("s_abs"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            F.round("raw_idx", 6).alias("seasonal_idx"),
+            F.round(
+                F.col("s_abs").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("mean_abs_resid"),
+        )
+    )
+
+
+SEASONAL_DECOMP_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS d,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS x
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT d, x,
+    SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      AS w_sum,
+    COUNT(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      AS w_n
+  FROM daily
+), detrended AS (
+  SELECT isodow(d)::BIGINT AS dow,
+         x::DOUBLE - w_sum::DOUBLE / 7.0 AS detr
+  FROM trended WHERE w_n = 7
+), seasonal AS (
+  SELECT dow, COUNT(*)::BIGINT AS n_days,
+         SUM(CAST(detr AS DECIMAL(20,8))) AS s_detr
+  FROM detrended GROUP BY 1
+)
+SELECT t.dow, MAX(s.n_days) AS n_days,
+  ROUND(MAX(CAST(CAST(s.s_detr AS VARCHAR) AS DOUBLE) / s.n_days::DOUBLE), 6)
+    AS seasonal_idx,
+  ROUND(CAST(CAST(SUM(CAST(abs(t.detr
+          - CAST(CAST(s.s_detr AS VARCHAR) AS DOUBLE) / s.n_days::DOUBLE)
+        AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) / MAX(s.n_days)::DOUBLE, 6)
+    AS mean_abs_resid
+FROM detrended t JOIN seasonal s USING (dow)
+GROUP BY t.dow
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("gapfill_linear_interp", gapfill_linear_interp, GAPFILL_SQL)
     register("holt_linear_trend", holt_linear_trend, _holt_sql())
+    register(
+        "seasonal_decompose_weekly",
+        seasonal_decompose_weekly,
+        SEASONAL_DECOMP_SQL,
+    )
