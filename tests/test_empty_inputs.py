@@ -63,6 +63,21 @@ REPRESENTATIVE = (
     "fold_assignment_leakfree",
     "dedup_minhash_lsh",
     "dedup_incremental_fast",
+    # round-5 session-4 families: survival, time-series, inference,
+    # ML eval — empty inputs hit the v>0 / n>1 guards, the empty-maps
+    # coalesce in the Holt fold, and the no-full-window filter in the
+    # seasonal decomposition
+    "kaplan_meier_userlife",
+    "logrank_test_userlife",
+    "acf_daily_cents",
+    "gapfill_linear_interp",
+    "holt_linear_trend",
+    "seasonal_decompose_weekly",
+    "chi_square_independence",
+    "permutation_test_cents",
+    "pr_curve_deciles",
+    "calibration_bins_brier",
+    "conformal_interval_cents",
 )
 
 

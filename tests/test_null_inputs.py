@@ -52,6 +52,21 @@ REPRESENTATIVE = (
     "rolling_zscore_events",
     "corpus_datasheet",
     "fold_assignment_leakfree",
+    # round-5 session-4 families — NULL value hits the cents casts
+    # (decimal of NULL → NULL, skipped by count/sum), NULL event_type
+    # makes degenerate strata/labels, NULL ts exercises the composite
+    # order keys and calendar spines
+    "kaplan_meier_userlife",
+    "logrank_test_userlife",
+    "acf_daily_cents",
+    "gapfill_linear_interp",
+    "holt_linear_trend",
+    "seasonal_decompose_weekly",
+    "chi_square_independence",
+    "permutation_test_cents",
+    "pr_curve_deciles",
+    "calibration_bins_brier",
+    "conformal_interval_cents",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
