@@ -345,6 +345,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "permutation_test_cents",
     "conformal_interval_cents",
     "seasonal_decompose_weekly",
+    "srm_assignment_check",
+    "itemsim_cosine_topk",
 )
 
 

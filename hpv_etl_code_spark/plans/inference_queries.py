@@ -695,8 +695,93 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
         "chi_square_independence", chi_square_independence, CHI_SQUARE_SQL
     )
     register("permutation_test_cents", permutation_test_cents, PERMUTATION_SQL)
+    register("srm_assignment_check", srm_assignment_check, SRM_SQL)
     register(
         "token_entropy_by_source", token_entropy_by_source, TOKEN_ENTROPY_SQL
     )
     register("cusum_user_cents", cusum_user_cents, CUSUM_SQL)
     register("bootstrap_ci_mean", bootstrap_ci_mean, BOOTSTRAP_CI_SQL)
+
+
+def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 experiment
+    assignment: users are bucketed by md5 bit 0 (the deterministic
+    assignment a real experimentation system would persist), and the
+    1-dof χ² against the nominal split — (n₀−n₁)²/N for equal arms —
+    flags broken randomization (the FIRST check any A/B readout must
+    pass; an SRM'd experiment invalidates `ab_welch_ttest` downstream).
+    Also reports per-arm event volume so traffic-level SRM is visible
+    separately from user-level SRM.
+
+    Determinism: arm assignment is the portable md5 hash; all counts
+    are exact integers; χ² is one double division. The 3.841 flag
+    threshold (95th pct of χ²₁) is a literal in both engines.
+
+    Scale: one user-level aggregate (map-side partial) and one 2-row
+    summary — nothing else touches the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm_of = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev")
+    ).select(arm_of.alias("arm"), "n_ev")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+    summary = arms.agg(
+        F.sum("n_users").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("n_arm0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("n_arm1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_events")).otherwise(0))
+        .cast("bigint")
+        .alias("ev_arm0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_events")).otherwise(0))
+        .cast("bigint")
+        .alias("ev_arm1"),
+    )
+    diff = (F.col("n_arm0") - F.col("n_arm1")).cast("double")
+    chi2 = diff * diff / F.col("n_total").cast("double")
+    return summary.select(
+        "n_total",
+        "n_arm0",
+        "n_arm1",
+        "ev_arm0",
+        "ev_arm1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+SRM_SQL = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+         COUNT(*)::BIGINT AS n_ev
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*)::BIGINT AS n_users, SUM(n_ev)::BIGINT AS n_events
+  FROM per_user GROUP BY arm
+), summary AS (
+  SELECT SUM(n_users)::BIGINT AS n_total,
+    SUM(CASE WHEN arm = 0 THEN n_users ELSE 0 END)::BIGINT AS n_arm0,
+    SUM(CASE WHEN arm = 1 THEN n_users ELSE 0 END)::BIGINT AS n_arm1,
+    SUM(CASE WHEN arm = 0 THEN n_events ELSE 0 END)::BIGINT AS ev_arm0,
+    SUM(CASE WHEN arm = 1 THEN n_events ELSE 0 END)::BIGINT AS ev_arm1
+  FROM arms
+)
+SELECT n_total, n_arm0, n_arm1, ev_arm0, ev_arm1,
+  ROUND((n_arm0 - n_arm1)::DOUBLE * (n_arm0 - n_arm1)::DOUBLE
+        / n_total::DOUBLE, 6) AS chi2,
+  ((n_arm0 - n_arm1)::DOUBLE * (n_arm0 - n_arm1)::DOUBLE
+   / n_total::DOUBLE) > 3.841 AS srm_flag
+FROM summary
+"""

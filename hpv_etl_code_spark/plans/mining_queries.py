@@ -317,6 +317,137 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_rules_from(baskets)
 
 
+_ITEMSIM_K = 5
+
+
+def itemsim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity: top-{k} neighbors per part
+    brand by co-occurrence cosine c_ab/√(c_a·c_b) over order baskets —
+    the classical item-based recommender build (the directional-rule
+    entry `market_basket_rules` measures implication; cosine measures
+    symmetric affinity).
+
+    Determinism: co-occurrence and item counts are exact integers;
+    cosine is one double division by one IEEE sqrt of the exact product
+    c_a·c_b (bigint, exactly representable far past this corpus);
+    ranking breaks ties (cosine, then neighbor id) identically in both
+    engines.
+
+    Scale: the same ONE basket shuffle and row-local C(m,2) expansion
+    as the rules entry (never a basket self-join); the symmetric pair
+    table mirrors once (union, no shuffle), item counts broadcast, and
+    top-k per item compiles to a rank window over the pair table —
+    WindowGroupLimit prunes to k per item before the sort completes.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("oid"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+        # feeds two branches (pair expansion + item counts): materialize
+        # once — the same lesson recorded in basket_rules_from
+        .localCheckpoint(eager=True)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda a, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
+    )
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        sym.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .withColumn(
+            "cosine",
+            F.col("n_ab").cast("double")
+            / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ITEMSIM_K)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("neighbor"),
+            "n_ab",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+itemsim_cosine_topk.__doc__ = itemsim_cosine_topk.__doc__.format(k=_ITEMSIM_K)
+
+
+ITEMSIM_SQL = f"""
+WITH baskets AS (
+  SELECT l_orderkey AS oid, list_sort(list_distinct(list(p_brand))) AS items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+), pairs AS (
+  SELECT p.item_a, p.item_b, COUNT(*)::BIGINT AS n_ab
+  FROM (
+    SELECT unnest(flatten(list_transform(items, (a, i) ->
+      list_transform(items[i+1:], b -> {{'item_a': a, 'item_b': b}})))) AS p
+    FROM baskets
+  ) GROUP BY 1, 2
+), sym AS (
+  SELECT item_a, item_b, n_ab FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM pairs
+), item_counts AS (
+  SELECT item, COUNT(*)::BIGINT AS n_item
+  FROM (SELECT unnest(items) AS item FROM baskets) GROUP BY 1
+), scored AS (
+  SELECT s.item_a, s.item_b, s.n_ab,
+    s.n_ab::DOUBLE / sqrt((a.n_item * b.n_item)::DOUBLE) AS cosine
+  FROM sym s
+  JOIN item_counts a ON s.item_a = a.item
+  JOIN item_counts b ON s.item_b = b.item
+)
+SELECT item_a AS item, item_b AS neighbor, n_ab, rk::BIGINT AS rk,
+       ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+              ORDER BY cosine DESC, item_b) AS rk
+  FROM scored
+) WHERE rk <= {_ITEMSIM_K}
+"""
+
+
 MARKET_BASKET_SQL = f"""
 WITH baskets AS (
   SELECT DISTINCT l_orderkey AS oid, p_brand AS item
@@ -924,6 +1055,7 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
         "market_basket_rules", market_basket_rules, MARKET_BASKET_SQL, headline=True
     )
     register("grid_neighbor_join", grid_neighbor_join, GRID_NEIGHBOR_SQL)
+    register("itemsim_cosine_topk", itemsim_cosine_topk, ITEMSIM_SQL)
     register("rolling_zscore_events", rolling_zscore_events, ROLLING_ZSCORE_SQL)
     register("corpus_datasheet", corpus_datasheet, _corpus_datasheet_sql())
     register(
