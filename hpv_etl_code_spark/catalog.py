@@ -347,6 +347,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "seasonal_decompose_weekly",
     "srm_assignment_check",
     "itemsim_cosine_topk",
+    "quantile_normalize_sources",
 )
 
 

@@ -311,8 +311,106 @@ FROM (SELECT {det_cols}, COUNT(DISTINCT {dep}) AS ndv
 FD_PROFILE_SQL = _fd_sql()
 
 
+_QNORM_BUCKETS = 10
+
+
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions onto the pooled corpus distribution — the batch-effect
+    remover (each source's rank-r value maps to the pooled order
+    statistic at the proportional rank ⌈r·n_pool/n_s⌉), reported as a
+    per-(source, decile) summary of raw vs normalized mean length so
+    the correction itself is auditable.
+
+    Determinism: both rankings break ties by doc_id; the proportional
+    index is exact integer arithmetic ((r·n_pool + n_s − 1) DIV n_s);
+    means are decimal sums over bigint lengths with one final division.
+
+    Scale: the per-source rank is a partition-parallel window; the
+    POOLED rank uses `operators/layout.global_row_index` (bucketed
+    two-phase numbering — no single-partition sort); the map is one
+    equi-join on the integer index (shuffle bounded by |docs|), and the
+    output is sources × 10 summary rows.
+    """
+    from ..operators.layout import global_row_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    pooled = global_row_index(
+        docs, key="n_chars", index_col="pool_rank", tiebreak=("doc_id",)
+    ).select(F.col("pool_rank").alias("k"), F.col("n_chars").alias("norm_chars"))
+    n_pool = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pool"))
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.withColumn("r", F.row_number().over(w_src).cast("bigint"))
+        .withColumn(
+            "n_s",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("source"))
+            .cast("bigint"),
+        )
+        .join(F.broadcast(n_pool))
+        .withColumn(
+            "k",
+            F.expr("(r * n_pool + n_s - 1) DIV n_s"),
+        )
+    )
+    mapped = ranked.join(pooled, "k")
+    decile = F.expr(f"((r - 1) * {_QNORM_BUCKETS}) DIV n_s").cast("bigint")
+    return (
+        mapped.groupBy("source", decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("norm_chars").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_norm"),
+        )
+    )
+
+
+QNORM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, n_chars::BIGINT AS n_chars FROM documents
+), pooled AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS k,
+         n_chars AS norm_chars
+  FROM docs
+), n1 AS (SELECT COUNT(*)::BIGINT AS n_pool FROM docs),
+ranked AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT
+      AS r,
+    (COUNT(*) OVER (PARTITION BY source))::BIGINT AS n_s,
+    n_pool
+  FROM docs CROSS JOIN n1
+)
+SELECT source,
+  (((r - 1) * {_QNORM_BUCKETS}) // n_s)::BIGINT AS decile,
+  COUNT(*)::BIGINT AS n_docs,
+  ROUND(CAST(CAST(SUM(CAST(ranked.n_chars AS DECIMAL(20,8)))
+        AS VARCHAR) AS DOUBLE) / COUNT(*)::DOUBLE, 6) AS mean_raw,
+  ROUND(CAST(CAST(SUM(CAST(p.norm_chars AS DECIMAL(20,8)))
+        AS VARCHAR) AS DOUBLE) / COUNT(*)::DOUBLE, 6) AS mean_norm
+FROM ranked JOIN pooled p ON p.k = (r * n_pool + n_s - 1) // n_s
+GROUP BY 1, 2
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dq_report_orders", dq_report_orders, DQ_REPORT_SQL)
+    register(
+        "quantile_normalize_sources", quantile_normalize_sources, QNORM_SQL
+    )
     register(
         "feature_scaling_battery", feature_scaling_battery, FEATURE_SCALING_SQL
     )
