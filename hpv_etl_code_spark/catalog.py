@@ -348,6 +348,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "srm_assignment_check",
     "itemsim_cosine_topk",
     "quantile_normalize_sources",
+    "trimmed_mean_cents",
+    "oov_rate_by_source",
 )
 
 

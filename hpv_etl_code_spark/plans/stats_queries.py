@@ -964,8 +964,71 @@ FROM f GROUP BY layout
 """
 
 
+_TRIM_PCT = 10  # trim this percent from EACH tail
+
+
+def trimmed_mean_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event cents per type — the robust location
+    estimate between the mean (`agg_battery`) and the median
+    (`percentile_battery`): rank-select the middle 80% (drop ⌊n·0.1⌋
+    from each tail, pure integer bounds, ties broken by event_id) and
+    average exactly.
+
+    Determinism: trim bounds are integer arithmetic on exact ranks;
+    the trimmed sum is an exact bigint; one final division.
+
+    Scale: one rank window per type (partition-parallel) + one
+    aggregate — same shape as `percentile_battery`'s exact path.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("r", F.row_number().over(w).cast("bigint")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("bigint")
+    )
+    lo = F.expr(f"n * {_TRIM_PCT} DIV 100")  # drop ranks ≤ lo
+    kept = ranked.filter(
+        (F.col("r") > lo) & (F.col("r") <= F.col("n") - lo)
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH ranked AS (
+  SELECT event_type,
+    (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT, event_id)::BIGINT
+      AS r,
+    (COUNT(*) OVER (PARTITION BY event_type))::BIGINT AS n
+  FROM events
+)
+SELECT event_type, MAX(n) AS n_total, COUNT(*)::BIGINT AS n_kept,
+  ROUND(SUM(cents)::DOUBLE / COUNT(*)::DOUBLE, 6) AS trimmed_mean_cents
+FROM ranked
+WHERE r > n * {_TRIM_PCT} // 100 AND r <= n - n * {_TRIM_PCT} // 100
+GROUP BY event_type
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("hll_distinct_portable", hll_distinct_portable, HLL_DISTINCT_SQL)
+    register("trimmed_mean_cents", trimmed_mean_cents, TRIMMED_MEAN_SQL)
     register("pmi_token_pairs", pmi_token_pairs, PMI_TOKEN_SQL)
     register("purged_timeseries_cv", purged_timeseries_cv, PURGED_CV_SQL)
     register("benford_digit_profile", benford_digit_profile, BENFORD_SQL)

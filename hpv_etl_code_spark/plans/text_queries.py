@@ -586,8 +586,78 @@ GROUP BY c.doc_id
 """
 
 
+_OOV_VOCAB_K = 100
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-built
+    reference vocabulary (the corpus's top-{k} tokens, ties broken by
+    token) — the tokenizer-coverage readout a training-data pipeline
+    runs before committing to a vocab: high OOV in one source means the
+    tokenizer will shred it into bytes.
+
+    Determinism: vocabulary selection is integer-frequency rank with a
+    total tie order; occurrence counts are exact; the rate is one final
+    division.
+
+    Scale: one token aggregation (map-side partial) → top-{k} via ONE
+    TakeOrderedAndProject-able rank (metadata after the agg), broadcast
+    membership via a left semi-style flag join on the token hash, one
+    (source) aggregate. The vocabulary is the only broadcast — {k}
+    strings.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+oov_rate_by_source.__doc__ = oov_rate_by_source.__doc__.format(k=_OOV_VOCAB_K)
+
+
+OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk FROM freq
+  ) WHERE rk <= {_OOV_VOCAB_K}
+)
+SELECT source, COUNT(*)::BIGINT AS n_tokens,
+  SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+  ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*)::DOUBLE, 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY source
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+    register("oov_rate_by_source", oov_rate_by_source, OOV_RATE_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
     register("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL)
     register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
