@@ -350,6 +350,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "quantile_normalize_sources",
     "trimmed_mean_cents",
     "oov_rate_by_source",
+    "diff_in_diff_cents",
+    "cuped_variance_reduction",
 )
 
 

@@ -696,6 +696,10 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     )
     register("permutation_test_cents", permutation_test_cents, PERMUTATION_SQL)
     register("srm_assignment_check", srm_assignment_check, SRM_SQL)
+    register("diff_in_diff_cents", diff_in_diff_cents, DIFF_IN_DIFF_SQL)
+    register(
+        "cuped_variance_reduction", cuped_variance_reduction, CUPED_SQL
+    )
     register(
         "token_entropy_by_source", token_entropy_by_source, TOKEN_ENTROPY_SQL
     )
@@ -784,4 +788,247 @@ SELECT n_total, n_arm0, n_arm1, ev_arm0, ev_arm1,
   ((n_arm0 - n_arm1)::DOUBLE * (n_arm0 - n_arm1)::DOUBLE
    / n_total::DOUBLE) > 3.841 AS srm_flag
 FROM summary
+"""
+
+
+def diff_in_diff_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate for the md5-assigned
+    experiment (same arms as `srm_assignment_check`): the observation
+    window splits at its midpoint date (integer date arithmetic on the
+    observed bounds), cell means are exact-integer sums over the four
+    (arm, period) cells, and DiD = (T₂−T₁) − (C₂−C₁) — the causal
+    readout when assignment precedes the period boundary. Together
+    with SRM (integrity) and CUPED (power) this completes the
+    experimentation kit.
+
+    Determinism: the period boundary is exact date arithmetic; cell
+    sums/counts are integers; each mean is one division; DiD is three
+    IEEE subtractions in a fixed order.
+
+    Scale: one bounds aggregate (broadcast 1 row) + one 4-cell
+    aggregate — two passes, no joins beyond the broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    arm_of = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            arm_of.alias("arm"),
+            (
+                F.datediff(F.to_date("ts"), F.col("d0")) * 2
+                >= F.datediff(F.col("d1"), F.col("d0"))
+            )
+            .cast("int")
+            .alias("period"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+    )
+    mean_of = lambda a, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("arm") == a) & (F.col("period") == p),
+            F.col("s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    n_of = lambda a, p: F.sum(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("n")).otherwise(0)
+    ).cast("bigint")
+    agg = cells.agg(
+        n_of(1, 0).alias("n_t_pre"),
+        n_of(1, 1).alias("n_t_post"),
+        n_of(0, 0).alias("n_c_pre"),
+        n_of(0, 1).alias("n_c_post"),
+        mean_of(1, 0).alias("m_t_pre"),
+        mean_of(1, 1).alias("m_t_post"),
+        mean_of(0, 0).alias("m_c_pre"),
+        mean_of(0, 1).alias("m_c_post"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round("m_t_pre", 6).alias("m_t_pre"),
+        F.round("m_t_post", 6).alias("m_t_post"),
+        F.round("m_c_pre", 6).alias("m_c_pre"),
+        F.round("m_c_post", 6).alias("m_c_post"),
+        F.round(did, 6).alias("did_cents"),
+    )
+
+
+DIFF_IN_DIFF_SQL = """
+WITH bounds AS (
+  SELECT MIN(ts::DATE) AS d0, MAX(ts::DATE) AS d1 FROM events
+), cells AS (
+  SELECT
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+    CASE WHEN date_diff('day', d0, ts::DATE) * 2
+              >= date_diff('day', d0, d1) THEN 1 ELSE 0 END AS period,
+    COUNT(*)::BIGINT AS n,
+    SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS s
+  FROM events CROSS JOIN bounds
+  GROUP BY 1, 2
+), agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 1 AND period = 0 THEN n ELSE 0 END)::BIGINT AS n_t_pre,
+    SUM(CASE WHEN arm = 1 AND period = 1 THEN n ELSE 0 END)::BIGINT AS n_t_post,
+    SUM(CASE WHEN arm = 0 AND period = 0 THEN n ELSE 0 END)::BIGINT AS n_c_pre,
+    SUM(CASE WHEN arm = 0 AND period = 1 THEN n ELSE 0 END)::BIGINT AS n_c_post,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN s::DOUBLE / n::DOUBLE END) AS m_t_pre,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN s::DOUBLE / n::DOUBLE END) AS m_t_post,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN s::DOUBLE / n::DOUBLE END) AS m_c_pre,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN s::DOUBLE / n::DOUBLE END) AS m_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  ROUND(m_t_pre, 6) AS m_t_pre,
+  ROUND(m_t_post, 6) AS m_t_post,
+  ROUND(m_c_pre, 6) AS m_c_pre,
+  ROUND(m_c_post, 6) AS m_c_post,
+  ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_cents
+FROM agg
+"""
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariance adjustment on user-level pre/post metrics: with
+    the same midpoint period split as `diff_in_diff_cents`, each user's
+    pre- and post-period cents totals give
+    θ = cov(pre, post)/var(pre), and the adjusted-metric variance
+    shrinks by exactly corr² — reported as theta, the pre/post
+    correlation and the variance-reduction percentage the experiment
+    gains for free.
+
+    Determinism: the ÷n-free centering trick (the `acf_daily_cents`
+    playbook) keeps cov·n² = Σ(n·x−Sx)(n·y−Sy) and both var·n² terms
+    EXACT integers through DECIMAL products/sums; θ, corr and the
+    reduction are three fixed-order double divisions.
+
+    Scale: one user-level aggregate (the only full pass), one totals
+    aggregate broadcast back, one decimal-sum aggregate over users —
+    no joins beyond two broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.to_date("ts"), F.col("d0")) * 2
+                >= F.datediff(F.col("d1"), F.col("d0"))
+            )
+            .cast("int")
+            .alias("period"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("pre"),
+            F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("post"),
+        )
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sx"),
+        F.sum("post").cast("bigint").alias("sy"),
+    )
+    dx = F.col("n") * F.col("pre") - F.col("sx")
+    dy = F.col("n") * F.col("post") - F.col("sy")
+    agg = (
+        per_user.join(F.broadcast(totals))
+        .agg(
+            F.max("n").alias("n_users"),
+            F.sum(dx.cast("decimal(19,0)") * dy.cast("decimal(19,0)")).alias(
+                "cov_n2"
+            ),
+            F.sum(dx.cast("decimal(19,0)") * dx.cast("decimal(19,0)")).alias(
+                "varx_n2"
+            ),
+            F.sum(dy.cast("decimal(19,0)") * dy.cast("decimal(19,0)")).alias(
+                "vary_n2"
+            ),
+        )
+    )
+    theta = F.col("cov_n2").cast("double") / F.col("varx_n2").cast("double")
+    corr = F.col("cov_n2").cast("double") / F.sqrt(
+        F.col("varx_n2").cast("double") * F.col("vary_n2").cast("double")
+    )
+    return agg.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(corr, 6).alias("corr_pre_post"),
+        F.round(corr * corr * F.lit(100.0), 6).alias("var_reduction_pct"),
+    )
+
+
+CUPED_SQL = """
+WITH bounds AS (
+  SELECT MIN(ts::DATE) AS d0, MAX(ts::DATE) AS d1 FROM events
+), per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN date_diff('day', d0, ts::DATE) * 2
+             >= date_diff('day', d0, d1)
+        THEN 0 ELSE (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT
+        END)::BIGINT AS pre,
+    SUM(CASE WHEN date_diff('day', d0, ts::DATE) * 2
+             >= date_diff('day', d0, d1)
+        THEN (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT ELSE 0
+        END)::BIGINT AS post
+  FROM events CROSS JOIN bounds
+  GROUP BY user_id
+), totals AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(pre)::BIGINT AS sx,
+         SUM(post)::BIGINT AS sy
+  FROM per_user
+), agg AS (
+  SELECT MAX(n) AS n_users,
+    SUM((n * pre - sx)::DECIMAL(19,0) * (n * post - sy)::DECIMAL(19,0))
+      AS cov_n2,
+    SUM((n * pre - sx)::DECIMAL(19,0) * (n * pre - sx)::DECIMAL(19,0))
+      AS varx_n2,
+    SUM((n * post - sy)::DECIMAL(19,0) * (n * post - sy)::DECIMAL(19,0))
+      AS vary_n2
+  FROM per_user CROSS JOIN totals
+)
+SELECT n_users,
+  ROUND(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE), 6) AS theta,
+  ROUND(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(vary_n2 AS VARCHAR) AS DOUBLE)), 6)
+    AS corr_pre_post,
+  ROUND((CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(vary_n2 AS VARCHAR) AS DOUBLE)))
+        * (CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+           / sqrt(CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(vary_n2 AS VARCHAR) AS DOUBLE)))
+        * 100.0, 6) AS var_reduction_pct
+FROM agg
 """
