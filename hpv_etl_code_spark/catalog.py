@@ -352,6 +352,11 @@ _ROTATION_POOL: tuple[str, ...] = (
     "oov_rate_by_source",
     "diff_in_diff_cents",
     "cuped_variance_reduction",
+    "theil_sen_daily_trend",
+    "ab_power_mde",
+    "js_divergence_drift",
+    "gini_customer_revenue",
+    "burstiness_user_interarrival",
 )
 
 

@@ -30,6 +30,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         profiling_queries,
         quality_queries,
         relational_queries,
+        robust_queries,
         search_queries,
         scale_queries,
         simjoin_queries,
@@ -79,3 +80,4 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     mleval_queries.register_entries(register)
     survival_queries.register_entries(register)
     timeseries_queries.register_entries(register)
+    robust_queries.register_entries(register)

@@ -1,0 +1,556 @@
+"""Robust statistics & distributional diagnostics (round 5, session 5):
+Theil–Sen robust trend, A/B power analysis (minimum detectable effect),
+Jensen–Shannon drift divergence, Gini revenue concentration and
+inter-arrival burstiness. The reference pipeline
+(``/root/reference/src/main.py:1-141``) has no statistics surface; these
+extend the north-star experimentation/monitoring kit next to
+``srm_assignment_check``/``cuped_variance_reduction``
+(inference_queries.py) and ``psi_value_drift`` (olap_queries.py).
+
+Determinism contract (the repo-wide playbook): money rides exact cents
+(DECIMAL(12,2)·100 → BIGINT), every variance/covariance numerator is the
+÷n-free integer form (n·Σx² − S², exact in BIGINT/DECIMAL), medians are
+rank-selected (never interpolated across engines), and each output
+double is a short fixed-order IEEE chain rounded to 6dp — identical in
+the DuckDB twins. Float SUMs that cross a shuffle go through
+DECIMAL(20,8) so they are partition-order-independent (the
+``psi_value_drift`` trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.layout import global_row_index
+from ..sources.registry import load_table
+
+
+def _cents(col: str = "value"):  # noqa: ANN202
+    return (F.col(col).cast("decimal(12,2)") * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily total-cents trend: the median of
+    all pairwise slopes (cⱼ−cᵢ)/(dⱼ−dᵢ) over the day-grained series,
+    plus the matching median intercept (median over days of
+    cᵢ − slope·dᵢ). Robust to up to ~29% outlier days where the OLS
+    twin (``ols_segment_trend``) is not.
+
+    Determinism: slopes are ONE double division of two exact BIGINTs;
+    the median is rank-selected — sort by slope value, take ranks
+    ⌈m/2⌉ and ⌊m/2⌋+1 and average (equal-value ties make the pick
+    value-stable regardless of tie order); the intercept chain is
+    cᵢ − slope·dᵢ (two IEEE ops) then the same rank-median.
+
+    Scale: the fact table collapses to ONE day-grained aggregate
+    (calendar-bounded: ≤ a few thousand rows for years of data), so the
+    O(days²) pair expansion is metadata-sized work on a broadcast
+    self-join — input volume only ever touches the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"), _cents().alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    d0 = days.agg(F.min("day").alias("__d0"))
+    xs = days.join(F.broadcast(d0)).select(
+        F.datediff(F.col("day"), F.col("__d0")).cast("bigint").alias("x"), "c"
+    )
+    a, b = xs.alias("a"), xs.alias("b")
+    slopes = (
+        a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .select(
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope")
+        )
+    )
+    m = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    ranked = slopes.join(F.broadcast(m)).withColumn(
+        "__r", F.row_number().over(Window.orderBy("slope"))
+    )
+    med_slope = (
+        ranked.filter(
+            (F.col("__r") == F.expr("(__m + 1) DIV 2"))
+            | (F.col("__r") == F.expr("__m DIV 2 + 1"))
+        )
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1))).alias("slope_med"),
+            F.max("__m").alias("n_pairs"),
+        )
+    )
+    resid = xs.join(F.broadcast(med_slope)).select(
+        (
+            F.col("c").cast("double")
+            - F.col("slope_med") * F.col("x").cast("double")
+        ).alias("ic"),
+        "slope_med",
+        "n_pairs",
+    )
+    nd = resid.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    r2 = resid.join(F.broadcast(nd)).withColumn(
+        "__r", F.row_number().over(Window.orderBy("ic"))
+    )
+    return (
+        r2.filter(
+            (F.col("__r") == F.expr("(__n + 1) DIV 2"))
+            | (F.col("__r") == F.expr("__n DIV 2 + 1"))
+        )
+        .agg(
+            F.max("__n").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.round(F.max("slope_med"), 6).alias("slope_cents_per_day"),
+            F.round(F.sum("ic") / F.count(F.lit(1)), 6).alias(
+                "intercept_cents"
+            ),
+        )
+    )
+
+
+THEIL_SEN_SQL = """
+WITH days AS (
+  SELECT ts::DATE AS day,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1
+), d0 AS (
+  SELECT MIN(day) AS d0 FROM days
+), xs AS (
+  SELECT date_diff('day', d0, day)::BIGINT AS x, c FROM days CROSS JOIN d0
+), slopes AS (
+  SELECT (b.c - a.c)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+  FROM xs a JOIN xs b ON a.x < b.x
+), m AS (
+  SELECT COUNT(*)::BIGINT AS m FROM slopes
+), ranked AS (
+  SELECT slope, m, ROW_NUMBER() OVER (ORDER BY slope) AS r
+  FROM slopes CROSS JOIN m
+), med AS (
+  SELECT SUM(slope) / COUNT(*) AS slope_med, MAX(m) AS n_pairs
+  FROM ranked WHERE r = (m + 1) // 2 OR r = m // 2 + 1
+), resid AS (
+  SELECT c::DOUBLE - slope_med * x::DOUBLE AS ic, slope_med, n_pairs
+  FROM xs CROSS JOIN med
+), nd AS (
+  SELECT COUNT(*)::BIGINT AS n FROM resid
+), r2 AS (
+  SELECT ic, slope_med, n_pairs, n, ROW_NUMBER() OVER (ORDER BY ic) AS r
+  FROM resid CROSS JOIN nd
+)
+SELECT MAX(n) AS n_days, MAX(n_pairs) AS n_pairs,
+  ROUND(MAX(slope_med), 6) AS slope_cents_per_day,
+  ROUND(SUM(ic) / COUNT(*), 6) AS intercept_cents
+FROM r2 WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis — minimum detectable effect at α=0.05, power=0.8
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA2 = 1.959964  # Φ⁻¹(0.975)
+_Z_BETA = 0.841621  # Φ⁻¹(0.80)
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the md5-assigned experiment (same
+    arms as ``srm_assignment_check``): per-arm user-level total cents
+    give pooled variance, and
+    MDE = (z_{α/2}+z_β)·√(s²ₚ·(1/n₀+1/n₁)) — the smallest true lift the
+    current traffic can detect at α=0.05 / 80% power. Completes the
+    experimentation kit (SRM → power → Welch readout → CUPED → DiD).
+
+    Determinism: per-arm n·Σx²−S² stays exact in DECIMAL(38,0);
+    (n−1)·s² = varn/n is one double division per arm; s²ₚ, the MDE and
+    the relative MDE are a short fixed-order IEEE chain (√ is correctly
+    rounded and portable).
+
+    Scale: one user-level aggregate (the only full pass) and one 2-arm
+    aggregate — no joins at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm_of = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    per_user = (
+        ev.select("user_id", _cents().alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+        .select(arm_of.alias("arm"), "x")
+    )
+    d38 = "decimal(38,0)"
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0,
+                F.col("x").cast(d38) * F.col("x").cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("q0"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1,
+                F.col("x").cast(d38) * F.col("x").cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("q1"),
+    )
+    # (nᵢ−1)·s²ᵢ = varnᵢ/nᵢ with varnᵢ = nᵢ·Σx²−S² exact — s²ₚ is the
+    # two-division fixed-order form shared with the DuckDB twin
+    varn0 = (
+        F.col("n0").cast(d38) * F.col("q0")
+        - F.col("s0").cast(d38) * F.col("s0").cast(d38)
+    ).cast("double")
+    varn1 = (
+        F.col("n1").cast(d38) * F.col("q1")
+        - F.col("s1").cast(d38) * F.col("s1").cast(d38)
+    ).cast("double")
+    s2p = (
+        varn0 / F.col("n0").cast("double") + varn1 / F.col("n1").cast("double")
+    ) / (F.col("n0") + F.col("n1") - 2).cast("double")
+    mean0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    mde = F.lit(_Z_ALPHA2 + _Z_BETA) * F.sqrt(
+        s2p
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(mean0, 6).alias("mean_ctrl_cents"),
+        F.round(F.sqrt(s2p), 6).alias("sd_pooled"),
+        F.round(mde, 6).alias("mde_cents"),
+        F.round(mde / mean0 * F.lit(100.0), 6).alias("mde_pct_of_ctrl"),
+    )
+
+
+AB_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS x
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+    SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS s1,
+    SUM(CASE WHEN arm = 0 THEN x::DECIMAL(38,0) * x::DECIMAL(38,0)
+        ELSE 0::DECIMAL(38,0) END) AS q0,
+    SUM(CASE WHEN arm = 1 THEN x::DECIMAL(38,0) * x::DECIMAL(38,0)
+        ELSE 0::DECIMAL(38,0) END) AS q1
+  FROM per_user
+), terms AS (
+  SELECT n0, n1, s0,
+    ((n0::DECIMAL(38,0) * q0 - s0::DECIMAL(38,0) * s0::DECIMAL(38,0))::DOUBLE
+       / n0::DOUBLE
+     + (n1::DECIMAL(38,0) * q1 - s1::DECIMAL(38,0) * s1::DECIMAL(38,0))::DOUBLE
+       / n1::DOUBLE) / (n0 + n1 - 2)::DOUBLE AS s2p
+  FROM agg
+)
+SELECT n0, n1,
+  ROUND(s0::DOUBLE / n0::DOUBLE, 6) AS mean_ctrl_cents,
+  ROUND(sqrt(s2p), 6) AS sd_pooled,
+  ROUND({_Z_ALPHA2 + _Z_BETA} * sqrt(s2p * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)), 6)
+    AS mde_cents,
+  ROUND({_Z_ALPHA2 + _Z_BETA} * sqrt(s2p * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+        / (s0::DOUBLE / n0::DOUBLE) * 100.0, 6) AS mde_pct_of_ctrl
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence drift monitor (the symmetric-bounded PSI twin)
+# ---------------------------------------------------------------------------
+
+_JS_BUCKETS = 10
+
+
+def js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (nats) of ``events.value`` between the
+    first and second half of the observed time range — the symmetric,
+    bounded (≤ ln 2) complement to ``psi_value_drift``: PSI explodes on
+    empty bins, JSD saturates, so monitoring dashboards use both.
+
+    Identical integer binning/smoothing scheme to the PSI entry (exact
+    cents, DIV-binning over broadcast bounds, Laplace (n+1)/(N+B)
+    shares). Per-bin term = ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2;
+    the TOTAL row (bucket −1) sums terms through DECIMAL(20,8) so it is
+    shuffle-order-independent.
+
+    Scale: two 1-row broadcast aggregates + ONE grouped count pass over
+    the fact; everything downstream is arithmetic on ≤10 metadata rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        _cents().alias("cents"), F.unix_timestamp("ts").alias("at")
+    )
+    bounds = ev.agg(
+        F.min("cents").alias("__lo"),
+        F.max("cents").alias("__hi"),
+        F.min("at").alias("__t0"),
+        F.max("at").alias("__t1"),
+    )
+    counted = (
+        ev.join(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"((cents - __lo) * {_JS_BUCKETS}) DIV (__hi - __lo + 1) + 1"
+            ),
+        )
+        .withColumn("__mid", F.expr("(__t0 + __t1) DIV 2"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("at") <= F.col("__mid"), 1).otherwise(0)).alias(
+                "n_a"
+            ),
+            F.sum(F.when(F.col("at") > F.col("__mid"), 1).otherwise(0)).alias(
+                "n_b"
+            ),
+        )
+    )
+    totals = counted.agg(F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"))
+    p = (F.col("n_a") + 1) / (F.col("__ta") + _JS_BUCKETS)
+    q = (F.col("n_b") + 1) / (F.col("__tb") + _JS_BUCKETS)
+    mm = (p + q) / 2
+    terms = (
+        counted.join(F.broadcast(totals))
+        .withColumn(
+            "__term",
+            F.lit(0.5) * (p * F.log(p / mm)) + F.lit(0.5) * (q * F.log(q / mm)),
+        )
+        .select("bucket", "n_a", "n_b", "__term")
+    )
+    per_bucket = terms.select(
+        "bucket", "n_a", "n_b", F.round("__term", 6).alias("js_term")
+    )
+    total = terms.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("js_term"),
+    )
+    return per_bucket.unionByName(total)
+
+
+JS_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         FLOOR(epoch(ts))::BIGINT AS at
+  FROM events
+), bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+         MIN(at) AS t0, MAX(at) AS t1 FROM ev
+), counted AS (
+  SELECT ((cents - lo) * {_JS_BUCKETS}) // (hi - lo + 1) + 1 AS bucket,
+         SUM(CASE WHEN at <= (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN at > (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM ev, bounds GROUP BY 1
+), totals AS (
+  SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb FROM counted
+), terms AS (
+  SELECT bucket, n_a, n_b,
+    0.5 * ((n_a + 1)::DOUBLE / (ta + {_JS_BUCKETS})
+           * ln(((n_a + 1)::DOUBLE / (ta + {_JS_BUCKETS}))
+                / (((n_a + 1)::DOUBLE / (ta + {_JS_BUCKETS})
+                    + (n_b + 1)::DOUBLE / (tb + {_JS_BUCKETS})) / 2)))
+    + 0.5 * ((n_b + 1)::DOUBLE / (tb + {_JS_BUCKETS})
+           * ln(((n_b + 1)::DOUBLE / (tb + {_JS_BUCKETS}))
+                / (((n_a + 1)::DOUBLE / (ta + {_JS_BUCKETS})
+                    + (n_b + 1)::DOUBLE / (tb + {_JS_BUCKETS})) / 2))) AS term
+  FROM counted, totals
+)
+SELECT bucket, n_a, n_b, round(term, 6) AS js_term FROM terms
+UNION ALL
+SELECT -1::BIGINT AS bucket, SUM(n_a)::BIGINT, SUM(n_b)::BIGINT,
+       round(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-customer revenue
+# ---------------------------------------------------------------------------
+
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue — the standard
+    whale-concentration KPI. With revenues sorted ascending and ranked
+    1..n, G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ).
+
+    The global ascending rank comes from ``global_row_index``
+    (operators/layout.py) — range-bucketed two-phase numbering, NO
+    single-partition sort — with (cents, custkey) as the deterministic
+    total order. Numerator and denominator stay exact in DECIMAL(38,0);
+    G is one double division. Customers with no orders are out of frame
+    (revenue universe, not account universe) — documented, and the twin
+    aggregates the same inner set.
+
+    Scale: one fact aggregate to customer grain, then the two-phase
+    numbering (metadata-sized offset table) and one final agg — no
+    global sort anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    idx = global_row_index(
+        per_cust, key="cents", tiebreak=("o_custkey",), index_col="i"
+    )
+    d38 = "decimal(38,0)"
+    agg = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i").cast(d38) * F.col("cents").cast(d38)).alias("__ic"),
+    )
+    num = (
+        F.lit(2).cast(d38) * F.col("__ic")
+        - (F.col("n_customers") + 1).cast(d38) * F.col("total_cents").cast(d38)
+    ).cast("double")
+    den = (
+        F.col("n_customers").cast(d38) * F.col("total_cents").cast(d38)
+    ).cast("double")
+    return agg.select(
+        "n_customers", "total_cents", F.round(num / den, 6).alias("gini")
+    )
+
+
+GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey)::BIGINT AS i
+  FROM per_cust
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n_customers, SUM(cents)::BIGINT AS total_cents,
+         SUM(i::DECIMAL(38,0) * cents::DECIMAL(38,0)) AS ic
+  FROM ranked
+)
+SELECT n_customers, total_cents,
+  ROUND((2::DECIMAL(38,0) * ic
+         - (n_customers + 1)::DECIMAL(38,0) * total_cents::DECIMAL(38,0))::DOUBLE
+        / (n_customers::DECIMAL(38,0) * total_cents::DECIMAL(38,0))::DOUBLE, 6)
+    AS gini
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per user
+# ---------------------------------------------------------------------------
+
+
+def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of event inter-arrival times:
+    B = (σ−μ)/(σ+μ) over the gap-seconds sequence (B→−1 periodic,
+    B≈0 Poisson, B→1 bursty) — the standard temporal-regularity signal
+    for bot/abuse triage and event-stream QA. Users need ≥3 events
+    (≥2 gaps) to have a defined σ.
+
+    Determinism: gaps are exact integer seconds from a (ts, event_id)
+    total order; population σ uses the ÷n-free form
+    σ = √(n·ΣΔ²−(ΣΔ)²)/n — one portable √ of an exact integer and one
+    division; μ, B are fixed-order doubles rounded to 6dp.
+
+    Scale: the lag window and the per-user aggregate cluster on the
+    SAME key, so one exchange serves both; output is user-grained
+    (∝ distinct users, not events).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("at"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("at", "event_id")
+    gaps = ev.withColumn("__gap", F.col("at") - F.lag("at").over(w)).filter(
+        F.col("__gap").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__gap").cast("bigint").alias("__s"),
+        F.sum(F.col("__gap").cast(d38) * F.col("__gap").cast(d38)).alias("__q"),
+    ).filter(F.col("n_gaps") >= 2)
+    varn = (
+        F.col("n_gaps").cast(d38) * F.col("__q")
+        - F.col("__s").cast(d38) * F.col("__s").cast(d38)
+    ).cast("double")
+    mu = F.col("__s").cast("double") / F.col("n_gaps").cast("double")
+    sigma = F.sqrt(varn) / F.col("n_gaps").cast("double")
+    return per_user.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("sd_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
+
+
+BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+    FLOOR(epoch(ts))::BIGINT
+      - LAG(FLOOR(epoch(ts))::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY FLOOR(epoch(ts))::BIGINT, event_id)
+      AS gap
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_gaps, SUM(gap)::BIGINT AS s,
+         SUM(gap::DECIMAL(38,0) * gap::DECIMAL(38,0)) AS q
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 2
+)
+SELECT user_id, n_gaps,
+  ROUND(s::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+  ROUND(sqrt((n_gaps::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE)
+        / n_gaps::DOUBLE, 6) AS sd_gap_s,
+  ROUND((sqrt((n_gaps::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE)
+         / n_gaps::DOUBLE - s::DOUBLE / n_gaps::DOUBLE)
+        / (sqrt((n_gaps::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE)
+           / n_gaps::DOUBLE + s::DOUBLE / n_gaps::DOUBLE), 6) AS burstiness
+FROM per_user
+"""
+
+
+def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register("ab_power_mde", ab_power_mde, AB_POWER_SQL)
+    register("js_divergence_drift", js_divergence_drift, JS_DRIFT_SQL)
+    register("gini_customer_revenue", gini_customer_revenue, GINI_SQL)
+    register(
+        "burstiness_user_interarrival",
+        burstiness_user_interarrival,
+        BURSTINESS_SQL,
+    )
