@@ -357,6 +357,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "js_divergence_drift",
     "gini_customer_revenue",
     "burstiness_user_interarrival",
+    "ccf_purchase_view_daily",
+    "rfm_segments",
+    "bpe_merge_candidates",
 )
 
 

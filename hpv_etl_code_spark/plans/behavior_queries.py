@@ -473,8 +473,114 @@ FROM models GROUP BY 1, 2
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    the orders fact: per-customer days-since-last-order, order count and
+    total cents, each cut into quintiles, then segment-level counts and
+    average monetary value — the classic CRM scoring grid (≤125 rows).
+
+    Quintiles are computed from an EXPLICIT dense rank — bucket =
+    ((i−1)·5) DIV n + 1 over the ``global_row_index`` two-phase
+    numbering (operators/layout.py, NO single-partition sort) with
+    (metric, custkey) as the deterministic total order. This sidesteps
+    ntile()'s front-loaded-remainder semantics entirely: the same
+    integer formula runs in both engines, so bucket membership is
+    bit-identical. All averages are exact-integer sums with one final
+    double division.
+
+    Scale: one fact aggregate to customer grain, three two-phase
+    numberings on the customer frame (each a metadata-sized offset
+    table), one ≤125-group aggregate.
+    """
+    from ..operators.layout import global_row_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("od"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("f"),
+            F.sum("cents").cast("bigint").alias("m"),
+        )
+    )
+    anchor = per_cust.agg(F.max("__last").alias("__d1"))
+    base = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("__d1"), F.col("__last")).cast("bigint").alias("r"),
+        "f",
+        "m",
+    )
+    ranked = global_row_index(
+        global_row_index(
+            global_row_index(
+                base, key="r", tiebreak=("o_custkey",), index_col="__ir"
+            ),
+            key="f",
+            tiebreak=("o_custkey",),
+            index_col="__if",
+        ),
+        key="m",
+        tiebreak=("o_custkey",),
+        index_col="__im",
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    q = lambda i: F.expr(f"(({i} - 1) * 5) DIV __n + 1")  # noqa: E731
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            q("__ir").alias("r_q"),
+            q("__if").alias("f_q"),
+            q("__im").alias("m_q"),
+            "m",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_monetary_cents"),
+        )
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate::DATE) AS last_od,
+         COUNT(*)::BIGINT AS f,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS m
+  FROM orders GROUP BY o_custkey
+), anchor AS (
+  SELECT MAX(last_od) AS d1 FROM per_cust
+), base AS (
+  SELECT o_custkey, date_diff('day', last_od, d1)::BIGINT AS r, f, m
+  FROM per_cust CROSS JOIN anchor
+), ranked AS (
+  SELECT m,
+    ROW_NUMBER() OVER (ORDER BY r, o_custkey)::BIGINT AS ir,
+    ROW_NUMBER() OVER (ORDER BY f, o_custkey)::BIGINT AS iq,
+    ROW_NUMBER() OVER (ORDER BY m, o_custkey)::BIGINT AS im,
+    COUNT(*) OVER ()::BIGINT AS n
+  FROM base
+)
+SELECT ((ir - 1) * 5) // n + 1 AS r_q,
+       ((iq - 1) * 5) // n + 1 AS f_q,
+       ((im - 1) * 5) // n + 1 AS m_q,
+       COUNT(*)::BIGINT AS n_customers,
+       ROUND(SUM(m)::DOUBLE / COUNT(*)::DOUBLE, 6) AS avg_monetary_cents
+FROM ranked GROUP BY 1, 2, 3
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
+    register("rfm_segments", rfm_segments, RFM_SQL)
     register("touch_attribution", touch_attribution, ATTRIBUTION_SQL)
     register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)
     register("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_SQL)

@@ -655,7 +655,79 @@ GROUP BY source
 """
 
 
+_BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration over the corpus: the top-20 adjacent
+    character pairs by corpus frequency — exactly the statistic a
+    byte-pair-encoding tokenizer trainer computes before its first merge
+    (each merge round is this same aggregate over the re-segmented
+    corpus, so this entry IS the distributed inner loop of BPE
+    training). Occurrence-weighted: every word occurrence contributes
+    all its adjacent pairs, matching the classic algorithm's word-count
+    weighting.
+
+    Words are the corpus' single-space tokens restricted to ^[a-z]+$
+    (pure-ASCII symbols keep substr() character semantics identical
+    across engines — no UTF-8 grapheme seam). Pairs are the 2-char
+    substrings at offsets 1..len−1, generated row-locally inside
+    codegen (transform over sequence — no Python, no UDF). Ranking is
+    (count DESC, pair ASC) — fully deterministic.
+
+    Scale: one linear explode pass into a pair vocabulary bounded by
+    26² = 676 keys — the count shuffle is metadata-sized regardless of
+    corpus volume; top-k is TakeOrderedAndProject, never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]{2,}$"))
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition heaps, no
+    # global sort); the rank window then runs over only K rows
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(
+        _BPE_TOP_K
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH words AS (
+  SELECT w FROM documents,
+    unnest(string_split(text, ' ')) AS t(w)
+  WHERE regexp_full_match(w, '[a-z]{{2,}}')
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i::INT, 2))) AS pair
+  FROM words
+), counts AS (
+  SELECT pair, COUNT(*)::BIGINT AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC)::INT AS rank,
+       pair, n_occurrences
+FROM counts
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {_BPE_TOP_K}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_SQL)
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("oov_rate_by_source", oov_rate_by_source, OOV_RATE_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)

@@ -572,8 +572,155 @@ GROUP BY t.dow
 """
 
 
+_CCF_MAX_LAG = 7
+
+
+def ccf_purchase_view_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily purchase-cents and
+    view-cents series at lags 0..7: does view spend LEAD purchase spend,
+    and by how many days? r_k = Σₜ dx(t)·dy(t+k) / √(Σdx²·Σdy²) — the
+    lagged complement of ``acf_daily_cents`` (same ÷n-free centering).
+
+    Series construction: calendar-DENSE day index from the observed
+    bounds with zero-fill (a day with no purchases contributes 0 — the
+    natural reading for a revenue series, and it makes the day axis a
+    contiguous integer range so t+k is pure arithmetic, no existence
+    join). dx = n·x − Sx stays an exact BIGINT; term products and both
+    normalizers ride DECIMAL(38,0); each r_k is one double division of
+    string-exact decimals.
+
+    Scale: the fact collapses to one (day × type) aggregate
+    (calendar-bounded), the dense axis is a broadcast 1-row sequence
+    explode, and the lag join is metadata-sized — input volume only
+    touches the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    day_tot = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            _cents().alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    bounds = day_tot.agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("__d1"), F.col("__d0")))
+        ).alias("t"),
+        "__d0",
+    ).select("t", F.date_add(F.col("__d0"), F.col("t")).alias("day"))
+    x = day_tot.filter(F.col("event_type") == "purchase").select("day", "c")
+    y = day_tot.filter(F.col("event_type") == "view").select("day", "c")
+    series = (
+        axis.join(x.withColumnRenamed("c", "__x"), "day", "left")
+        .join(y.withColumnRenamed("c", "__y"), "day", "left")
+        .select(
+            "t",
+            F.coalesce("__x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("__y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("x").cast("bigint").alias("__sx"),
+        F.sum("y").cast("bigint").alias("__sy"),
+    )
+    d38 = "decimal(38,0)"
+    dev = series.join(F.broadcast(tot)).select(
+        "t",
+        (F.col("__n") * F.col("x") - F.col("__sx")).alias("dx"),
+        (F.col("__n") * F.col("y") - F.col("__sy")).alias("dy"),
+    )
+    norms = dev.agg(
+        F.sum(F.col("dx").cast(d38) * F.col("dx").cast(d38)).alias("__nx"),
+        F.sum(F.col("dy").cast(d38) * F.col("dy").cast(d38)).alias("__ny"),
+    )
+    lags = dev.sparkSession.range(0, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b.t") == F.col("a.t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("a.dx").cast(d38) * F.col("b.dy").cast(d38)).alias(
+                "__num"
+            ),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(norms))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("__num").cast("double")
+                / F.sqrt(
+                    F.col("__nx").cast("double") * F.col("__ny").cast("double")
+                ),
+                6,
+            ).alias("ccf"),
+        )
+    )
+
+
+CCF_SQL = f"""
+WITH day_tot AS (
+  SELECT ts::DATE AS day, event_type,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM day_tot
+), axis AS (
+  SELECT unnest(range(0, date_diff('day', d0, d1) + 1))::BIGINT AS t
+  FROM bounds
+), xy AS (
+  SELECT date_diff('day', d0, day)::BIGINT AS t, event_type, c
+  FROM day_tot CROSS JOIN bounds
+), series AS (
+  SELECT a.t, COALESCE(x.c, 0)::BIGINT AS x, COALESCE(y.c, 0)::BIGINT AS y
+  FROM axis a
+  LEFT JOIN xy x ON x.event_type = 'purchase' AND x.t = a.t
+  LEFT JOIN xy y ON y.event_type = 'view' AND y.t = a.t
+), tot AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy
+  FROM series
+), dev AS (
+  SELECT t, (n * x - sx)::BIGINT AS dx, (n * y - sy)::BIGINT AS dy
+  FROM series CROSS JOIN tot
+), norms AS (
+  SELECT SUM(dx::DECIMAL(38,0) * dx::DECIMAL(38,0)) AS nx,
+         SUM(dy::DECIMAL(38,0) * dy::DECIMAL(38,0)) AS ny
+  FROM dev
+), pairs AS (
+  SELECT lag, COUNT(*)::BIGINT AS n_pairs,
+         SUM(a.dx::DECIMAL(38,0) * b.dy::DECIMAL(38,0)) AS num
+  FROM dev a
+  CROSS JOIN (SELECT unnest(range(0, {_CCF_MAX_LAG + 1}))::INT AS lag) l
+  JOIN dev b ON b.t = a.t + lag
+  GROUP BY lag
+)
+SELECT lag, n_pairs,
+  ROUND(num::DOUBLE / sqrt(nx::DOUBLE * ny::DOUBLE), 6) AS ccf
+FROM pairs CROSS JOIN norms
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
+    register("ccf_purchase_view_daily", ccf_purchase_view_daily, CCF_SQL)
     register("gapfill_linear_interp", gapfill_linear_interp, GAPFILL_SQL)
     register("holt_linear_trend", holt_linear_trend, _holt_sql())
     register(

@@ -70,6 +70,48 @@ def test_gini_bounds_and_uniform_zero(spark, sf_dir):
     assert gini == 0.0
 
 
+def test_ccf_bounds_and_pair_counts(spark, sf_dir):
+    from hpv_etl_code_spark.plans.timeseries_queries import (
+        ccf_purchase_view_daily,
+    )
+
+    rows = {r.lag: r for r in ccf_purchase_view_daily(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(8))
+    n = rows[0].n_pairs
+    for k, r in rows.items():
+        # dense calendar axis → exactly n−k aligned pairs at lag k
+        assert r.n_pairs == n - k
+        assert -1.0 - 1e-9 <= r.ccf <= 1.0 + 1e-9
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from hpv_etl_code_spark.plans.behavior_queries import rfm_segments
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_q <= 5 and 1 <= r.f_q <= 5 and 1 <= r.m_q <= 5
+        assert r.avg_monetary_cents > 0
+
+
+def test_bpe_merge_candidates_shape(spark, sf_dir):
+    import re
+
+    from hpv_etl_code_spark.plans.text_queries import bpe_merge_candidates
+
+    rows = sorted(bpe_merge_candidates(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    # counts non-increasing in rank; every pair is two ascii letters
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.n_occurrences >= cur.n_occurrences
+    assert all(re.fullmatch(r"[a-z]{2}", r.pair) for r in rows)
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
