@@ -360,6 +360,10 @@ _ROTATION_POOL: tuple[str, ...] = (
     "ccf_purchase_view_daily",
     "rfm_segments",
     "bpe_merge_candidates",
+    "isotonic_calibration_pav",
+    "mann_kendall_daily_trend",
+    "mi_event_type_dow",
+    "lorenz_revenue_deciles",
 )
 
 

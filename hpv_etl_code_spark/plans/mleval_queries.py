@@ -687,7 +687,147 @@ FROM test
 """
 
 
+_ISO_BUCKETS = 10
+
+
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the score→label relationship —
+    the pool-adjacent-violators fit over ten equal-population score
+    deciles, computed via PAV's minimax characterization:
+    fit(i) = max_{j≤i} min_{k≥i} mean(pool j..k). The industry-standard
+    monotone recalibrator (the step after `calibration_bins_brier`
+    DIAGNOSES miscalibration, this entry FIXES it); the fitted rate is
+    non-decreasing in score decile by construction.
+
+    Why minimax instead of the sequential merge loop: over B buckets the
+    identity enumerates all O(B³) (j,i,k) triples — declarative joins +
+    two grouped aggregations on ≤ B² metadata rows, no iteration, no
+    driver loop — and yields EXACTLY the PAV solution. Pooled means are
+    single double divisions of exact integer (Σpos, Σn) prefix
+    differences; min/max over doubles are order-independent.
+
+    Scale: one global rank exchange cuts deciles (range-partitioned
+    sort, ties broken by event_id), one 10-group aggregate — the input
+    never appears again; the triple expansion is 10³ metadata rows.
+    """
+    s = _scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score"), F.col("event_id"))
+    n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per = (
+        s.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(n1))
+        .withColumn(
+            "decile",
+            F.expr(f"((rk - 1) * {_ISO_BUCKETS}) DIV __n + 1").cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wc).cast("bigint").alias("cn"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("cp"),
+    ).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cn",
+        "cp",
+        (F.col("cn") - F.col("n_rows")).alias("bn"),
+        (F.col("cp") - F.col("n_pos")).alias("bp"),
+    )
+    j, k, i = cum.alias("j"), cum.alias("k"), cum.alias("i")
+    # pooled mean over deciles j..k (j ≤ k), one double division of
+    # exact prefix-difference integers
+    pooled = (
+        j.join(F.broadcast(k), F.col("j.decile") <= F.col("k.decile"))
+        .select(
+            F.col("j.decile").alias("jd"),
+            F.col("k.decile").alias("kd"),
+            (
+                (F.col("k.cp") - F.col("j.bp")).cast("double")
+                / (F.col("k.cn") - F.col("j.bn")).cast("double")
+            ).alias("mean_jk"),
+        )
+    )
+    fit = (
+        i.select(
+            F.col("i.decile").alias("decile"),
+            F.col("i.n_rows").alias("n_rows"),
+            F.col("i.n_pos").alias("n_pos"),
+        )
+        .join(
+            F.broadcast(pooled),
+            (F.col("jd") <= F.col("decile")) & (F.col("kd") >= F.col("decile")),
+        )
+        .groupBy("decile", "n_rows", "n_pos", "jd")
+        .agg(F.min("mean_jk").alias("__minmean"))
+        .groupBy("decile", "n_rows", "n_pos")
+        .agg(F.max("__minmean").alias("__fit"))
+    )
+    raw = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    return fit.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round("__fit", 6).alias("fit_rate"),
+    )
+
+
+ISOTONIC_SQL = f"""
+WITH s AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         event_id
+  FROM events
+), n1 AS (
+  SELECT COUNT(*)::BIGINT AS n FROM s
+), per AS (
+  SELECT ((ROW_NUMBER() OVER (ORDER BY score, event_id) - 1)
+          * {_ISO_BUCKETS}) // (SELECT n FROM n1) + 1 AS decile,
+         label
+  FROM s
+), agg AS (
+  SELECT decile, COUNT(*)::BIGINT AS n_rows, SUM(label)::BIGINT AS n_pos
+  FROM per GROUP BY decile
+), cum AS (
+  SELECT decile, n_rows, n_pos,
+    SUM(n_rows) OVER (ORDER BY decile)::BIGINT AS cn,
+    SUM(n_pos) OVER (ORDER BY decile)::BIGINT AS cp
+  FROM agg
+), cum2 AS (
+  SELECT decile, n_rows, n_pos, cn, cp,
+         cn - n_rows AS bn, cp - n_pos AS bp
+  FROM cum
+), pooled AS (
+  SELECT j.decile AS jd, k.decile AS kd,
+         (k.cp - j.bp)::DOUBLE / (k.cn - j.bn)::DOUBLE AS mean_jk
+  FROM cum2 j JOIN cum2 k ON j.decile <= k.decile
+), inner_min AS (
+  SELECT i.decile, i.n_rows, i.n_pos, p.jd, MIN(p.mean_jk) AS minmean
+  FROM cum2 i JOIN pooled p ON p.jd <= i.decile AND p.kd >= i.decile
+  GROUP BY i.decile, i.n_rows, i.n_pos, p.jd
+)
+SELECT decile, n_rows, n_pos,
+  ROUND(n_pos::DOUBLE / n_rows::DOUBLE, 6) AS raw_rate,
+  ROUND(MAX(minmean), 6) AS fit_rate
+FROM inner_min GROUP BY decile, n_rows, n_pos
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register(
+        "isotonic_calibration_pav", isotonic_calibration_pav, ISOTONIC_SQL
+    )
     register("auc_purchase_score", auc_purchase_score, AUC_SQL)
     register("decile_lift_table", decile_lift_table, LIFT_SQL)
     register("ndcg_user_ranking", ndcg_user_ranking, _ndcg_sql())

@@ -544,8 +544,297 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend significance test (the Theil–Sen companion)
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall non-parametric trend test on the daily total-cents
+    series — the significance companion to ``theil_sen_daily_trend``
+    (Sen gives the slope, MK says whether a monotone trend exists at
+    all): S = Σᵢ<ⱼ sign(cⱼ−cᵢ), tie-corrected
+    Var(S) = (n(n−1)(2n+5) − Σₜ t(t−1)(2t+5))/18, and the
+    continuity-corrected z = (S∓1)/√Var(S).
+
+    Determinism: S and both variance numerators are EXACT integers
+    (sign of a BIGINT difference, integer tie-group sums); Var(S) is
+    one division by 18.0, z is subtract/divide/√ in fixed order; the
+    significance flag compares z against the literal 1.959964.
+
+    Scale: the fact collapses to the day-grained aggregate first; the
+    O(days²) sign expansion and the tie scan are metadata-sized
+    (calendar-bounded), exactly like the Theil–Sen entry.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"), _cents().alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    a, b = days.alias("a"), days.alias("b")
+    s_stat = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nd = days.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        days.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("__tie")
+        )
+    )
+    joined = s_stat.join(F.broadcast(nd)).join(F.broadcast(ties))
+    n = F.col("n_days")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie")).cast("double")
+        / F.lit(18.0)
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
+
+
+MANN_KENDALL_SQL = """
+WITH days AS (
+  SELECT ts::DATE AS day,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1
+), s AS (
+  SELECT SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+             ELSE 0 END)::BIGINT AS s_stat
+  FROM days a JOIN days b ON a.day < b.day
+), nd AS (
+  SELECT COUNT(*)::BIGINT AS n_days FROM days
+), ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie
+  FROM (SELECT COUNT(*)::BIGINT AS t FROM days GROUP BY c)
+), j AS (
+  SELECT s_stat, n_days,
+    (n_days * (n_days - 1) * (2 * n_days + 5) - tie)::DOUBLE / 18.0 AS var_s
+  FROM s CROSS JOIN nd CROSS JOIN ties
+)
+SELECT n_days, s_stat, ROUND(var_s, 6) AS var_s,
+  ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+             WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+             ELSE 0.0 END, 6) AS z,
+  abs(CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+           WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+           ELSE 0.0 END) > 1.959964 AS significant
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and day-of-week
+# ---------------------------------------------------------------------------
+
+
+def mi_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between ``event_type`` and day-of-week
+    — the categorical-association readout that χ²
+    (``chi_square_independence``) tests but doesn't quantify in
+    information units; MI is the quantity feature-selection pipelines
+    rank by. Per-cell term = (n_xy/N)·ln(n_xy·N/(n_x·n_y)), with the
+    marginals broadcast back onto the ≤|types|·7 cell grid and the
+    TOTAL row (event_type 'TOTAL', dow −1) summed through
+    DECIMAL(20,8) (shuffle-order-independent, the ``psi_value_drift``
+    trick). dow parity: Spark ``dayofweek`` ≡ DuckDB ``dayofweek + 1``
+    (the ``dow_seasonality_events`` convention).
+
+    Scale: ONE grouped count over the fact; margins and terms are
+    metadata-sized arithmetic on the cell grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mx = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nx"))
+    my = cells.groupBy("dow").agg(F.sum("n").cast("bigint").alias("ny"))
+    nn = cells.agg(F.sum("n").cast("bigint").alias("__N"))
+    d38 = "decimal(38,0)"
+    terms = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .join(F.broadcast(nn))
+        .withColumn(
+            "__term",
+            (F.col("n").cast("double") / F.col("__N").cast("double"))
+            * F.log(
+                (F.col("n").cast(d38) * F.col("__N").cast(d38)).cast("double")
+                / (F.col("nx").cast(d38) * F.col("ny").cast(d38)).cast(
+                    "double"
+                )
+            ),
+        )
+    )
+    per_cell = terms.select(
+        "event_type", "dow", "n", F.round("__term", 6).alias("mi_term")
+    )
+    total = terms.agg(
+        F.lit("TOTAL").alias("event_type"),
+        F.lit(-1).cast("int").alias("dow"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("mi_term"),
+    )
+    return per_cell.unionByName(total)
+
+
+MI_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts::DATE) + 1 AS dow, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT event_type, SUM(n)::BIGINT AS nx FROM cells GROUP BY event_type
+), my AS (
+  SELECT dow, SUM(n)::BIGINT AS ny FROM cells GROUP BY dow
+), nn AS (
+  SELECT SUM(n)::BIGINT AS grand FROM cells
+), terms AS (
+  SELECT c.event_type, c.dow, c.n,
+    (c.n::DOUBLE / grand::DOUBLE)
+      * ln((c.n::DECIMAL(38,0) * grand::DECIMAL(38,0))::DOUBLE
+           / (nx::DECIMAL(38,0) * ny::DECIMAL(38,0))::DOUBLE) AS term
+  FROM cells c
+  JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN nn
+)
+SELECT event_type, dow::INT AS dow, n, ROUND(term, 6) AS mi_term FROM terms
+UNION ALL
+SELECT 'TOTAL' AS event_type, -1::INT AS dow, SUM(n)::BIGINT AS n,
+  ROUND(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+    AS mi_term
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (the Gini entry's distributional detail)
+# ---------------------------------------------------------------------------
+
+
+def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-customer revenue in ten equal-population
+    deciles: each decile's revenue share and the cumulative share —
+    the curve whose area deficit IS ``gini_customer_revenue`` (the two
+    entries cross-check each other). Decile cut uses the same
+    ``global_row_index`` two-phase rank and the explicit
+    ((i−1)·10) DIV n + 1 bucket formula (no ntile ambiguity, no global
+    sort).
+
+    Determinism: per-decile sums are exact BIGINTs; shares are one
+    double division each; the cumulative share runs over 10 metadata
+    rows in decile order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    idx = global_row_index(
+        per_cust, key="cents", tiebreak=("o_custkey",), index_col="i"
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per_dec = (
+        idx.join(F.broadcast(n))
+        .withColumn("decile", F.expr("((i - 1) * 10) DIV __n + 1"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+    )
+    tot = per_dec.agg(F.sum("decile_cents").cast("bigint").alias("__t"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_tot = per_dec.join(F.broadcast(tot))
+    return with_tot.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.round(
+            F.col("decile_cents").cast("double") / F.col("__t").cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.sum("decile_cents").over(wc).cast("double")
+            / F.col("__t").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey)::BIGINT AS i,
+         COUNT(*) OVER ()::BIGINT AS n
+  FROM per_cust
+), per_dec AS (
+  SELECT ((i - 1) * 10) // n + 1 AS decile,
+         COUNT(*)::BIGINT AS n_customers,
+         SUM(cents)::BIGINT AS decile_cents
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT SUM(decile_cents)::BIGINT AS t FROM per_dec
+)
+SELECT decile, n_customers, decile_cents,
+  ROUND(decile_cents::DOUBLE / t::DOUBLE, 6) AS share,
+  ROUND((SUM(decile_cents) OVER (ORDER BY decile))::DOUBLE / t::DOUBLE, 6)
+    AS cum_share
+FROM per_dec CROSS JOIN tot
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register(
+        "mann_kendall_daily_trend", mann_kendall_daily_trend, MANN_KENDALL_SQL
+    )
+    register("mi_event_type_dow", mi_event_type_dow, MI_SQL)
+    register("lorenz_revenue_deciles", lorenz_revenue_deciles, LORENZ_SQL)
     register("ab_power_mde", ab_power_mde, AB_POWER_SQL)
     register("js_divergence_drift", js_divergence_drift, JS_DRIFT_SQL)
     register("gini_customer_revenue", gini_customer_revenue, GINI_SQL)

@@ -112,6 +112,66 @@ def test_bpe_merge_candidates_shape(spark, sf_dir):
     assert all(re.fullmatch(r"[a-z]{2}", r.pair) for r in rows)
 
 
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark, sf_dir):
+    from hpv_etl_code_spark.plans.mleval_queries import isotonic_calibration_pav
+
+    rows = sorted(
+        isotonic_calibration_pav(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # PAV output is non-decreasing by construction
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.fit_rate <= cur.fit_rate + 1e-9
+    # pooled-mean preservation: Σ fit·n == Σ pos (up to 6dp rounding)
+    fitted_mass = sum(r.fit_rate * r.n_rows for r in rows)
+    true_mass = sum(r.n_pos for r in rows)
+    assert abs(fitted_mass - true_mass) < 1e-4 * true_mass + 1.0
+    # all fits live in [0, 1]
+    assert all(0.0 <= r.fit_rate <= 1.0 for r in rows)
+
+
+def test_mann_kendall_consistent_with_pair_count(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import mann_kendall_daily_trend
+
+    row = mann_kendall_daily_trend(spark, sf_dir).collect()[0]
+    max_pairs = row.n_days * (row.n_days - 1) // 2
+    assert -max_pairs <= row.s_stat <= max_pairs
+    assert row.var_s > 0
+    assert row.significant == (abs(row.z) > 1.959964)
+
+
+def test_mutual_information_nonnegative_total(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import mi_event_type_dow
+
+    rows = mi_event_type_dow(spark, sf_dir).collect()
+    total = [r for r in rows if r.event_type == "TOTAL"][0]
+    cells = [r for r in rows if r.event_type != "TOTAL"]
+    # MI ≥ 0 always (it's a KL divergence); cell terms can be negative
+    assert total.mi_term >= -1e-6
+    assert total.n == sum(r.n for r in cells)
+
+
+def test_lorenz_matches_gini_and_sums_to_one(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import (
+        gini_customer_revenue,
+        lorenz_revenue_deciles,
+    )
+
+    rows = sorted(
+        lorenz_revenue_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    # ascending-revenue deciles → shares non-decreasing
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.share <= cur.share + 1e-9
+    # cross-check: Gini ≈ 1 − 2·∫Lorenz (trapezoid over the decile grid,
+    # coarse — 10 buckets ≈ within a few points of the exact rank Gini)
+    gini = gini_customer_revenue(spark, sf_dir).collect()[0].gini
+    cum = [0.0] + [r.cum_share for r in rows]
+    area = sum((cum[i] + cum[i + 1]) / 2 * 0.1 for i in range(10))
+    assert abs(gini - (1 - 2 * area)) < 0.05
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
