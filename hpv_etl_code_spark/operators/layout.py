@@ -125,6 +125,89 @@ def global_row_index(
     )
 
 
+def grouped_row_index(
+    df: DataFrame,
+    group: str,
+    key: str,
+    n_buckets: int = 64,
+    index_col: str = "group_idx",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Dense 1-based rank of ``key`` WITHIN each ``group`` — the grouped
+    generalization of :func:`global_row_index`, for when a plain
+    ``row_number() OVER (PARTITION BY group ORDER BY key)`` would sort
+    each entire group in ONE task (the scale killer whenever groups are
+    few and large — e.g. ranking three metrics of a billion customers
+    with ``group = metric``).
+
+    Same three declarative stages, group-qualified:
+
+    1. per-group key bounds (one grouped partial-agg pass) broadcast
+       back; ``width_bucket`` gives an order-preserving bucket id
+       within the group.
+    2. per-(group, bucket) counts → running-sum window PARTITIONED BY
+       group over the bucket id: per-bucket offsets. The window input
+       is |groups|·n_buckets metadata rows.
+    3. ``row_number`` inside each (group, bucket) — parallel across
+       group×bucket cells — plus the broadcast offset.
+
+    NULL keys rank FIRST within their group, NaN keys LAST (matching
+    ``row_number() OVER (... ORDER BY key)``), exactly as in
+    :func:`global_row_index`. ``(key, *tiebreak)`` must be unique
+    within a group for a deterministic result.
+    """
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
+
+    if not isinstance(df.schema[key].dataType, NumericType):
+        raise TypeError(
+            f"grouped_row_index key {key!r} must be numeric, got "
+            f"{df.schema[key].dataType.simpleString()}; bucketize or cast first"
+        )
+    is_float = isinstance(df.schema[key].dataType, (DoubleType, FloatType))
+    nan_key = F.isnan(F.col(key)) if is_float else F.lit(False)
+    finite = F.when(~nan_key, F.col(key)) if is_float else F.col(key)
+    bounds = df.groupBy(group).agg(
+        F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
+    )
+    bucketed = df.join(F.broadcast(bounds), group).withColumn(
+        "__bucket",
+        F.when(F.col(key).isNull(), F.lit(0))
+        .when(nan_key, F.lit(n_buckets + 1))
+        .otherwise(
+            F.width_bucket(
+                F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+            )
+        ),
+    ).drop("__lo", "__hi")
+
+    offsets = (
+        bucketed.groupBy(group, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .withColumn(
+            "__offset",
+            F.sum("__bn").over(
+                Window.partitionBy(group)
+                .orderBy("__bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(
+            group,
+            "__bucket",
+            F.coalesce("__offset", F.lit(0)).alias("__offset"),
+        )
+    )
+
+    local = F.row_number().over(
+        Window.partitionBy(group, "__bucket").orderBy(key, *tiebreak)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [group, "__bucket"])
+        .withColumn(index_col, (F.col("__offset") + local).cast("long"))
+        .drop("__bucket", "__offset")
+    )
+
+
 def morton_z16(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer
     columns into a Z-order (Morton) value: x occupies even bit

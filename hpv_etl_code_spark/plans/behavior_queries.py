@@ -480,19 +480,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     average monetary value — the classic CRM scoring grid (≤125 rows).
 
     Quintiles are computed from an EXPLICIT dense rank — bucket =
-    ((i−1)·5) DIV n + 1 over the ``global_row_index`` two-phase
-    numbering (operators/layout.py, NO single-partition sort) with
-    (metric, custkey) as the deterministic total order. This sidesteps
-    ntile()'s front-loaded-remainder semantics entirely: the same
-    integer formula runs in both engines, so bucket membership is
-    bit-identical. All averages are exact-integer sums with one final
-    double division.
+    ((i−1)·5) DIV n + 1 — so ntile()'s front-loaded-remainder semantics
+    never enter: the same integer formula runs in both engines and
+    bucket membership is bit-identical. The three ranks come from ONE
+    pass: the customer frame is unpivoted to (custkey, metric, value)
+    and ``grouped_row_index`` (operators/layout.py) ranks all three
+    metrics simultaneously — per-metric range bucketing, parallel
+    within-bucket numbering, metadata-sized offsets; NO per-metric
+    single-partition sort and no tripled plan. All averages are
+    exact-integer sums with one final double division.
 
-    Scale: one fact aggregate to customer grain, three two-phase
-    numberings on the customer frame (each a metadata-sized offset
-    table), one ≤125-group aggregate.
+    Scale: one fact aggregate to customer grain, one 3n-row unpivot
+    through the grouped two-phase numbering, one pivot-back aggregate
+    keyed on custkey, one ≤125-group aggregate.
     """
-    from ..operators.layout import global_row_index
+    from ..operators.layout import grouped_row_index
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -517,23 +519,23 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f",
         "m",
     )
-    ranked = global_row_index(
-        global_row_index(
-            global_row_index(
-                base, key="r", tiebreak=("o_custkey",), index_col="__ir"
-            ),
-            key="f",
-            tiebreak=("o_custkey",),
-            index_col="__if",
-        ),
-        key="m",
-        tiebreak=("o_custkey",),
-        index_col="__im",
+    unpivoted = base.select(
+        "o_custkey",
+        F.expr("stack(3, 'r', r, 'f', f, 'm', m) AS (metric, v)"),
     )
-    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ranked = grouped_row_index(
+        unpivoted, group="metric", key="v", tiebreak=("o_custkey",), index_col="i"
+    )
+    pivoted = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("i"))).alias("__ir"),
+        F.max(F.when(F.col("metric") == "f", F.col("i"))).alias("__if"),
+        F.max(F.when(F.col("metric") == "m", F.col("i"))).alias("__im"),
+        F.max(F.when(F.col("metric") == "m", F.col("v"))).alias("m"),
+    )
+    n = pivoted.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     q = lambda i: F.expr(f"(({i} - 1) * 5) DIV __n + 1")  # noqa: E731
     return (
-        ranked.join(F.broadcast(n))
+        pivoted.join(F.broadcast(n))
         .select(
             q("__ir").alias("r_q"),
             q("__if").alias("f_q"),

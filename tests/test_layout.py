@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from hpv_etl_code_spark.operators.layout import (
     global_row_index,
+    grouped_row_index,
     morton_z16,
     zorder_layout,
 )
@@ -58,6 +59,75 @@ def test_global_index_avoids_single_partition_sort(spark, sf_dir):
     assert "partitionBy=[__bucket" in plan.replace(" ", "").replace(
         "partitionBy=[__bucket", "partitionBy=[__bucket"
     ) or "__bucket" in plan
+
+
+def test_grouped_index_matches_naive_partitioned_window(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey"
+    )
+    got = grouped_row_index(
+        o, group="o_orderstatus", key="o_orderkey", index_col="i"
+    )
+    naive = o.withColumn(
+        "i",
+        F.row_number()
+        .over(Window.partitionBy("o_orderstatus").orderBy("o_orderkey"))
+        .cast("long"),
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_grouped_index_null_and_nan_keys(spark):
+    rows = [
+        ("a", 2.0, 1),
+        ("a", None, 2),
+        ("a", float("nan"), 3),
+        ("a", 1.0, 4),
+        ("b", 5.0, 5),
+        ("b", None, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, k double, id int")
+    got = {
+        (r.g, r.id): r.i
+        for r in grouped_row_index(
+            df, group="g", key="k", tiebreak=("id",), index_col="i"
+        ).collect()
+    }
+    # NULL first, values ascending, NaN last — per group
+    assert got[("a", 2)] == 1  # NULL
+    assert got[("a", 4)] == 2  # 1.0
+    assert got[("a", 1)] == 3  # 2.0
+    assert got[("a", 3)] == 4  # NaN
+    assert got[("b", 6)] == 1  # NULL
+    assert got[("b", 5)] == 2
+
+
+def test_grouped_index_windows_are_bucket_partitioned(spark, sf_dir):
+    """No window in the plan may partition on the group alone — the
+    data-sized numbering window must include the bucket key (the whole
+    point vs row_number() OVER (PARTITION BY group ORDER BY key))."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey"
+    )
+    plan = (
+        grouped_row_index(o, group="o_orderstatus", key="o_orderkey")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    import re
+
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        if "__bucket" not in keys:
+            # the offsets window partitions by group over metadata rows;
+            # it must be the ONLY bucket-free window and its input is
+            # the grouped count aggregate, not the raw table
+            assert "o_orderstatus" in keys
 
 
 def test_morton_interleave_bits():
