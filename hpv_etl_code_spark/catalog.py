@@ -364,6 +364,11 @@ _ROTATION_POOL: tuple[str, ...] = (
     "mann_kendall_daily_trend",
     "mi_event_type_dow",
     "lorenz_revenue_deciles",
+    "readability_flesch",
+    "zipf_exponent_tokens",
+    "transition_entropy",
+    "durbin_watson_daily",
+    "hhi_segment_concentration",
 )
 
 

@@ -580,8 +580,98 @@ FROM ranked GROUP BY 1, 2, 3
 """
 
 
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the user event stream,
+    H(next | current) = Σᵢⱼ (nᵢⱼ/N)·ln(nᵢ/nᵢⱼ) over the per-user
+    (current → next) transition counts — the navigation-predictability
+    number on top of ``event_transition_matrix``'s raw probabilities
+    (low H = deterministic flows, high H = exploratory traffic; the
+    sequence-modeling baseline any behavior model must beat). One row
+    per current state (its outgoing-entropy term sum) plus the TOTAL
+    conditional entropy (event_type 'TOTAL').
+
+    Determinism: transition counts come from a (ts, event_id)-ordered
+    lag per user; every ln() argument is a ratio of exact BIGINTs; the
+    per-state and TOTAL sums ride DECIMAL(20,8)
+    (partition-order-independent).
+
+    Scale: ONE user_id exchange serves the ordering window; transitions
+    collapse to a ≤|types|² cell grid; everything after is metadata.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    outs = pairs.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    nn = pairs.agg(F.sum("n").cast("bigint").alias("__N"))
+    terms = (
+        pairs.join(F.broadcast(outs), "event_type")
+        .join(F.broadcast(nn))
+        .withColumn(
+            "__term",
+            (F.col("n").cast("double") / F.col("__N").cast("double"))
+            * F.log(
+                F.col("n_out").cast("double") / F.col("n").cast("double")
+            ),
+        )
+    )
+    per_state = terms.groupBy("event_type").agg(
+        F.max("n_out").alias("n_out"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("entropy_term"),
+    )
+    total = terms.agg(
+        F.lit("TOTAL").alias("event_type"),
+        F.sum("n").cast("bigint").alias("n_out"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("entropy_term"),
+    )
+    return per_state.unionByName(total)
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type, next_type, COUNT(*)::BIGINT AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), outs AS (
+  SELECT event_type, SUM(n)::BIGINT AS n_out FROM pairs GROUP BY event_type
+), nn AS (
+  SELECT SUM(n)::BIGINT AS grand FROM pairs
+), terms AS (
+  SELECT p.event_type, p.n, o.n_out,
+    (p.n::DOUBLE / grand::DOUBLE) * ln(o.n_out::DOUBLE / p.n::DOUBLE) AS term
+  FROM pairs p JOIN outs o USING (event_type) CROSS JOIN nn
+)
+SELECT event_type, MAX(n_out)::BIGINT AS n_out,
+  ROUND(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+    AS entropy_term
+FROM terms GROUP BY event_type
+UNION ALL
+SELECT 'TOTAL' AS event_type, SUM(n)::BIGINT AS n_out,
+  ROUND(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+    AS entropy_term
+FROM terms
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
+    register("transition_entropy", transition_entropy, TRANSITION_ENTROPY_SQL)
     register("rfm_segments", rfm_segments, RFM_SQL)
     register("touch_attribution", touch_attribution, ATTRIBUTION_SQL)
     register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)

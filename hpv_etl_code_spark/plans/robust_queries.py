@@ -828,8 +828,88 @@ FROM per_dec CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration per market segment
+# ---------------------------------------------------------------------------
+
+
+def hhi_segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of customer-revenue concentration
+    within each market segment: HHI = Σ (shareᵢ·100)² in the standard
+    0–10000 points scale (antitrust convention: <1500 competitive,
+    >2500 concentrated) — the per-segment drilldown next to the global
+    ``gini_customer_revenue``.
+
+    Determinism: each customer's share² term is ONE double division of
+    exact DECIMAL(38,0) squares (c²/T²), scaled by the literal 10⁴;
+    the per-segment sum rides DECIMAL(20,8)
+    (partition-order-independent).
+
+    Scale: one fact aggregate to (custkey) grain, one dimension join on
+    the customer key, one segment-total aggregate broadcast back, one
+    per-segment sum — the fact is touched once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.select(
+            "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), "c")
+    )
+    totals = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+    d38 = "decimal(38,0)"
+    terms = per_cust.join(F.broadcast(totals), "segment").withColumn(
+        "__term",
+        (F.col("c").cast(d38) * F.col("c").cast(d38)).cast("double")
+        / (F.col("t").cast(d38) * F.col("t").cast(d38)).cast("double")
+        * F.lit(10000.0),
+    )
+    return terms.groupBy("segment").agg(
+        F.max("n_customers").alias("n_customers"),
+        F.max("t").alias("segment_cents"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("hhi_points"),
+    )
+
+
+HHI_SQL = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+), totals AS (
+  SELECT segment, COUNT(*)::BIGINT AS n_customers, SUM(c)::BIGINT AS t
+  FROM per_cust GROUP BY segment
+), terms AS (
+  SELECT p.segment, n_customers, t,
+    (p.c::DECIMAL(38,0) * p.c::DECIMAL(38,0))::DOUBLE
+      / (t::DECIMAL(38,0) * t::DECIMAL(38,0))::DOUBLE * 10000.0 AS term
+  FROM per_cust p JOIN totals USING (segment)
+)
+SELECT segment, MAX(n_customers)::BIGINT AS n_customers,
+  MAX(t)::BIGINT AS segment_cents,
+  ROUND(CAST(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+    AS hhi_points
+FROM terms GROUP BY segment
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register(
+        "hhi_segment_concentration", hhi_segment_concentration, HHI_SQL
+    )
     register(
         "mann_kendall_daily_trend", mann_kendall_daily_trend, MANN_KENDALL_SQL
     )

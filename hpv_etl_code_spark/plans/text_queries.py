@@ -726,8 +726,144 @@ LIMIT {_BPE_TOP_K}
 """
 
 
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document — the classic
+    quality/complexity gate for training-corpus filtering:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Syllables use the standard crude estimator (count of vowel groups
+    ``[aeiouy]+``), sentences count terminal-punctuation runs
+    ``[.!?]+`` (min 1), words are the corpus' single-space tokens —
+    every count is a regexp aggregate that runs identically in both
+    engines, and the score is a fixed-order IEEE chain rounded to 6dp.
+
+    Scale: pure per-row column expressions — no UDF, no shuffle; the
+    scan is the whole plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1)).cast(
+        "bigint"
+    )
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")
+    ).cast("bigint")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 6).alias("flesch_score"),
+    )
+
+
+FLESCH_SQL = """
+SELECT doc_id,
+  greatest(len(string_split(text, ' ')), 1)::BIGINT AS n_words,
+  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+  len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT AS n_syllables,
+  ROUND(206.835
+    - 1.015 * (greatest(len(string_split(text, ' ')), 1)::DOUBLE
+               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+    - 84.6 * (len(regexp_extract_all(text, '[aeiouy]+'))::DOUBLE
+              / greatest(len(string_split(text, ' ')), 1)::DOUBLE), 6)
+    AS flesch_score
+FROM documents
+"""
+
+
+_ZIPF_TOP = 200
+
+
+def zipf_exponent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus token-frequency distribution:
+    OLS slope of ln(freq) on ln(rank) over the top-200 tokens — the
+    corpus-health diagnostic (natural language sits near −1; corrupted
+    or templated corpora drift far from it; the plot every corpus
+    datasheet includes).
+
+    Ranks are deterministic ((freq DESC, token ASC) — the BPE entry's
+    ordering discipline); ln() of exact integer counts is portable;
+    the five OLS sums ride DECIMAL(20,8) so they are partition-order-
+    independent; slope and intercept are fixed-order double divisions.
+
+    Scale: one token-count aggregate (vocabulary-bounded), a top-k
+    TakeOrderedAndProject, then arithmetic on 200 metadata rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(_ZIPF_TOP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    d20 = "decimal(20,8)"
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("x").cast(d20)).cast("double").alias("__sx"),
+        F.sum(F.col("y").cast(d20)).cast("double").alias("__sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d20)).cast("double").alias("__sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d20)).cast("double").alias("__sxx"),
+    )
+    n = F.col("n_tokens").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE regexp_full_match(tok, '[a-z]+')
+), counts AS (
+  SELECT tok, COUNT(*)::BIGINT AS freq FROM toks GROUP BY tok
+), top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank
+  FROM counts ORDER BY freq DESC, tok ASC LIMIT {_ZIPF_TOP}
+), xy AS (
+  SELECT ln(rank::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM top
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n_tokens,
+    CAST(CAST(SUM(x::DECIMAL(20,8)) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(y::DECIMAL(20,8)) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM((x * y)::DECIMAL(20,8)) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM((x * x)::DECIMAL(20,8)) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT n_tokens,
+  ROUND((n_tokens::DOUBLE * sxy - sx * sy)
+        / (n_tokens::DOUBLE * sxx - sx * sx), 6) AS zipf_slope,
+  ROUND((sy - ((n_tokens::DOUBLE * sxy - sx * sy)
+               / (n_tokens::DOUBLE * sxx - sx * sx)) * sx)
+        / n_tokens::DOUBLE, 6) AS zipf_intercept
+FROM agg
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_SQL)
+    register("readability_flesch", readability_flesch, FLESCH_SQL)
+    register("zipf_exponent_tokens", zipf_exponent_tokens, ZIPF_SQL)
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("oov_rate_by_source", oov_rate_by_source, OOV_RATE_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)

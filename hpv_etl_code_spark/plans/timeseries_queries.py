@@ -718,9 +718,146 @@ FROM pairs CROSS JOIN norms
 """
 
 
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the daily-revenue OLS residuals —
+    the autocorrelation-of-residuals diagnostic (DW≈2 independent,
+    →0 positive, →4 negative serial correlation) that says whether the
+    trend fits of ``ols_segment_trend``/``theil_sen_daily_trend`` can
+    be trusted, completing the trend kit (slope → significance →
+    residual diagnostics).
+
+    Determinism: the OLS normal equations use the ÷n-free integer
+    sums (every numerator/denominator EXACT in DECIMAL(38,0), slope
+    and intercept each ONE double division); residuals are the fixed
+    3-op chain y − a − b·t; both quadratic sums ride DECIMAL(20,8) so
+    they are partition/order-independent; the lag runs over the
+    calendar-bounded day frame.
+
+    Scale: one day-grain aggregate is the only full pass; the residual
+    window and both sums touch ≤ a few thousand metadata rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"), _cents().alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    d0 = days.agg(F.min("day").alias("__d0"))
+    xs = days.join(F.broadcast(d0)).select(
+        F.datediff(F.col("day"), F.col("__d0")).cast("bigint").alias("t"),
+        "c",
+    )
+    d38 = "decimal(38,0)"
+    sums = xs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("t").cast("bigint").alias("__st"),
+        F.sum("c").cast("bigint").alias("__sc"),
+        F.sum(F.col("t").cast(d38) * F.col("c").cast(d38)).alias("__stc"),
+        F.sum(F.col("t").cast(d38) * F.col("t").cast(d38)).alias("__stt"),
+    )
+    n38 = F.col("n_days").cast(d38)
+    slope = (
+        (n38 * F.col("__stc") - F.col("__st").cast(d38) * F.col("__sc").cast(d38))
+        .cast("double")
+        / (
+            n38 * F.col("__stt")
+            - F.col("__st").cast(d38) * F.col("__st").cast(d38)
+        ).cast("double")
+    )
+    fitted = sums.select(
+        "n_days",
+        slope.alias("__b"),
+        (
+            (F.col("__sc").cast("double") - slope * F.col("__st").cast("double"))
+            / F.col("n_days").cast("double")
+        ).alias("__a"),
+    )
+    resid = xs.join(F.broadcast(fitted)).select(
+        "t",
+        "n_days",
+        "__a",
+        "__b",
+        (
+            F.col("c").cast("double")
+            - F.col("__a")
+            - F.col("__b") * F.col("t").cast("double")
+        ).alias("e"),
+    )
+    w = Window.orderBy("t")
+    diffs = resid.withColumn("__ep", F.lag("e").over(w))
+    d20 = "decimal(20,8)"
+    agg = diffs.agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("__b"), 6).alias("slope_cents_per_day"),
+        F.round(F.max("__a"), 6).alias("intercept_cents"),
+        F.sum(
+            F.when(
+                F.col("__ep").isNotNull(),
+                ((F.col("e") - F.col("__ep")) * (F.col("e") - F.col("__ep"))).cast(
+                    d20
+                ),
+            )
+        )
+        .cast("double")
+        .alias("__num"),
+        F.sum((F.col("e") * F.col("e")).cast(d20)).cast("double").alias("__den"),
+    )
+    return agg.select(
+        "n_days",
+        "slope_cents_per_day",
+        "intercept_cents",
+        F.round(F.col("__num") / F.col("__den"), 6).alias("durbin_watson"),
+    )
+
+
+DURBIN_WATSON_SQL = """
+WITH days AS (
+  SELECT ts::DATE AS day,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1
+), d0 AS (
+  SELECT MIN(day) AS d0 FROM days
+), xs AS (
+  SELECT date_diff('day', d0, day)::BIGINT AS t, c FROM days CROSS JOIN d0
+), sums AS (
+  SELECT COUNT(*)::BIGINT AS n_days, SUM(t)::BIGINT AS st,
+         SUM(c)::BIGINT AS sc,
+         SUM(t::DECIMAL(38,0) * c::DECIMAL(38,0)) AS stc,
+         SUM(t::DECIMAL(38,0) * t::DECIMAL(38,0)) AS stt
+  FROM xs
+), fitted AS (
+  SELECT n_days,
+    (n_days::DECIMAL(38,0) * stc - st::DECIMAL(38,0) * sc::DECIMAL(38,0))::DOUBLE
+      / (n_days::DECIMAL(38,0) * stt - st::DECIMAL(38,0) * st::DECIMAL(38,0))::DOUBLE
+      AS b,
+    (sc::DOUBLE
+     - ((n_days::DECIMAL(38,0) * stc - st::DECIMAL(38,0) * sc::DECIMAL(38,0))::DOUBLE
+        / (n_days::DECIMAL(38,0) * stt - st::DECIMAL(38,0) * st::DECIMAL(38,0))::DOUBLE)
+       * st::DOUBLE) / n_days::DOUBLE AS a
+  FROM sums
+), resid AS (
+  SELECT t, n_days, a, b, c::DOUBLE - a - b * t::DOUBLE AS e
+  FROM xs CROSS JOIN fitted
+), diffs AS (
+  SELECT n_days, a, b, e, LAG(e) OVER (ORDER BY t) AS ep FROM resid
+)
+SELECT MAX(n_days) AS n_days,
+  ROUND(MAX(b), 6) AS slope_cents_per_day,
+  ROUND(MAX(a), 6) AS intercept_cents,
+  ROUND(
+    CAST(CAST(SUM(CASE WHEN ep IS NOT NULL
+                  THEN CAST((e - ep) * (e - ep) AS DECIMAL(20,8)) END)
+         AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST(e * e AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6)
+    AS durbin_watson
+FROM diffs
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("ccf_purchase_view_daily", ccf_purchase_view_daily, CCF_SQL)
+    register("durbin_watson_daily", durbin_watson_daily, DURBIN_WATSON_SQL)
     register("gapfill_linear_interp", gapfill_linear_interp, GAPFILL_SQL)
     register("holt_linear_trend", holt_linear_trend, _holt_sql())
     register(

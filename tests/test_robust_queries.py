@@ -172,6 +172,67 @@ def test_lorenz_matches_gini_and_sums_to_one(spark, sf_dir):
     assert abs(gini - (1 - 2 * area)) < 0.05
 
 
+def test_flesch_counts_consistent(spark, sf_dir):
+    from hpv_etl_code_spark.plans.text_queries import readability_flesch
+
+    rows = readability_flesch(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n_words >= 1 and r.n_sentences >= 1
+        # recompute the score from the reported counts
+        expect = 206.835 - 1.015 * (r.n_words / r.n_sentences) - 84.6 * (
+            r.n_syllables / r.n_words
+        )
+        assert abs(r.flesch_score - expect) < 1e-5
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    from hpv_etl_code_spark.plans.text_queries import zipf_exponent_tokens
+
+    row = zipf_exponent_tokens(spark, sf_dir).collect()[0]
+    assert row.n_tokens > 10
+    # frequency must fall with rank — slope strictly negative — and a
+    # token distribution can't decay faster than heavy exponential
+    assert -10.0 < row.zipf_slope < 0.0
+
+
+def test_transition_entropy_bounds(spark, sf_dir):
+    import math
+
+    from hpv_etl_code_spark.plans.behavior_queries import transition_entropy
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    rows = transition_entropy(spark, sf_dir).collect()
+    total = [r for r in rows if r.event_type == "TOTAL"][0]
+    states = [r for r in rows if r.event_type != "TOTAL"]
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    # conditional entropy ∈ [0, ln |types|]
+    assert -1e-6 <= total.entropy_term <= math.log(n_types) + 1e-6
+    # TOTAL term is the sum of per-state terms (same decimal-summed set)
+    assert abs(total.entropy_term - sum(r.entropy_term for r in states)) < 1e-4
+    assert total.n_out == sum(r.n_out for r in states)
+
+
+def test_durbin_watson_range(spark, sf_dir):
+    from hpv_etl_code_spark.plans.timeseries_queries import durbin_watson_daily
+
+    row = durbin_watson_daily(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.durbin_watson <= 4.0
+    assert row.n_days > 2
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import hhi_segment_concentration
+
+    rows = hhi_segment_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI ∈ (10000/n, 10000]: equals 10000/n when all equal, 10000 for a monopoly
+        assert 10000.0 / r.n_customers - 1e-6 <= r.hhi_points <= 10000.0 + 1e-6
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
