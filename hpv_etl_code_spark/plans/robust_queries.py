@@ -488,7 +488,15 @@ def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME key, so one exchange serves both; output is user-grained
     (∝ distinct users, not events).
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    return burstiness_over(load_table(spark, sf_dir, "events"))
+
+
+def burstiness_over(events: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`burstiness_user_interarrival` — also
+    the batch twin the streaming fold (streaming/stateful.py::
+    burstiness_stream, O(1) integer state per user) must reproduce
+    bit-for-bit (tests/test_stateful_burstiness.py)."""
+    ev = events.select(
         "user_id",
         F.unix_timestamp("ts").alias("at"),
         "event_id",

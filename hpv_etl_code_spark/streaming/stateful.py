@@ -568,3 +568,121 @@ def holt_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ streaming burstiness
+
+BURSTINESS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("mean_gap_s", DoubleType()),
+        StructField("sd_gap_s", DoubleType()),
+        StructField("burstiness", DoubleType()),
+    ]
+)
+_BURSTINESS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("q", LongType()),
+        StructField("last_at", LongType()),
+    ]
+)
+
+
+def _make_burstiness():
+    import math
+
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = (n_gaps, Σgap, Σgap², last_at): O(1) exact integers per
+        # key — the stream never holds the gap history the batch window
+        # lags over. Σgap² rides a 64-bit long: gaps of a year (~3·10⁷ s)
+        # square to ~10¹⁵, so ~10⁴ such gaps fit — beyond that the batch
+        # twin's DECIMAL(38,0) path is the reprocessing route.
+        n, s, q, last_at = state.get if state.exists else (0, 0, 0, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # unix seconds, floor — the batch twin's unix_timestamp(ts)
+            ats = pdf["ts"].astype("int64") // 1_000_000_000
+            for at in ats:
+                at = int(at)
+                if last_at is not None:
+                    gap = at - last_at
+                    n += 1
+                    s += gap
+                    q += gap * gap
+                last_at = at
+        state.update((n, s, q, last_at))
+        if n >= 2:
+            # the batch entry's IEEE chain verbatim: μ = s/n,
+            # σ = √(double(n·q − s²))/n, B = (σ−μ)/(σ+μ), HALF_UP 6dp
+            nn = float(n)
+            mu = float(s) / nn
+            sigma = math.sqrt(float(n * q - s * s)) / nn
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        n,
+                        _round6_half_up(mu),
+                        _round6_half_up(sigma),
+                        _round6_half_up((sigma - mu) / (sigma + mu)),
+                    )
+                ],
+                columns=[
+                    "user_id",
+                    "n_gaps",
+                    "mean_gap_s",
+                    "sd_gap_s",
+                    "burstiness",
+                ],
+            )
+        else:
+            yield pd.DataFrame(
+                [],
+                columns=[
+                    "user_id",
+                    "n_gaps",
+                    "mean_gap_s",
+                    "sd_gap_s",
+                    "burstiness",
+                ],
+            )
+
+    return fold
+
+
+def burstiness_stream(
+    stream_df: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming inter-arrival burstiness — the batch entry
+    (plans/robust_queries.py::burstiness_user_interarrival) as
+    O(1)-state ``applyInPandasWithState``: per user only
+    (n, Σgap, Σgap², last_at) exact integers, updated per event,
+    emitting the user's refreshed (μ, σ, B) per micro-batch in update
+    mode. The batch side lags over the full history per run; the
+    stream's state is four longs, so the final per-user row is
+    BIT-IDENTICAL to the batch aggregate over the same prefix (locked
+    in tests/test_stateful_burstiness.py).
+
+    Ordering contract: per-key event time non-decreasing across
+    micro-batches (sorted within), as :func:`ewma_stream`."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_burstiness(),
+            outputStructType=BURSTINESS_SCHEMA,
+            stateStructType=_BURSTINESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
