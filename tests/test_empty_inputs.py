@@ -78,6 +78,28 @@ REPRESENTATIVE = (
     "pr_curve_deciles",
     "calibration_bins_brier",
     "conformal_interval_cents",
+    # round-5 session-5 families: robust stats, concentration, drift,
+    # text diagnostics, calibration — empty inputs hit the rank-median
+    # selection over zero pairs, the NULL min/max bounds through
+    # global/grouped_row_index, the Laplace smoothing over empty bins
+    # and the empty top-k frames
+    "theil_sen_daily_trend",
+    "mann_kendall_daily_trend",
+    "ab_power_mde",
+    "js_divergence_drift",
+    "mi_event_type_dow",
+    "gini_customer_revenue",
+    "lorenz_revenue_deciles",
+    "hhi_segment_concentration",
+    "burstiness_user_interarrival",
+    "ccf_purchase_view_daily",
+    "rfm_segments",
+    "bpe_merge_candidates",
+    "zipf_exponent_tokens",
+    "readability_flesch",
+    "transition_entropy",
+    "durbin_watson_daily",
+    "isotonic_calibration_pav",
 )
 
 
