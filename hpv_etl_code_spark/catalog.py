@@ -369,6 +369,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "transition_entropy",
     "durbin_watson_daily",
     "hhi_segment_concentration",
+    "weighted_median_price",
+    "huber_location_cents",
+    "cohort_ltv_curves",
 )
 
 

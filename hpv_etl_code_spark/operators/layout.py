@@ -208,6 +208,72 @@ def grouped_row_index(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    cum_col: str = "cum_weight",
+    n_buckets: int = 64,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """INCLUSIVE running sum of ``weight`` in global ``(key, *tiebreak)``
+    order — ``SUM(weight) OVER (ORDER BY key ...)`` without its
+    single-partition sort, the third member of the two-phase family
+    (:func:`global_row_index` is the ``weight = 1`` special case kept
+    separate for its NULL/NaN rank contract). This is the primitive
+    behind exact weighted quantiles/medians and Lorenz-style cumulative
+    shares at scale.
+
+    Stages: per-bucket WEIGHT sums → running-sum window over the
+    n_buckets metadata rows gives bucket offsets; inside each bucket a
+    parallel cumulative window ordered by ``(key, *tiebreak)``; result
+    = offset + local running sum. NULL keys accumulate FIRST, exactly
+    like ``ORDER BY key NULLS FIRST``. ``weight`` must be integral
+    (LongType result keeps the sum exact); NULL weights count as 0.
+    """
+    from pyspark.sql.types import NumericType
+
+    for c in (key, weight):
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"global_prefix_sum column {c!r} must be numeric, got "
+                f"{df.schema[c].dataType.simpleString()}"
+            )
+    bounds = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+            F.width_bucket(
+                F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+            )
+        ),
+    ).drop("__lo", "__hi")
+    w0 = F.coalesce(F.col(weight).cast("long"), F.lit(0))
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.sum(w0).alias("__bw"))
+        .withColumn(
+            "__offset",
+            F.sum("__bw").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__bucket", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    local = F.sum(w0).over(
+        Window.partitionBy("__bucket")
+        .orderBy(key, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(cum_col, (F.col("__offset") + local).cast("long"))
+        .drop("__bucket", "__offset")
+    )
+
+
 def morton_z16(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer
     columns into a Z-order (Morton) value: x occupies even bit

@@ -669,9 +669,95 @@ FROM terms
 """
 
 
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curves by acquisition cohort: customers
+    are cohorted by their FIRST order month, revenue is bucketed by
+    cohort age in months, and each (cohort, age) cell reports the
+    cohort's cumulative average revenue — the money companion to
+    ``cohort_retention`` (retention says who comes back; LTV says what
+    they're worth). Month arithmetic is the integer index
+    year·12 + (month−1), so cohort and age are exact integers with no
+    date-interval seam between engines.
+
+    Determinism: revenue is exact cents; the cumulative sum runs in
+    BIGINT over the (cohorts × ages ≤ months²) metadata grid; the
+    average is one double division per cell, rounded 6dp.
+
+    Scale: one customer-grain first-order aggregate joined back (the
+    fact's second and last pass), one (cohort, age) aggregate, then
+    metadata arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(midx).alias("cohort"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    cells = (
+        orders.select(
+            "o_custkey",
+            midx.alias("__m"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("__m") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.withColumn("__cum", F.sum("rev").over(w).cast("bigint"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            F.col("rev").alias("period_cents"),
+            F.round(
+                F.col("__cum").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("cum_avg_ltv_cents"),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS m,
+         (CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT AS cents
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort, COUNT(*)::BIGINT AS n_customers FROM firsts GROUP BY cohort
+), cells AS (
+  SELECT f.cohort, o.m - f.cohort AS age, SUM(o.cents)::BIGINT AS rev
+  FROM o JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age, rev,
+    SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+  FROM cells
+)
+SELECT cohort, age, n_customers, rev AS period_cents,
+  ROUND(c::DOUBLE / n_customers::DOUBLE, 6) AS cum_avg_ltv_cents
+FROM cum JOIN sizes USING (cohort)
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("funnel_conversion", funnel_conversion, FUNNEL_SQL)
     register("transition_entropy", transition_entropy, TRANSITION_ENTROPY_SQL)
+    register("cohort_ltv_curves", cohort_ltv_curves, COHORT_LTV_SQL)
     register("rfm_segments", rfm_segments, RFM_SQL)
     register("touch_attribution", touch_attribution, ATTRIBUTION_SQL)
     register("user_journey_paths", user_journey_paths, USER_JOURNEY_SQL)

@@ -913,8 +913,242 @@ FROM terms GROUP BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact weighted median (global_prefix_sum demonstration)
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of line-item price — "the price of
+    the median UNIT shipped", the volume-aware center no unweighted
+    median gives. The cumulative weights come from ``global_prefix_sum``
+    (operators/layout.py — two-phase bucketed running sum, NO
+    single-partition ``SUM() OVER (ORDER BY …)``), and the median is
+    the smallest price whose inclusive cumulative weight reaches half
+    the total — selected by the integer comparison 2·cum ≥ W, no
+    division, no float seam.
+
+    Scale: one prefix-sum pass (metadata-sized offset table) + one
+    1-row selection aggregate; the tie order (price, orderkey,
+    linenumber) is total so both engines accumulate identically.
+    """
+    from ..operators.layout import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = global_prefix_sum(
+        li,
+        key="cents",
+        weight="qty",
+        cum_col="cw",
+        tiebreak=("l_orderkey", "l_linenumber"),
+    )
+    tot = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("total_qty"))
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("total_qty").alias("total_qty"),
+            F.min("cents").alias("weighted_median_cents"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT (CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         l_quantity::BIGINT AS qty, l_orderkey, l_linenumber
+  FROM lineitem
+), cum AS (
+  SELECT cents, qty,
+    SUM(qty) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+  FROM li
+), tot AS (
+  SELECT COUNT(*)::BIGINT AS n_rows, SUM(qty)::BIGINT AS total_qty FROM li
+)
+SELECT MAX(n_rows) AS n_rows, MAX(total_qty) AS total_qty,
+       MIN(cents) AS weighted_median_cents
+FROM cum CROSS JOIN tot WHERE 2 * cw >= total_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator of location (fixed-iteration IRLS)
+# ---------------------------------------------------------------------------
+
+
+def huber_location_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimate of the typical transaction value: rank-selected
+    median and MAD seed c = 1.345·1.4826·MAD, then TWO fixed IRLS
+    steps μₖ₊₁ = Σwᵢxᵢ/Σwᵢ with w = min(1, c/|x−μₖ|) — the robust mean
+    between the (outlier-free but inefficient) median and the
+    (efficient but fragile) mean; ``trimmed_mean_cents``'s
+    M-estimator sibling. The iteration count is FIXED (two steps from
+    a median start is the textbook recipe), so the plan is static and
+    deterministic — no convergence test, no driver loop.
+
+    Determinism: both medians are rank-selected on exact integers
+    (deviations kept in half-cents: |2x − (m_lo+m_hi)| stays a BIGINT,
+    so the MAD median never touches a float key); each weight/product
+    is a fixed-order per-row double chain; all Σw/Σwx ride
+    DECIMAL(20,8).
+
+    Scale: two ``global_row_index`` rank passes + two weighted
+    aggregates — four linear passes, no data-sized window, no
+    single-partition sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        _cents().alias("x"), "event_id"
+    )
+    m0 = _ranksel_median2(ev, "x", "event_id", "__m2")  # 2·median
+    dev = ev.join(F.broadcast(m0)).select(
+        F.abs(2 * F.col("x") - F.col("__m2")).alias("d2"),
+        "event_id",
+        "__m2",
+    )
+    mad2 = _ranksel_median2(dev, "d2", "event_id", "__mad4")  # 4·MAD
+    d20 = "decimal(20,8)"
+
+    def _step(mu_col):  # noqa: ANN001, ANN202 — one IRLS step
+        absdev = F.abs(F.col("x").cast("double") - mu_col)
+        w = F.least(F.lit(1.0), F.col("__c") / absdev)
+        # |x−μ| can be exactly 0 → c/0 = Inf → least() gives 1.0 in
+        # Spark, but make the guard explicit for ANSI/DuckDB parity
+        w = F.when(absdev == 0.0, F.lit(1.0)).otherwise(w)
+        return (
+            F.sum((w * F.col("x").cast("double")).cast(d20)).cast("double"),
+            F.sum(w.cast(d20)).cast("double"),
+        )
+
+    base = (
+        ev.join(F.broadcast(m0))
+        .join(F.broadcast(mad2))
+        .withColumn("__med", F.col("__m2").cast("double") / F.lit(2.0))
+        .withColumn(
+            "__c",
+            F.lit(_HUBER_K)
+            * (F.col("__mad4").cast("double") / F.lit(4.0)),
+        )
+    )
+    sx1, sw1 = _step(F.col("__med"))
+    it1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("__med").alias("__med"),
+        F.max("__c").alias("__c"),
+        (sx1 / sw1).alias("__mu1"),
+    )
+    sx2, sw2 = _step(F.col("__mu1"))
+    it2 = base.join(F.broadcast(it1.select("__mu1"))).agg(
+        (sx2 / sw2).alias("__mu2")
+    )
+    return it1.join(F.broadcast(it2)).select(
+        "n_events",
+        F.round("__med", 6).alias("median_cents"),
+        F.round("__c", 6).alias("huber_c"),
+        F.round("__mu1", 6).alias("mu_step1"),
+        F.round("__mu2", 6).alias("mu_step2"),
+    )
+
+
+def _ranksel_median2(
+    df: DataFrame, col: str, tiebreak: str, out: str
+) -> DataFrame:
+    """2·median of an exact-integer column as a 1-row frame (the sum of
+    the two middle order statistics — exact, no halving float). n odd
+    selects ONE row (both rank conditions coincide), so the ×(3−count)
+    factor doubles it; n even selects two and the factor is 1."""
+    from ..operators.layout import global_row_index
+
+    idx = global_row_index(df, key=col, tiebreak=(tiebreak,), index_col="__r")
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        idx.join(F.broadcast(n))
+        .filter(
+            (F.col("__r") == F.expr("(__n + 1) DIV 2"))
+            | (F.col("__r") == F.expr("__n DIV 2 + 1"))
+        )
+        .agg(
+            (F.sum(col) * (3 - F.count(F.lit(1))))
+            .cast("bigint")
+            .alias(out)
+        )
+    )
+
+
+# 1.345·1.4826 as ONE double literal shared verbatim by both engines —
+# DuckDB would otherwise evaluate the two decimal literals' product in
+# exact DECIMAL (1.99409700) while Spark/Python multiply doubles, a
+# 1-ulp seam that flips HALF_UP rounding at the 6dp boundary
+_HUBER_K = 1.345 * 1.4826
+
+HUBER_SQL = f"""
+WITH ev AS (
+  SELECT (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS x, event_id
+  FROM events
+), n1 AS (
+  SELECT COUNT(*)::BIGINT AS n FROM ev
+), r1 AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, event_id) AS r, n
+  FROM ev CROSS JOIN n1
+), m2 AS (
+  SELECT (SUM(x) * (3 - COUNT(*)))::BIGINT AS m2
+  FROM r1 WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+), dev AS (
+  SELECT abs(2 * x - m2)::BIGINT AS d2, event_id FROM ev CROSS JOIN m2
+), r2 AS (
+  SELECT d2, ROW_NUMBER() OVER (ORDER BY d2, event_id) AS r,
+         (SELECT n FROM n1) AS n
+  FROM dev
+), mad4 AS (
+  SELECT (SUM(d2) * (3 - COUNT(*)))::BIGINT AS mad4
+  FROM r2 WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+), consts AS (
+  SELECT m2::DOUBLE / 2.0 AS med,
+         CAST('{_HUBER_K!r}' AS DOUBLE) * (mad4::DOUBLE / 4.0) AS c
+  FROM m2 CROSS JOIN mad4
+), it1 AS (
+  SELECT (SELECT n FROM n1) AS n_events, MAX(med) AS med, MAX(c) AS c1,
+    CAST(CAST(SUM(CAST((CASE WHEN abs(x::DOUBLE - med) = 0.0 THEN 1.0
+                        ELSE least(1.0, c / abs(x::DOUBLE - med)) END
+                        * x::DOUBLE) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST((CASE WHEN abs(x::DOUBLE - med) = 0.0 THEN 1.0
+                          ELSE least(1.0, c / abs(x::DOUBLE - med)) END)
+                   AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS mu1
+  FROM ev CROSS JOIN consts
+), it2 AS (
+  SELECT
+    CAST(CAST(SUM(CAST((CASE WHEN abs(x::DOUBLE - mu1) = 0.0 THEN 1.0
+                        ELSE least(1.0, c / abs(x::DOUBLE - mu1)) END
+                        * x::DOUBLE) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST((CASE WHEN abs(x::DOUBLE - mu1) = 0.0 THEN 1.0
+                          ELSE least(1.0, c / abs(x::DOUBLE - mu1)) END)
+                   AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS mu2
+  FROM ev CROSS JOIN consts CROSS JOIN it1
+)
+SELECT n_events,
+  ROUND(med, 6) AS median_cents,
+  ROUND(c1, 6) AS huber_c,
+  ROUND(mu1, 6) AS mu_step1,
+  ROUND(mu2, 6) AS mu_step2
+FROM it1 CROSS JOIN it2
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register(
+        "weighted_median_price", weighted_median_price, WEIGHTED_MEDIAN_SQL
+    )
+    register("huber_location_cents", huber_location_cents, HUBER_SQL)
     register(
         "hhi_segment_concentration", hhi_segment_concentration, HHI_SQL
     )

@@ -233,6 +233,61 @@ def test_hhi_bounds(spark, sf_dir):
         assert 10000.0 / r.n_customers - 1e-6 <= r.hhi_points <= 10000.0 + 1e-6
 
 
+def test_weighted_median_between_min_and_max(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.robust_queries import weighted_median_price
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    row = weighted_median_price(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).collect()[0]
+    assert b.lo * 100 <= row.weighted_median_cents <= b.hi * 100
+    # cross-check against a driver-side computation on sorted pairs
+    pairs = sorted(
+        (int(round(r.l_extendedprice * 100)), int(r.l_quantity))
+        for r in li.select("l_extendedprice", "l_quantity").collect()
+    )
+    total = sum(q for _, q in pairs)
+    cum = 0
+    for cents, q in pairs:
+        cum += q
+        if 2 * cum >= total:
+            assert row.weighted_median_cents == cents
+            break
+
+
+def test_huber_between_median_and_mean_pull(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import huber_location_cents
+
+    row = huber_location_cents(spark, sf_dir).collect()[0]
+    assert row.huber_c > 0
+    # each IRLS step stays inside the data range and near the center:
+    # between median and median ± c is a loose but always-true envelope
+    for mu in (row.mu_step1, row.mu_step2):
+        assert row.median_cents - row.huber_c <= mu <= row.median_cents + row.huber_c
+
+
+def test_cohort_ltv_monotone_in_age(spark, sf_dir):
+    from collections import defaultdict
+
+    from hpv_etl_code_spark.plans.behavior_queries import cohort_ltv_curves
+
+    rows = cohort_ltv_curves(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r.age >= 0 and r.period_cents > 0
+        by_cohort[r.cohort].append((r.age, r.cum_avg_ltv_cents))
+    # cumulative LTV never decreases with age within a cohort
+    for series in by_cohort.values():
+        series.sort()
+        for (_, a), (_, b) in zip(series, series[1:]):
+            assert b >= a - 1e-6
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
