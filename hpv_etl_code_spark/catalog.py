@@ -372,6 +372,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "weighted_median_price",
     "huber_location_cents",
     "cohort_ltv_curves",
+    "dp_noisy_counts",
+    "spearman_purchase_view",
+    "kendall_tau_daily",
 )
 
 

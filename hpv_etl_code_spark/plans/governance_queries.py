@@ -467,7 +467,69 @@ GROUP BY t_max
 """
 
 
+_DP_EPSILON = 1.0
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event-type counts via the Laplace
+    mechanism (sensitivity 1, b = 1/ε): the release shape every
+    privacy-preserving analytics surface publishes instead of raw
+    counts. The Laplace draw is SEEDED — uniform u ∈ (−½, ½) from the
+    top 52 bits of md5(event_type), mapped through the inverse CDF
+    −b·sign(u)·ln(1−2|u|) — so the entry is deterministic and
+    oracle-checkable. A production release would draw fresh randomness
+    per query (seeded noise re-released is not DP across releases);
+    the MECHANISM (sensitivity-1 counting query, inverse-CDF Laplace,
+    ε accounting column) is exactly the production one.
+
+    Scale: one grouped count (map-side partial) over the fact; the
+    noise is per-GROUP arithmetic on ≤|types| metadata rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    h = F.conv(F.substring(F.md5("event_type"), 1, 13), 16, 10).cast("bigint")
+    u = h.cast("double") / F.lit(float(2**52)) - F.lit(0.5)
+    b = 1.0 / _DP_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return counts.select(
+        "event_type",
+        "n_true",
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.round(noise, 6).alias("laplace_noise"),
+        F.round(F.col("n_true").cast("double") + noise, 6).alias(
+            "n_released"
+        ),
+    )
+
+
+DP_NOISY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_true FROM events GROUP BY 1
+), seeded AS (
+  SELECT event_type, n_true,
+    ('0x' || substr(md5(event_type), 1, 13))::BIGINT::DOUBLE
+      / CAST('{float(2**52)!r}' AS DOUBLE) - 0.5 AS u
+  FROM counts
+)
+SELECT event_type, n_true,
+  CAST({_DP_EPSILON} AS DOUBLE) AS epsilon,
+  ROUND(-{1.0 / _DP_EPSILON} * sign(u) * ln(1.0 - 2.0 * abs(u)), 6)
+    AS laplace_noise,
+  ROUND(n_true::DOUBLE
+        + (-{1.0 / _DP_EPSILON} * sign(u) * ln(1.0 - 2.0 * abs(u))), 6)
+    AS n_released
+FROM seeded
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("dp_noisy_counts", dp_noisy_counts, DP_NOISY_SQL)
     register("k_anonymity_census", k_anonymity_census, K_ANONYMITY_SQL)
     register("t_closeness_census", t_closeness_census, T_CLOSENESS_SQL)
     register("l_diversity_census", l_diversity_census, L_DIVERSITY_SQL)

@@ -854,10 +854,209 @@ FROM diffs
 """
 
 
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-filled dense (t, x=purchase cents, y=view cents) daily
+    series shared by :func:`ccf_purchase_view_daily` and the rank
+    correlations below (same construction, same determinism notes)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    day_tot = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            _cents().alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    bounds = day_tot.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("__d1"), F.col("__d0")))
+        ).alias("t"),
+        "__d0",
+    ).select("t", F.date_add(F.col("__d0"), F.col("t")).alias("day"))
+    x = day_tot.filter(F.col("event_type") == "purchase").select("day", "c")
+    y = day_tot.filter(F.col("event_type") == "view").select("day", "c")
+    return (
+        axis.join(x.withColumnRenamed("c", "__x"), "day", "left")
+        .join(y.withColumnRenamed("c", "__y"), "day", "left")
+        .select(
+            "t",
+            F.coalesce("__x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("__y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+
+
+_DAILY_XY_SQL = """
+day_tot AS (
+  SELECT ts::DATE AS day, event_type,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM day_tot
+), axis AS (
+  SELECT unnest(range(0, date_diff('day', d0, d1) + 1))::BIGINT AS t
+  FROM bounds
+), xy0 AS (
+  SELECT date_diff('day', d0, day)::BIGINT AS t, event_type, c
+  FROM day_tot CROSS JOIN bounds
+), series AS (
+  SELECT a.t, COALESCE(x.c, 0)::BIGINT AS x, COALESCE(y.c, 0)::BIGINT AS y
+  FROM axis a
+  LEFT JOIN xy0 x ON x.event_type = 'purchase' AND x.t = a.t
+  LEFT JOIN xy0 y ON y.event_type = 'view' AND y.t = a.t
+)
+"""
+
+
+def spearman_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily purchase- and
+    view-cents series — the monotone-association reading that Pearson
+    (``corr_battery``) misses when the relationship is nonlinear.
+    Computed by the classic rank-difference identity
+    ρ = 1 − 6·Σd²/(n·(n²−1)) over ranks from the (value, t) total
+    order — defined EXACTLY (the tie-broken rank permutation makes the
+    formula a precise statistic, not the ties-approximation), and every
+    quantity up to the final division is an exact integer: no float
+    sums at all.
+
+    Scale: everything after the day-grain aggregate is calendar-bounded
+    metadata; ranks come from window sorts over the ~n_days rows.
+    """
+    xy = _daily_xy(spark, sf_dir)
+    wx = Window.orderBy("x", "t")
+    wy = Window.orderBy("y", "t")
+    ranked = xy.select(
+        "t",
+        F.row_number().over(wx).cast("bigint").alias("rx"),
+        F.row_number().over(wy).cast("bigint").alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).cast(
+                d38
+            )
+        ).alias("__sd2"),
+    )
+    n = F.col("n_days").cast(d38)
+    rho = F.lit(1.0) - (
+        (F.lit(6).cast(d38) * F.col("__sd2")).cast("double")
+        / (n * (n * n - 1)).cast("double")
+    )
+    return agg.select(
+        "n_days",
+        F.col("__sd2").cast("bigint").alias("sum_d2"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_SQL = f"""
+WITH {_DAILY_XY_SQL}, ranked AS (
+  SELECT t,
+    ROW_NUMBER() OVER (ORDER BY x, t)::BIGINT AS rx,
+    ROW_NUMBER() OVER (ORDER BY y, t)::BIGINT AS ry
+  FROM series
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n_days,
+    SUM(((rx - ry) * (rx - ry))::DECIMAL(38,0)) AS sd2
+  FROM ranked
+)
+SELECT n_days, sd2::BIGINT AS sum_d2,
+  ROUND(1.0 - (6::DECIMAL(38,0) * sd2)::DOUBLE
+        / (n_days::DECIMAL(38,0) * (n_days::DECIMAL(38,0) * n_days::DECIMAL(38,0) - 1))::DOUBLE,
+        6) AS spearman_rho
+FROM agg
+"""
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between the daily purchase- and view-cents series:
+    concordant/discordant day pairs with the standard tie corrections,
+    τ_b = (C−D)/√((n₀−t_x)·(n₀−t_y)) — the pair-counting companion to
+    :func:`spearman_purchase_view` (τ has a direct probabilistic
+    reading: P(concordant) − P(discordant)).
+
+    Determinism: C, D, and all tie counts are EXACT integers from the
+    O(days²) pair expansion (calendar-bounded after the day-grain
+    collapse, the Theil–Sen/Mann–Kendall playbook); τ is one double
+    division over one portable √.
+    """
+    xy = _daily_xy(spark, sf_dir)
+    a, b = xy.alias("a"), xy.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.t") < F.col("b.t"))
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(
+            F.when((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__tx"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ty"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__txy"),
+    )
+    n0 = F.col("n_pairs").cast("double")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (n0 - (F.col("__tx") + F.col("__txy")).cast("double"))
+        * (n0 - (F.col("__ty") + F.col("__txy")).cast("double"))
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+KENDALL_SQL = f"""
+WITH {_DAILY_XY_SQL}, agg AS (
+  SELECT COUNT(*)::BIGINT AS n_pairs,
+    SUM(CASE WHEN (b.x - a.x > 0 AND b.y - a.y > 0)
+              OR (b.x - a.x < 0 AND b.y - a.y < 0) THEN 1 ELSE 0 END)::BIGINT
+      AS concordant,
+    SUM(CASE WHEN (b.x - a.x > 0 AND b.y - a.y < 0)
+              OR (b.x - a.x < 0 AND b.y - a.y > 0) THEN 1 ELSE 0 END)::BIGINT
+      AS discordant,
+    SUM(CASE WHEN b.x - a.x = 0 AND b.y - a.y != 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+    SUM(CASE WHEN b.y - a.y = 0 AND b.x - a.x != 0 THEN 1 ELSE 0 END)::BIGINT AS ty,
+    SUM(CASE WHEN b.x - a.x = 0 AND b.y - a.y = 0 THEN 1 ELSE 0 END)::BIGINT AS txy
+  FROM series a JOIN series b ON a.t < b.t
+)
+SELECT n_pairs, concordant, discordant,
+  ROUND((concordant - discordant)::DOUBLE
+        / sqrt((n_pairs::DOUBLE - (tx + txy)::DOUBLE)
+               * (n_pairs::DOUBLE - (ty + txy)::DOUBLE)), 6) AS kendall_tau_b
+FROM agg
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("ccf_purchase_view_daily", ccf_purchase_view_daily, CCF_SQL)
     register("durbin_watson_daily", durbin_watson_daily, DURBIN_WATSON_SQL)
+    register(
+        "spearman_purchase_view", spearman_purchase_view, SPEARMAN_SQL
+    )
+    register("kendall_tau_daily", kendall_tau_daily, KENDALL_SQL)
     register("gapfill_linear_interp", gapfill_linear_interp, GAPFILL_SQL)
     register("holt_linear_trend", holt_linear_trend, _holt_sql())
     register(

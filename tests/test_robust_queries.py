@@ -288,6 +288,40 @@ def test_cohort_ltv_monotone_in_age(spark, sf_dir):
             assert b >= a - 1e-6
 
 
+def test_dp_noisy_counts_mechanism(spark, sf_dir):
+    import math
+
+    from hpv_etl_code_spark.plans.governance_queries import dp_noisy_counts
+
+    rows = dp_noisy_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.epsilon == 1.0
+        # released = true + noise exactly (up to 6dp rounding of both)
+        assert abs(r.n_released - (r.n_true + r.laplace_noise)) < 2e-6
+        # Laplace(b=1) draws essentially never exceed |40| (CDF tail
+        # e^-40); the inverse-CDF map must stay in sane range
+        assert abs(r.laplace_noise) < 40.0
+
+
+def test_spearman_kendall_agree_in_sign_and_bounds(spark, sf_dir):
+    from hpv_etl_code_spark.plans.timeseries_queries import (
+        kendall_tau_daily,
+        spearman_purchase_view,
+    )
+
+    rho = spearman_purchase_view(spark, sf_dir).collect()[0]
+    tau = kendall_tau_daily(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= rho.spearman_rho <= 1.0 + 1e-9
+    assert -1.0 - 1e-9 <= tau.kendall_tau_b <= 1.0 + 1e-9
+    assert tau.n_pairs == rho.n_days * (rho.n_days - 1) // 2
+    assert tau.concordant + tau.discordant <= tau.n_pairs
+    # both measure monotone association on the same series — when one
+    # is decisively signed the other must not be decisively opposite
+    if abs(rho.spearman_rho) > 0.2:
+        assert rho.spearman_rho * tau.kendall_tau_b >= -1e-6
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
