@@ -100,6 +100,12 @@ REPRESENTATIVE = (
     "transition_entropy",
     "durbin_watson_daily",
     "isotonic_calibration_pav",
+    "weighted_median_price",
+    "huber_location_cents",
+    "cohort_ltv_curves",
+    "dp_noisy_counts",
+    "spearman_purchase_view",
+    "kendall_tau_daily",
 )
 
 
