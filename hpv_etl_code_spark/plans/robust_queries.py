@@ -73,9 +73,16 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
+    from ..operators.layout import global_row_index
+
     m = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
-    ranked = slopes.join(F.broadcast(m)).withColumn(
-        "__r", F.row_number().over(Window.orderBy("slope"))
+    # two-phase rank, not row_number() OVER (ORDER BY slope): the pair
+    # set is O(days²) — metadata-sized relative to the fact, but at a
+    # decade of days it is millions of rows, too many for ONE window
+    # task. Equal slope values are interchangeable for a value-selected
+    # median, so no tiebreak column is needed for determinism.
+    ranked = global_row_index(slopes, key="slope", index_col="__r").join(
+        F.broadcast(m)
     )
     med_slope = (
         ranked.filter(
@@ -96,8 +103,8 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
     )
     nd = resid.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    r2 = resid.join(F.broadcast(nd)).withColumn(
-        "__r", F.row_number().over(Window.orderBy("ic"))
+    r2 = global_row_index(resid, key="ic", index_col="__r").join(
+        F.broadcast(nd)
     )
     return (
         r2.filter(
