@@ -375,6 +375,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "dp_noisy_counts",
     "spearman_purchase_view",
     "kendall_tau_daily",
+    "ohlc_daily_bars",
+    "hill_tail_index",
+    "abc_classification_parts",
 )
 
 

@@ -1150,8 +1150,180 @@ FROM it1 CROSS JOIN it2
 """
 
 
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail diagnostic)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index of per-customer revenue:
+    α̂ = k / Σᵢ₌₁..k ln(x₍ₙ₋ᵢ₊₁₎ / x₍ₙ₋ₖ₎) over the top-k order
+    statistics — the quantitative heavy-tail diagnostic behind the
+    Gini/Lorenz concentration pair (α < 2 means whale revenue has
+    effectively infinite variance: plan capacity and sampling
+    accordingly). k = 100 fixed.
+
+    Determinism: order statistics come from the ``global_row_index``
+    two-phase rank; each ln() argument is one double division of exact
+    BIGINTs; the log-sum rides DECIMAL(20,8); α̂ is one final division.
+
+    Scale: one customer-grain aggregate, one two-phase rank pass, a
+    1-row threshold broadcast, a k-row sum — no single-task sort.
+    """
+    from ..operators.layout import global_row_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    idx = global_row_index(
+        per_cust, key="cents", tiebreak=("o_custkey",), index_col="i"
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    with_n = idx.join(F.broadcast(n))
+    thr = with_n.filter(F.col("i") == F.col("__n") - _HILL_K).select(
+        F.col("cents").alias("__thr")
+    )
+    top = with_n.filter(F.col("i") > F.col("__n") - _HILL_K).join(
+        F.broadcast(thr)
+    )
+    d20 = "decimal(20,8)"
+    agg = top.agg(
+        F.max("__n").alias("n_customers"),
+        F.max("__thr").alias("threshold_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.log(
+                F.col("cents").cast("double") / F.col("__thr").cast("double")
+            ).cast(d20)
+        )
+        .cast("double")
+        .alias("__logsum"),
+    )
+    return agg.select(
+        "n_customers",
+        "k",
+        "threshold_cents",
+        F.round(
+            F.col("k").cast("double") / F.col("__logsum"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+HILL_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey)::BIGINT AS i,
+         COUNT(*) OVER ()::BIGINT AS n
+  FROM per_cust
+), thr AS (
+  SELECT cents AS t FROM ranked WHERE i = n - {_HILL_K}
+), top AS (
+  SELECT r.cents, r.n, t FROM ranked r CROSS JOIN thr
+  WHERE r.i > r.n - {_HILL_K}
+)
+SELECT MAX(n) AS n_customers, COUNT(*)::BIGINT AS k,
+  MAX(t) AS threshold_cents,
+  ROUND(COUNT(*)::DOUBLE
+        / CAST(CAST(SUM(CAST(ln(cents::DOUBLE / t::DOUBLE) AS DECIMAL(20,8)))
+               AS VARCHAR) AS DOUBLE), 6) AS hill_alpha
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC (80/15/5) revenue classification of parts
+# ---------------------------------------------------------------------------
+
+
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: parts sorted by
+    revenue DESCENDING, class A = parts inside the first 80% of
+    cumulative revenue, B = next 15% (to 95%), C = the tail — the
+    classic Pareto workload split for stocking/caching policy. The
+    descending cumulative revenue comes from ``global_prefix_sum`` on
+    the NEGATED revenue key (order-preserving trick: two-phase prefix
+    sums are ascending-only), and class boundaries are the INTEGER
+    comparisons 5·cum ≤ 4·T and 20·cum ≤ 19·T — no percentage floats
+    anywhere near the cut.
+
+    Scale: one part-grain aggregate, one prefix-sum pass, one 3-group
+    aggregate.
+    """
+    from ..operators.layout import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.select("l_partkey", _cents("l_extendedprice").alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .withColumn("negc", -F.col("cents"))
+    )
+    cum = global_prefix_sum(
+        per_part,
+        key="negc",
+        weight="cents",
+        cum_col="cw",
+        tiebreak=("l_partkey",),
+    )
+    tot = cum.agg(F.sum("cents").cast("bigint").alias("__t"))
+    classed = cum.join(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(5 * F.col("cw") <= 4 * F.col("__t"), F.lit("A"))
+        .when(20 * F.col("cw") <= 19 * F.col("__t"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        F.round(
+            F.sum("cents").cast("double") / F.max("__t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+), cum AS (
+  SELECT cents,
+    SUM(cents) OVER (ORDER BY -cents, l_partkey
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+  FROM per_part
+), tot AS (
+  SELECT SUM(cents)::BIGINT AS t FROM per_part
+), classed AS (
+  SELECT cents, t,
+    CASE WHEN 5 * cw <= 4 * t THEN 'A'
+         WHEN 20 * cw <= 19 * t THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM cum CROSS JOIN tot
+)
+SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+  SUM(cents)::BIGINT AS class_cents,
+  ROUND(SUM(cents)::DOUBLE / MAX(t)::DOUBLE, 6) AS revenue_share
+FROM classed GROUP BY abc_class
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register("hill_tail_index", hill_tail_index, HILL_SQL)
+    register(
+        "abc_classification_parts", abc_classification_parts, ABC_SQL
+    )
     register(
         "weighted_median_price", weighted_median_price, WEIGHTED_MEDIAN_SQL
     )

@@ -1049,7 +1049,63 @@ FROM agg
 """
 
 
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over event values — the canonical time-series
+    downsampling (open/high/low/close per day) every monitoring and
+    market-data surface emits. Open/close are selected by
+    ``max_by``/``min_by`` over the within-day event rank from
+    ``grouped_row_index`` (group = day): ranking inside a day through
+    the two-phase bucketed numbering means a HOT day (a flash sale, a
+    retrain burst) never lands in one window task — the failure mode of
+    ``row_number() OVER (PARTITION BY day)`` when days are few and
+    huge.
+
+    Determinism: the within-day order is the (ts, event_id) total
+    order; rank is unique within a day, so ``max_by(cents, rn)`` /
+    DuckDB ``arg_max`` pick identical rows; high/low/counts are plain
+    aggregates on exact cents.
+    """
+    from ..operators.layout import grouped_row_index
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.unix_timestamp("ts").alias("at"),
+        "event_id",
+        _cents().alias("cents"),
+    )
+    ranked = grouped_row_index(
+        ev, group="day", key="at", tiebreak=("event_id",), index_col="rn"
+    )
+    return ranked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("min_by(cents, rn)").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.expr("max_by(cents, rn)").alias("close_cents"),
+    )
+
+
+OHLC_SQL = """
+WITH ev AS (
+  SELECT ts::DATE AS day, FLOOR(epoch(ts))::BIGINT AS at, event_id,
+         (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents
+  FROM events
+), ranked AS (
+  SELECT day, cents,
+    ROW_NUMBER() OVER (PARTITION BY day ORDER BY at, event_id) AS rn
+  FROM ev
+)
+SELECT day, COUNT(*)::BIGINT AS n_events,
+  arg_min(cents, rn) AS open_cents,
+  MAX(cents) AS high_cents,
+  MIN(cents) AS low_cents,
+  arg_max(cents, rn) AS close_cents
+FROM ranked GROUP BY day
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register("ohlc_daily_bars", ohlc_daily_bars, OHLC_SQL)
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("ccf_purchase_view_daily", ccf_purchase_view_daily, CCF_SQL)
     register("durbin_watson_daily", durbin_watson_daily, DURBIN_WATSON_SQL)

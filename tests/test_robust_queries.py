@@ -322,6 +322,45 @@ def test_spearman_kendall_agree_in_sign_and_bounds(spark, sf_dir):
         assert rho.spearman_rho * tau.kendall_tau_b >= -1e-6
 
 
+def test_ohlc_bars_internally_consistent(spark, sf_dir):
+    from hpv_etl_code_spark.plans.timeseries_queries import ohlc_daily_bars
+
+    rows = ohlc_daily_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        assert r.n_events >= 1
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import hill_tail_index
+
+    row = hill_tail_index(spark, sf_dir).collect()[0]
+    assert row.k == 100
+    assert row.threshold_cents > 0
+    # revenues above the threshold → every log term > 0 → α > 0
+    assert row.hill_alpha > 0
+
+
+def test_abc_partitions_parts_and_shares(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.robust_queries import abc_classification_parts
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    rows = {r.abc_class: r for r in abc_classification_parts(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-5
+    # Pareto shape: A holds ≥ its 80% of revenue with < 80% of parts
+    assert rows["A"].revenue_share <= 0.8 + 1e-6
+    assert rows["A"].n_parts < 0.8 * n_parts
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
