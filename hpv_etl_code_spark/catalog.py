@@ -378,6 +378,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "ohlc_daily_bars",
     "hill_tail_index",
     "abc_classification_parts",
+    "negative_samples_per_user",
 )
 
 

@@ -217,7 +217,97 @@ SELECT doc_id, n_tokens::INT AS n_tokens FROM (
 """
 
 
+_NEG_K = 5
+
+
+def negative_samples_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive/recommender
+    training pairs: per customer, ``k = 5`` hash-drawn candidate parts
+    (md5(custkey#j) mod |parts| — reproducible across runs and engines,
+    the property an incremental training pipeline needs so epoch N+1
+    regenerates the same negatives), anti-joined against the customer's
+    ACTUAL purchases so no positive leaks into the negative set.
+
+    Scale: candidates are k·|customers| narrow rows generated
+    row-locally (no explode of the catalog); the purchased-pairs frame
+    is one orders⋈lineitem projection; the anti-join shuffles on the
+    (customer, part) key — the standard shape. |parts| arrives as a
+    broadcast 1-row bound, never a collected literal.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part")
+    purchased = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", F.col("l_partkey").alias("candidate_partkey"))
+        .distinct()
+    )
+    np_ = part.agg((F.max("p_partkey") + 1).cast("bigint").alias("__np"))
+    custs = orders.select("o_custkey").distinct()
+    cands = (
+        custs.join(F.broadcast(np_))
+        .select(
+            "o_custkey",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("sample_j"),
+            "__np",
+        )
+        .select(
+            "o_custkey",
+            "sample_j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("o_custkey").cast("string"),
+                                F.col("sample_j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("__np")
+            ).alias("candidate_partkey"),
+        )
+    )
+    return cands.join(
+        purchased, ["o_custkey", "candidate_partkey"], "left_anti"
+    )
+
+
+NEGATIVE_SAMPLES_SQL = f"""
+WITH purchased AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey AS candidate_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), np AS (
+  SELECT (MAX(p_partkey) + 1)::BIGINT AS np FROM part
+), cands AS (
+  SELECT c.o_custkey, j.sample_j,
+    ('0x' || substr(md5(c.o_custkey::VARCHAR || '#' || j.sample_j::VARCHAR),
+                    1, 15))::BIGINT % np AS candidate_partkey
+  FROM (SELECT DISTINCT o_custkey FROM orders) c
+  CROSS JOIN (SELECT unnest(range(1, {_NEG_K + 1}))::BIGINT AS sample_j) j
+  CROSS JOIN np
+)
+SELECT c.o_custkey, c.sample_j, c.candidate_partkey
+FROM cands c
+ANTI JOIN purchased p
+  ON c.o_custkey = p.o_custkey
+  AND c.candidate_partkey = p.candidate_partkey
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register(
+        "negative_samples_per_user",
+        negative_samples_per_user,
+        NEGATIVE_SAMPLES_SQL,
+    )
     register("corpus_mixture_sample", corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
     register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)
     register("corpus_epoch_shuffle", corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_SQL)

@@ -361,6 +361,35 @@ def test_abc_partitions_parts_and_shares(spark, sf_dir):
     assert rows["A"].n_parts < 0.8 * n_parts
 
 
+def test_negative_samples_never_positive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.packing_queries import (
+        negative_samples_per_user,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    neg = negative_samples_per_user(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchased = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", F.col("l_partkey").alias("candidate_partkey"))
+        .distinct()
+    )
+    # no sampled negative may be an actual purchase
+    assert neg.join(purchased, ["o_custkey", "candidate_partkey"]).count() == 0
+    # at most k per customer, candidate keys inside the part key space
+    per = neg.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert per <= 5
+    pmax = load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0]
+    bad = neg.filter(
+        (F.col("candidate_partkey") < 0) | (F.col("candidate_partkey") > pmax)
+    ).count()
+    assert bad == 0
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
