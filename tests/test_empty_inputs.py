@@ -106,6 +106,10 @@ REPRESENTATIVE = (
     "dp_noisy_counts",
     "spearman_purchase_view",
     "kendall_tau_daily",
+    "ohlc_daily_bars",
+    "hill_tail_index",
+    "abc_classification_parts",
+    "negative_samples_per_user",
 )
 
 
