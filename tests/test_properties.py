@@ -281,6 +281,79 @@ def test_global_index_is_the_sort_permutation(
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=-(10**9), max_value=10**9),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+def test_grouped_index_is_the_per_group_sort_permutation(
+    spark_session_holder, rows, n_buckets
+):
+    """For ANY (group, unique-key) set and bucket count, the grouped
+    two-phase index equals the key's 1-based rank within its group."""
+    from collections import defaultdict
+
+    from hpv_etl_code_spark.operators.layout import grouped_row_index
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        (r.g, r.k): r.group_idx
+        for r in grouped_row_index(df, group="g", key="k", n_buckets=n_buckets).collect()
+    }
+    per_group = defaultdict(list)
+    for g, k in rows:
+        per_group[g].append(k)
+    want = {
+        (g, k): i + 1
+        for g, ks in per_group.items()
+        for i, k in enumerate(sorted(ks))
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+def test_prefix_sum_is_the_running_total(spark_session_holder, rows, n_buckets):
+    """For ANY (key, weight) multiset, the two-phase prefix sum equals
+    the running total over the (key, id) sorted order."""
+    from hpv_etl_code_spark.operators.layout import global_prefix_sum
+
+    spark = spark_session_holder
+    indexed = [(k, w, i) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "k long, w long, id long")
+    got = {
+        r.id: r.cum_weight
+        for r in global_prefix_sum(
+            df, key="k", weight="w", n_buckets=n_buckets, tiebreak=("id",)
+        ).collect()
+    }
+    cum = 0
+    want = {}
+    for k, w, i in sorted(indexed, key=lambda t: (t[0], t[2])):
+        cum += w
+        want[i] = cum
+    assert got == want
+
+
 def _morton_ref(x: int, y: int) -> int:
     z = 0
     for j in range(16):
