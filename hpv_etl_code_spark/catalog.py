@@ -379,6 +379,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "hill_tail_index",
     "abc_classification_parts",
     "negative_samples_per_user",
+    "anomaly_days_seasonal",
 )
 
 

@@ -1104,7 +1104,88 @@ FROM ranked GROUP BY day
 """
 
 
+def anomaly_days_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily anomaly flags: remove the day-of-week
+    mean (the `seasonal_decompose_weekly` seasonal term) from the daily
+    revenue series and flag days whose residual exceeds 3 population
+    sigmas — THE on-call question ("was Tuesday actually bad, or is
+    Tuesday always bad?") asked after every revenue dip. One row per
+    day with its residual and flag.
+
+    Determinism: day totals are exact cents; dow means are one double
+    division each; residuals are a fixed 2-op chain; the residual
+    moment sums ride DECIMAL(20,8) (order-independent); σ is one
+    portable √; dow parity is the Spark ``dayofweek`` ≡ DuckDB
+    ``dayofweek + 1`` convention.
+
+    Scale: one day-grain aggregate is the only full pass; dow stats
+    (7 rows) broadcast back onto the calendar-bounded day frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"), _cents().alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    dow_stats = days.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("c").cast("bigint").alias("__sd"),
+    )
+    resid = days.join(F.broadcast(dow_stats), "dow").withColumn(
+        "__r",
+        F.col("c").cast("double")
+        - F.col("__sd").cast("double") / F.col("__nd").cast("double"),
+    )
+    d20 = "decimal(20,8)"
+    mom = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__r").cast(d20)).cast("double").alias("__s"),
+        F.sum((F.col("__r") * F.col("__r")).cast(d20))
+        .cast("double")
+        .alias("__q"),
+    )
+    nn = F.col("__n").cast("double")
+    sigma = F.sqrt((nn * F.col("__q") - F.col("__s") * F.col("__s"))) / nn
+    return (
+        resid.join(F.broadcast(mom))
+        .select(
+            "day",
+            "dow",
+            F.col("c").alias("day_cents"),
+            F.round("__r", 6).alias("residual_cents"),
+            (F.abs(F.col("__r")) > F.lit(3.0) * sigma).alias("is_anomaly"),
+        )
+    )
+
+
+ANOMALY_DAYS_SQL = """
+WITH days AS (
+  SELECT ts::DATE AS day,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1
+), dayd AS (
+  SELECT day, c, dayofweek(day) + 1 AS dow FROM days
+), dow_stats AS (
+  SELECT dow, COUNT(*)::BIGINT AS nd, SUM(c)::BIGINT AS sd
+  FROM dayd GROUP BY dow
+), resid AS (
+  SELECT day, dow, c, c::DOUBLE - sd::DOUBLE / nd::DOUBLE AS r
+  FROM dayd JOIN dow_stats USING (dow)
+), mom AS (
+  SELECT COUNT(*)::BIGINT AS n,
+    CAST(CAST(SUM(CAST(r AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(r * r AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS q
+  FROM resid
+)
+SELECT day, dow, c AS day_cents, ROUND(r, 6) AS residual_cents,
+  abs(r) > 3.0 * (sqrt(n::DOUBLE * q - s * s) / n::DOUBLE) AS is_anomaly
+FROM resid CROSS JOIN mom
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register("anomaly_days_seasonal", anomaly_days_seasonal, ANOMALY_DAYS_SQL)
     register("ohlc_daily_bars", ohlc_daily_bars, OHLC_SQL)
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)
     register("ccf_purchase_view_daily", ccf_purchase_view_daily, CCF_SQL)

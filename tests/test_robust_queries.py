@@ -390,6 +390,26 @@ def test_negative_samples_never_positive(spark, sf_dir):
     assert bad == 0
 
 
+def test_anomaly_days_residuals_center_and_flag_rule(spark, sf_dir):
+    import math
+
+    from hpv_etl_code_spark.plans.timeseries_queries import anomaly_days_seasonal
+
+    rows = anomaly_days_seasonal(spark, sf_dir).collect()
+    assert rows
+    # residuals of a per-group mean removal sum to ~0
+    assert abs(sum(r.residual_cents for r in rows)) < 1e-2 * len(rows) + 1.0
+    # the flag is consistent with the 3-sigma rule recomputed here
+    n = len(rows)
+    s = sum(r.residual_cents for r in rows)
+    q = sum(r.residual_cents**2 for r in rows)
+    sigma = math.sqrt(max(n * q - s * s, 0.0)) / n
+    for r in rows:
+        assert r.is_anomaly == (abs(r.residual_cents) > 3.0 * sigma) or (
+            abs(abs(r.residual_cents) - 3.0 * sigma) < 1e-3
+        )
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
