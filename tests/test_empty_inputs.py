@@ -110,6 +110,7 @@ REPRESENTATIVE = (
     "hill_tail_index",
     "abc_classification_parts",
     "negative_samples_per_user",
+    "anomaly_days_seasonal",
 )
 
 

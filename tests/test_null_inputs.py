@@ -98,6 +98,7 @@ REPRESENTATIVE = (
     "hill_tail_index",
     "abc_classification_parts",
     "negative_samples_per_user",
+    "anomaly_days_seasonal",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
