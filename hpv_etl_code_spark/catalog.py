@@ -198,13 +198,23 @@ _ROTATION_POOL: tuple[str, ...] = (
     "fold_assignment_leakfree",
     "psi_value_drift",
     "corpus_mixture_sample",
-    "sentinel_clean_events",
-    "histogram_prices",
-    "fd_profile_lineitem",
-    "date_trunc_orders",
-    "fuzzy_blocked_pairs",
-    "multimodal_byte_histogram",
-    "copurchase_triangles",
+    # Round-5 slice (indices 35..41 at _ROUND = 5): the seven entries
+    # below were swapped IN from the session-5 additions so the newest
+    # oracle-green families get their FIRST driver-level check the
+    # round they ship, instead of waiting ~20 rounds for the cyclic
+    # window to reach the pool tail. The seven displaced entries
+    # (sentinel_clean_events, histogram_prices, fd_profile_lineitem,
+    # date_trunc_orders, fuzzy_blocked_pairs, multimodal_byte_histogram,
+    # copurchase_triangles — all driver-checked in earlier rounds)
+    # moved to the pool tail; the cyclic-coverage invariant
+    # (test_gate_window_composition) is order-independent.
+    "isotonic_calibration_pav",
+    "weighted_median_price",
+    "theil_sen_daily_trend",
+    "js_divergence_drift",
+    "rfm_segments",
+    "bpe_merge_candidates",
+    "transition_entropy",
     "dedup_components_portable",
     "q14_promo_revenue",
     "q16_supplier_diversity",
@@ -352,24 +362,17 @@ _ROTATION_POOL: tuple[str, ...] = (
     "oov_rate_by_source",
     "diff_in_diff_cents",
     "cuped_variance_reduction",
-    "theil_sen_daily_trend",
     "ab_power_mde",
-    "js_divergence_drift",
     "gini_customer_revenue",
     "burstiness_user_interarrival",
     "ccf_purchase_view_daily",
-    "rfm_segments",
-    "bpe_merge_candidates",
-    "isotonic_calibration_pav",
     "mann_kendall_daily_trend",
     "mi_event_type_dow",
     "lorenz_revenue_deciles",
     "readability_flesch",
     "zipf_exponent_tokens",
-    "transition_entropy",
     "durbin_watson_daily",
     "hhi_segment_concentration",
-    "weighted_median_price",
     "huber_location_cents",
     "cohort_ltv_curves",
     "dp_noisy_counts",
@@ -380,6 +383,14 @@ _ROTATION_POOL: tuple[str, ...] = (
     "abc_classification_parts",
     "negative_samples_per_user",
     "anomaly_days_seasonal",
+    # displaced from the round-5 slice (see comment at index 35):
+    "sentinel_clean_events",
+    "histogram_prices",
+    "fd_profile_lineitem",
+    "date_trunc_orders",
+    "fuzzy_blocked_pairs",
+    "multimodal_byte_histogram",
+    "copurchase_triangles",
 )
 
 
