@@ -1065,9 +1065,17 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``arg_max`` pick identical rows; high/low/counts are plain
     aggregates on exact cents.
     """
+    return ohlc_over(load_table(spark, sf_dir, "events"))
+
+
+def ohlc_over(events: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`ohlc_daily_bars` — also the batch twin
+    the streaming fold (streaming/stateful.py::ohlc_stream, O(1) state
+    per day) must reproduce bit-for-bit
+    (tests/test_stateful_ohlc.py)."""
     from ..operators.layout import grouped_row_index
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = events.select(
         F.to_date("ts").alias("day"),
         F.unix_timestamp("ts").alias("at"),
         "event_id",

@@ -31,10 +31,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -682,6 +684,97 @@ def burstiness_stream(
             _make_burstiness(),
             outputStructType=BURSTINESS_SCHEMA,
             stateStructType=_BURSTINESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ------------------------------------------------- streaming daily OHLC
+
+OHLC_SCHEMA = StructType(
+    [
+        StructField("day", DateType()),
+        StructField("n_events", LongType()),
+        StructField("open_cents", LongType()),
+        StructField("high_cents", LongType()),
+        StructField("low_cents", LongType()),
+        StructField("close_cents", LongType()),
+    ]
+)
+_OHLC_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("o", LongType()),
+        StructField("h", LongType()),
+        StructField("l", LongType()),
+        StructField("c", LongType()),
+    ]
+)
+
+
+def _make_ohlc():
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = (n, open, high, low, close): O(1) exact integers per
+        # DAY — open is fixed by the first event ever seen for the day,
+        # close tracks the latest; the batch twin's within-day rank
+        # (grouped_row_index) is reproduced by the ordering contract
+        n, o, h, l, c = state.get if state.exists else (0, None, None, None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for val in pdf["value"]:
+                cents = _cents_exact(float(val))
+                if n == 0:
+                    o = h = l = cents
+                else:
+                    h = max(h, cents)
+                    l = min(l, cents)
+                c = cents
+                n += 1
+        state.update((n, o, h, l, c))
+        yield pd.DataFrame(
+            [(key[0], n, o, h, l, c)],
+            columns=[
+                "day",
+                "n_events",
+                "open_cents",
+                "high_cents",
+                "low_cents",
+                "close_cents",
+            ],
+        )
+
+    return fold
+
+
+def ohlc_stream(stream_df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming daily OHLC bars — the batch entry
+    (plans/timeseries_queries.py::ohlc_daily_bars) as O(1)-state
+    ``applyInPandasWithState`` keyed by day: five integers of state,
+    emitting the day's refreshed bar per micro-batch in update mode.
+    The batch side ranks within the day (grouped_row_index) per run;
+    the stream maintains open/high/low/close incrementally, so the
+    final per-day row is BIT-IDENTICAL to the batch aggregate over the
+    same prefix (locked in tests/test_stateful_ohlc.py).
+
+    Ordering contract: per-key (per-DAY) event time non-decreasing
+    across micro-batches (sorted within), as :func:`ewma_stream` — the
+    natural arrival order of a time-partitioned ingest."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .applyInPandasWithState(
+            _make_ohlc(),
+            outputStructType=OHLC_SCHEMA,
+            stateStructType=_OHLC_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
