@@ -391,6 +391,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "fuzzy_blocked_pairs",
     "multimodal_byte_histogram",
     "copurchase_triangles",
+    "weighted_quantiles_price",
 )
 
 

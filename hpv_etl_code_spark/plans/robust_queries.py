@@ -969,6 +969,65 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted quartiles (p25/p50/p75) of line-item
+    price — the full distributional readout over the same
+    ``global_prefix_sum`` cumulative-weight frame as
+    :func:`weighted_median_price`: quantile p = smallest price whose
+    inclusive cumulative weight reaches p·W, selected by the integer
+    comparison 4·cum ≥ k·W (k = 1, 2, 3) — one prefix pass serves all
+    three cuts, no division, no float seam.
+    """
+    from ..operators.layout import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = global_prefix_sum(
+        li,
+        key="cents",
+        weight="qty",
+        cum_col="cw",
+        tiebreak=("l_orderkey", "l_linenumber"),
+    )
+    tot = cum.agg(F.sum("qty").cast("bigint").alias("__w"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("quartile"))
+    return (
+        cum.join(F.broadcast(tot))
+        .join(F.broadcast(ks))
+        .filter(4 * F.col("cw") >= F.col("quartile") * F.col("__w"))
+        .groupBy("quartile")
+        .agg(
+            F.max("__w").alias("total_qty"),
+            F.min("cents").alias("quantile_cents"),
+        )
+    )
+
+
+WEIGHTED_QUANTILES_SQL = """
+WITH li AS (
+  SELECT (CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+         l_quantity::BIGINT AS qty, l_orderkey, l_linenumber
+  FROM lineitem
+), cum AS (
+  SELECT cents, qty,
+    SUM(qty) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+  FROM li
+), tot AS (
+  SELECT SUM(qty)::BIGINT AS w FROM li
+)
+SELECT k.quartile, MAX(w) AS total_qty, MIN(cents) AS quantile_cents
+FROM cum CROSS JOIN tot
+CROSS JOIN (SELECT unnest(range(1, 4))::INT AS quartile) k
+WHERE 4 * cw >= k.quartile * w
+GROUP BY k.quartile
+"""
+
+
 WEIGHTED_MEDIAN_SQL = """
 WITH li AS (
   SELECT (CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
@@ -1326,6 +1385,11 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     )
     register(
         "weighted_median_price", weighted_median_price, WEIGHTED_MEDIAN_SQL
+    )
+    register(
+        "weighted_quantiles_price",
+        weighted_quantiles_price,
+        WEIGHTED_QUANTILES_SQL,
     )
     register("huber_location_cents", huber_location_cents, HUBER_SQL)
     register(

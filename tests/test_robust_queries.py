@@ -259,6 +259,23 @@ def test_weighted_median_between_min_and_max(spark, sf_dir):
             break
 
 
+def test_weighted_quantiles_monotone_and_median_consistent(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import (
+        weighted_median_price,
+        weighted_quantiles_price,
+    )
+
+    q = {
+        r.quartile: r.quantile_cents
+        for r in weighted_quantiles_price(spark, sf_dir).collect()
+    }
+    assert sorted(q) == [1, 2, 3]
+    assert q[1] <= q[2] <= q[3]
+    med = weighted_median_price(spark, sf_dir).collect()[0]
+    # p50 of the quartile entry is the weighted median by construction
+    assert q[2] == med.weighted_median_cents
+
+
 def test_huber_between_median_and_mean_pull(spark, sf_dir):
     from hpv_etl_code_spark.plans.robust_queries import huber_location_cents
 
