@@ -111,6 +111,7 @@ REPRESENTATIVE = (
     "abc_classification_parts",
     "negative_samples_per_user",
     "anomaly_days_seasonal",
+    "weighted_quantiles_price",
 )
 
 

@@ -99,6 +99,7 @@ REPRESENTATIVE = (
     "abc_classification_parts",
     "negative_samples_per_user",
     "anomaly_days_seasonal",
+    "weighted_quantiles_price",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
