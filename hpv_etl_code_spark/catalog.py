@@ -392,6 +392,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "multimodal_byte_histogram",
     "copurchase_triangles",
     "weighted_quantiles_price",
+    "qini_uplift_deciles",
 )
 
 

@@ -705,6 +705,140 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     )
     register("cusum_user_cents", cusum_user_cents, CUSUM_SQL)
     register("bootstrap_ci_mean", bootstrap_ci_mean, BOOTSTRAP_CI_SQL)
+    register("qini_uplift_deciles", qini_uplift_deciles, QINI_SQL)
+
+
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve for the md5-assigned experiment: users ranked
+    by a pre-treatment engagement score (total VIEW cents) are cut into
+    ten deciles, and each decile reports the treated/control conversion
+    split plus the cumulative Qini value
+    Q(k) = ΣOᵗ(k) − ΣOᶜ(k)·ΣNᵗ(k)/ΣNᶜ(k) — the uplift-model readout
+    (who to TARGET, not just whether the treatment worked) that
+    completes the experimentation kit after SRM/power/Welch/CUPED/DiD.
+
+    Determinism: score, arms, outcomes and all decile counts are exact
+    integers (the score rank uses the ``global_row_index`` two-phase
+    numbering on the NEGATED score — descending order, (score, user)
+    tie-broken); uplift and Qini are fixed-order double arithmetic on
+    cumulative integers, rounded 6dp.
+
+    Scale: one user-level aggregate (the only full pass), one two-phase
+    rank on the user frame, one 10-group aggregate, a 10-row window.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.layout import global_row_index
+
+    ev = load_table(spark, sf_dir, "events")
+    arm_of = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    (F.col("value").cast("decimal(12,2)") * 100).cast(
+                        "bigint"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted"),
+        )
+        .select(arm_of.alias("arm"), "user_id", "score", "converted")
+        .withColumn("negscore", -F.col("score"))
+    )
+    idx = global_row_index(
+        per_user, key="negscore", tiebreak=("user_id",), index_col="i"
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    per_dec = (
+        idx.join(F.broadcast(n))
+        .withColumn("decile", F.expr("((i - 1) * 10) DIV __n + 1"))
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_t"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+            .cast("bigint")
+            .alias("o_t"),
+            F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+            .cast("bigint")
+            .alias("o_c"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lambda c: F.sum(c).over(w).cast("bigint")  # noqa: E731
+    # empty-arm deciles (possible at tiny scale): the guard lives INSIDE
+    # the divisor (NULLIF pattern) — ANSI mode + CSE hoists divisions
+    # out of WHEN branches, the chi_square_independence lesson
+    safe = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
+    uplift = (
+        F.col("o_t").cast("double") / safe(F.col("n_t"))
+        - F.col("o_c").cast("double") / safe(F.col("n_c"))
+    )
+    qini = cum("o_t").cast("double") - cum("o_c").cast("double") * (
+        cum("n_t").cast("double") / safe(cum("n_c"))
+    )
+    return per_dec.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "o_t",
+        "o_c",
+        F.round(uplift, 6).alias("uplift"),
+        F.round(qini, 6).alias("qini_cum"),
+    )
+
+
+QINI_SQL = """
+WITH per_user AS (
+  SELECT
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+    user_id,
+    SUM(CASE WHEN event_type = 'view'
+        THEN (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT ELSE 0
+        END)::BIGINT AS score,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT arm, converted,
+    ROW_NUMBER() OVER (ORDER BY -score, user_id)::BIGINT AS i,
+    COUNT(*) OVER ()::BIGINT AS n
+  FROM per_user
+), per_dec AS (
+  SELECT ((i - 1) * 10) // n + 1 AS decile,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+    SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS o_t,
+    SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS o_c
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_t, n_c, o_t, o_c,
+  ROUND(o_t::DOUBLE / NULLIF(n_t::DOUBLE, 0.0)
+        - o_c::DOUBLE / NULLIF(n_c::DOUBLE, 0.0), 6) AS uplift,
+  ROUND((SUM(o_t) OVER (ORDER BY decile))::DOUBLE
+        - (SUM(o_c) OVER (ORDER BY decile))::DOUBLE
+          * ((SUM(n_t) OVER (ORDER BY decile))::DOUBLE
+             / NULLIF((SUM(n_c) OVER (ORDER BY decile))::DOUBLE, 0.0)), 6)
+    AS qini_cum
+FROM per_dec
+"""
 
 
 def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -427,6 +427,24 @@ def test_anomaly_days_residuals_center_and_flag_rule(spark, sf_dir):
         )
 
 
+def test_qini_deciles_partition_users(spark, sf_dir):
+    from hpv_etl_code_spark.plans.inference_queries import qini_uplift_deciles
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    rows = sorted(
+        qini_uplift_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_t + r.n_c for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.o_t <= r.n_t and 0 <= r.o_c <= r.n_c
+        if r.uplift is not None:
+            assert -1.0 - 1e-9 <= r.uplift <= 1.0 + 1e-9
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
