@@ -112,6 +112,7 @@ REPRESENTATIVE = (
     "negative_samples_per_user",
     "anomaly_days_seasonal",
     "weighted_quantiles_price",
+    "qini_uplift_deciles",
 )
 
 

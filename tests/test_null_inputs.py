@@ -100,6 +100,7 @@ REPRESENTATIVE = (
     "negative_samples_per_user",
     "anomaly_days_seasonal",
     "weighted_quantiles_price",
+    "qini_uplift_deciles",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
