@@ -954,7 +954,9 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="cw",
         tiebreak=("l_orderkey", "l_linenumber"),
     )
-    tot = cum.agg(
+    # totals from the RAW frame, not the prefix frame — aggregating cum
+    # would re-derive the whole two-phase lineage a second time
+    tot = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("qty").cast("bigint").alias("total_qty"),
     )
@@ -993,7 +995,8 @@ def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="cw",
         tiebreak=("l_orderkey", "l_linenumber"),
     )
-    tot = cum.agg(F.sum("qty").cast("bigint").alias("__w"))
+    # totals from the RAW frame (see weighted_median_price)
+    tot = li.agg(F.sum("qty").cast("bigint").alias("__w"))
     ks = spark.range(1, 4).select(F.col("id").cast("int").alias("quartile"))
     return (
         cum.join(F.broadcast(tot))
@@ -1334,7 +1337,9 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="cw",
         tiebreak=("l_partkey",),
     )
-    tot = cum.agg(F.sum("cents").cast("bigint").alias("__t"))
+    # total from the part-grain frame, not the prefix frame (avoids
+    # re-deriving the two-phase lineage — see weighted_median_price)
+    tot = per_part.agg(F.sum("cents").cast("bigint").alias("__t"))
     classed = cum.join(F.broadcast(tot)).withColumn(
         "abc_class",
         F.when(5 * F.col("cw") <= 4 * F.col("__t"), F.lit("A"))
