@@ -149,7 +149,27 @@ _PRIORITY: tuple[str, ...] = (
 # ceil(len(pool)/slots) rounds. Out-of-window pool entries stay
 # oracle-checked by the in-repo mirror (tests/test_catalog_oracle.py +
 # scripts/driver_emulation.py).
-_ROUND = 5  # bump once per judged round
+def _current_round() -> int:
+    """Derive the round number from the driver's own CORRECTNESS ledger
+    (CORRECTNESS_r{N}.json files at the repo root): current round =
+    max recorded N + 1. Removes the bump-_ROUND-by-hand step that the
+    round-4 ADVICE flagged as a footgun (a forgotten bump silently
+    re-checks the previous round's slice). Falls back to 5 (the round
+    this mechanism shipped) when the ledger isn't visible."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(ns) + 1 if ns else 5
+
+
+_ROUND = _current_round()  # auto-derived; see _current_round
 _ROTATION_SLOTS = 7
 _ROTATION_POOL: tuple[str, ...] = (
     # VERDICT r4 #1: the pool now holds EVERY oracle-green tail entry
