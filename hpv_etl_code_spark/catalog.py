@@ -413,6 +413,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "copurchase_triangles",
     "weighted_quantiles_price",
     "qini_uplift_deciles",
+    "degree_assortativity_copurchase",
 )
 
 

@@ -581,11 +581,117 @@ SELECT dist, COUNT(*)::BIGINT AS n_nodes FROM m GROUP BY dist
 """
 
 
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman's r) of the part co-purchase graph —
+    do hub parts co-occur with other hubs (r > 0, assortative) or with
+    the long tail (r < 0, disassortative, the typical retail shape)?
+    Same edge definition as ``copurchase_triangles`` (parts adjacent
+    when some order contains both, deduplicated, pa < pb).
+
+    r = [Σjk/M − (Σ(j+k)/2M)²] / [Σ(j²+k²)/2M − (Σ(j+k)/2M)²] over
+    undirected edges with endpoint degrees (j, k). Every Σ is an exact
+    DECIMAL(38,0) of integer degrees, so r is a short fixed-order
+    double chain on exact inputs — no float sums anywhere.
+
+    Scale: the co-order pair expansion is the same shape the triangle
+    entry ships at sf1; the degree table (≤|parts| rows) broadcasts
+    onto both endpoints; one 1-row aggregate ends the plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    d38 = "decimal(38,0)"
+    withdeg = (
+        edges.join(
+            F.broadcast(deg.select(F.col("v").alias("pa"), F.col("d").alias("j"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("pb"), F.col("d").alias("k"))),
+            "pb",
+        )
+    )
+    agg = withdeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("j").cast(d38) * F.col("k").cast(d38)).alias("__jk"),
+        F.sum((F.col("j") + F.col("k")).cast(d38)).alias("__jpk"),
+        F.sum(
+            (F.col("j").cast(d38) * F.col("j").cast(d38))
+            + (F.col("k").cast(d38) * F.col("k").cast(d38))
+        ).alias("__j2k2"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+    m = F.col("n_edges").cast("double")
+    half = F.col("__jpk").cast("double") / (F.lit(2.0) * m)
+    num = F.col("__jk").cast("double") / m - half * half
+    den = F.col("__j2k2").cast("double") / (F.lit(2.0) * m) - half * half
+    return (
+        agg.join(F.broadcast(nv))
+        .select(
+            "n_edges",
+            "n_vertices",
+            F.round(num / den, 6).alias("assortativity"),
+        )
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT v, COUNT(*)::BIGINT AS d FROM (
+    SELECT pa AS v FROM edges UNION ALL SELECT pb AS v FROM edges
+  ) GROUP BY v
+), withdeg AS (
+  SELECT dj.d AS j, dk.d AS k
+  FROM edges e JOIN deg dj ON e.pa = dj.v JOIN deg dk ON e.pb = dk.v
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n_edges,
+    SUM(j::DECIMAL(38,0) * k::DECIMAL(38,0)) AS jk,
+    SUM((j + k)::DECIMAL(38,0)) AS jpk,
+    SUM(j::DECIMAL(38,0) * j::DECIMAL(38,0)
+        + k::DECIMAL(38,0) * k::DECIMAL(38,0)) AS j2k2
+  FROM withdeg
+), nv AS (
+  SELECT COUNT(*)::BIGINT AS n_vertices FROM deg
+)
+SELECT n_edges, n_vertices,
+  ROUND((jk::DOUBLE / n_edges::DOUBLE
+         - (jpk::DOUBLE / (2.0 * n_edges::DOUBLE))
+           * (jpk::DOUBLE / (2.0 * n_edges::DOUBLE)))
+        / (j2k2::DOUBLE / (2.0 * n_edges::DOUBLE)
+           - (jpk::DOUBLE / (2.0 * n_edges::DOUBLE))
+             * (jpk::DOUBLE / (2.0 * n_edges::DOUBLE))), 6) AS assortativity
+FROM agg CROSS JOIN nv
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "interval_containment_join",
         interval_containment_join,
         INTERVAL_CONTAINMENT_SQL,
+    )
+    register(
+        "degree_assortativity_copurchase",
+        degree_assortativity_copurchase,
+        DEGREE_ASSORTATIVITY_SQL,
     )
     register("sessionize_events", sessionize_events, SESSIONIZE_SQL)
     register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)

@@ -113,6 +113,7 @@ REPRESENTATIVE = (
     "anomaly_days_seasonal",
     "weighted_quantiles_price",
     "qini_uplift_deciles",
+    "degree_assortativity_copurchase",
 )
 
 

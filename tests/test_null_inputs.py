@@ -101,6 +101,7 @@ REPRESENTATIVE = (
     "anomaly_days_seasonal",
     "weighted_quantiles_price",
     "qini_uplift_deciles",
+    "degree_assortativity_copurchase",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
