@@ -414,6 +414,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "weighted_quantiles_price",
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
+    "clustering_coefficient_copurchase",
 )
 
 

@@ -682,6 +682,110 @@ FROM agg CROSS JOIN nv
 """
 
 
+def clustering_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient of the part co-purchase graph:
+    C = 3·T / W with T the triangle count and W = Σᵥ C(deg(v), 2) the
+    wedge count — the transitivity number that, with
+    ``degree_assortativity_copurchase``, completes the graph-health
+    panel (triangles/BFS/PageRank/components already shipped). The
+    KEY scale point: W needs NO wedge materialization — it is exact
+    integer arithmetic on the ≤|parts|-row degree table, so only the
+    triangle join pays the (degree-oriented, O(m^1.5)-bounded) fan-out
+    that ``copurchase_triangles`` documents.
+
+    Determinism: T and W are exact BIGINTs; C is one double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("bigint").alias("n_wedges")
+    )
+    with_deg = (
+        edges.join(
+            F.broadcast(
+                deg.select(F.col("v").alias("pa"), F.col("deg").alias("deg_a"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("v").alias("pb"), F.col("deg").alias("deg_b"))
+            ),
+            "pb",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")).repartition(
+        256, "y"
+    )
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")).repartition(
+        256, "y"
+    )
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3.repartition(256, "x", "z"), ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        tri.join(F.broadcast(wedges))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("clustering_coefficient"),
+        )
+    )
+
+
+CLUSTERING_COEFF_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT v, COUNT(*)::BIGINT AS d FROM (
+    SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e
+  ) GROUP BY v
+), w AS (
+  SELECT SUM(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg
+), t AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT n_triangles, n_wedges,
+  ROUND(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+    AS clustering_coefficient
+FROM t CROSS JOIN w
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register(
         "interval_containment_join",
@@ -692,6 +796,11 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
         "degree_assortativity_copurchase",
         degree_assortativity_copurchase,
         DEGREE_ASSORTATIVITY_SQL,
+    )
+    register(
+        "clustering_coefficient_copurchase",
+        clustering_coefficient_copurchase,
+        CLUSTERING_COEFF_SQL,
     )
     register("sessionize_events", sessionize_events, SESSIONIZE_SQL)
     register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)

@@ -114,6 +114,7 @@ REPRESENTATIVE = (
     "weighted_quantiles_price",
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
+    "clustering_coefficient_copurchase",
 )
 
 

@@ -102,6 +102,7 @@ REPRESENTATIVE = (
     "weighted_quantiles_price",
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
+    "clustering_coefficient_copurchase",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs
