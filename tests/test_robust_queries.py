@@ -445,6 +445,22 @@ def test_qini_deciles_partition_users(spark, sf_dir):
             assert -1.0 - 1e-9 <= r.uplift <= 1.0 + 1e-9
 
 
+def test_graph_health_panel_bounds(spark, sf_dir):
+    from hpv_etl_code_spark.plans.temporal_graph_queries import (
+        clustering_coefficient_copurchase,
+        degree_assortativity_copurchase,
+    )
+
+    r = degree_assortativity_copurchase(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert r.n_edges > 0 and r.n_vertices > 0
+
+    c = clustering_coefficient_copurchase(spark, sf_dir).collect()[0]
+    assert 0.0 <= c.clustering_coefficient <= 1.0 + 1e-9
+    # every triangle closes exactly three wedges
+    assert 3 * c.n_triangles <= c.n_wedges
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
