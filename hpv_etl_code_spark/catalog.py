@@ -415,6 +415,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
+    "winsorized_mean_cents",
 )
 
 

@@ -1026,9 +1026,95 @@ GROUP BY event_type
 """
 
 
+_WINSOR_PCT = 5
+
+
+def winsorized_mean_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of event cents per type — the robust-location
+    sibling of ``trimmed_mean_cents`` that CLAMPS the tails to the
+    p5/p95 order statistics instead of dropping them (keeps n constant,
+    the estimator of choice when the tail rows carry weight you must
+    not discard). Ranks come from ``grouped_row_index``
+    (operators/layout.py), NOT ``row_number() OVER (PARTITION BY
+    event_type)`` — with only a handful of types each partition window
+    would be one giant task; the grouped two-phase numbering ranks all
+    types bucket-parallel.
+
+    Determinism: clamp thresholds are the exact order statistics at
+    integer ranks lo+1 and n−lo (ties broken by event_id); every
+    clamped value is an exact BIGINT; one final double division.
+    """
+    from ..operators.layout import grouped_row_index
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ranked = grouped_row_index(
+        ev, group="event_type", key="cents", tiebreak=("event_id",), index_col="r"
+    )
+    ns = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    with_n = ranked.join(F.broadcast(ns), "event_type")
+    lo = F.expr(f"n * {_WINSOR_PCT} DIV 100")
+    thresholds = (
+        with_n.filter(
+            (F.col("r") == lo + 1) | (F.col("r") == F.col("n") - lo)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").alias("__lo_val"),
+            F.max("cents").alias("__hi_val"),
+        )
+    )
+    clamped = with_n.join(F.broadcast(thresholds), "event_type").select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.col("__lo_val"), F.least(F.col("__hi_val"), F.col("cents"))
+        ).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.round(
+            F.sum("w").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("winsorized_mean_cents"),
+    )
+
+
+WINSORIZED_MEAN_SQL = f"""
+WITH ranked AS (
+  SELECT event_type,
+    (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT, event_id)::BIGINT
+      AS r,
+    (COUNT(*) OVER (PARTITION BY event_type))::BIGINT AS n
+  FROM events
+), thresholds AS (
+  SELECT event_type, MIN(cents) AS lo_val, MAX(cents) AS hi_val
+  FROM ranked
+  WHERE r = n * {_WINSOR_PCT} // 100 + 1 OR r = n - n * {_WINSOR_PCT} // 100
+  GROUP BY event_type
+)
+SELECT r.event_type, MAX(n) AS n_total,
+  ROUND(SUM(greatest(lo_val, least(hi_val, cents)))::DOUBLE
+        / COUNT(*)::DOUBLE, 6) AS winsorized_mean_cents
+FROM ranked r JOIN thresholds USING (event_type)
+GROUP BY r.event_type
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("hll_distinct_portable", hll_distinct_portable, HLL_DISTINCT_SQL)
     register("trimmed_mean_cents", trimmed_mean_cents, TRIMMED_MEAN_SQL)
+    register(
+        "winsorized_mean_cents", winsorized_mean_cents, WINSORIZED_MEAN_SQL
+    )
     register("pmi_token_pairs", pmi_token_pairs, PMI_TOKEN_SQL)
     register("purged_timeseries_cv", purged_timeseries_cv, PURGED_CV_SQL)
     register("benford_digit_profile", benford_digit_profile, BENFORD_SQL)

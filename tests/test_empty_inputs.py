@@ -115,6 +115,7 @@ REPRESENTATIVE = (
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
+    "winsorized_mean_cents",
 )
 
 

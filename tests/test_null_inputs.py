@@ -103,6 +103,7 @@ REPRESENTATIVE = (
     "qini_uplift_deciles",
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
+    "winsorized_mean_cents",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs

@@ -461,6 +461,31 @@ def test_graph_health_panel_bounds(spark, sf_dir):
     assert 3 * c.n_triangles <= c.n_wedges
 
 
+def test_winsorized_mean_between_trimmed_and_raw_extremes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.stats_queries import winsorized_mean_cents
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    rows = {r.event_type: r for r in winsorized_mean_cents(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("c"),
+    )
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    }
+    for t, r in rows.items():
+        lo, hi = bounds[t]
+        # clamping can never move the mean outside the raw value range
+        assert lo <= r.winsorized_mean_cents <= hi
+        assert r.n_total > 0
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
