@@ -416,6 +416,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
+    "forecast_backtest_naive",
 )
 
 

@@ -1192,7 +1192,126 @@ FROM resid CROSS JOIN mom
 """
 
 
+_BACKTEST_DAYS = 14
+
+
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two baselines every forecast must
+    beat — naive (ŷₜ = yₜ₋₁) and seasonal-naive (ŷₜ = yₜ₋₇) — over the
+    last 14 days of the zero-filled dense daily revenue series,
+    reporting MAPE and RMSE per model. The honest yardstick for
+    ``holt_linear_trend``/``seasonal_decompose_weekly``: a model that
+    can't beat seasonal-naive is noise.
+
+    Determinism: the dense axis makes lags pure integer index joins;
+    errors are exact BIGINTs; the |e|/y and e² terms ride DECIMAL(20,8)
+    (order-independent); MAPE and RMSE are one division (+ one portable
+    √) each. Zero-revenue actuals are excluded from MAPE (undefined)
+    but kept in RMSE — the standard convention, applied identically in
+    both engines.
+
+    Scale: one day-grain aggregate; the axis, lag joins and the 2-row
+    summary are calendar-bounded metadata.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"), _cents().alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    bounds = days.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("__d1"), F.col("__d0")))
+        ).alias("t"),
+        "__d0",
+    ).select("t", F.date_add(F.col("__d0"), F.col("t")).alias("day"))
+    dense = axis.join(days, "day", "left").select(
+        "t", F.coalesce("c", F.lit(0)).cast("bigint").alias("y")
+    )
+    tmax = dense.agg(F.max("t").alias("__tmax"))
+    base = dense.join(F.broadcast(tmax)).filter(
+        F.col("t") > F.col("__tmax") - _BACKTEST_DAYS
+    )
+    preds = None
+    for model, lag in (("naive", 1), ("seasonal_naive", 7)):
+        p = base.join(
+            F.broadcast(
+                dense.select(
+                    (F.col("t") + lag).alias("t"), F.col("y").alias("yhat")
+                )
+            ),
+            "t",
+        ).select(F.lit(model).alias("model"), "y", "yhat")
+        preds = p if preds is None else preds.unionByName(p)
+    d20 = "decimal(20,8)"
+    err = (F.col("y") - F.col("yhat")).cast("double")
+    agg = preds.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y") != 0,
+                    (F.abs(err) / F.col("y").cast("double")).cast(d20),
+                )
+            ).cast("double")
+            / F.sum(F.when(F.col("y") != 0, 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sqrt(
+                F.sum((err * err).cast(d20)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("rmse_cents"),
+    )
+    return agg
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH days AS (
+  SELECT ts::DATE AS day,
+         SUM((CAST(value AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS c
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM days
+), axis AS (
+  SELECT unnest(range(0, date_diff('day', d0, d1) + 1))::BIGINT AS t, d0
+  FROM bounds
+), dense AS (
+  SELECT a.t, COALESCE(d.c, 0)::BIGINT AS y
+  FROM axis a LEFT JOIN (
+    SELECT date_diff('day', d0, day)::BIGINT AS t, c
+    FROM days CROSS JOIN bounds
+  ) d ON d.t = a.t
+), tmax AS (
+  SELECT MAX(t) AS tm FROM dense
+), preds AS (
+  SELECT 'naive' AS model, b.y, p.y AS yhat
+  FROM dense b CROSS JOIN tmax JOIN dense p ON p.t = b.t - 1
+  WHERE b.t > tm - {_BACKTEST_DAYS}
+  UNION ALL
+  SELECT 'seasonal_naive' AS model, b.y, p.y AS yhat
+  FROM dense b CROSS JOIN tmax JOIN dense p ON p.t = b.t - 7
+  WHERE b.t > tm - {_BACKTEST_DAYS}
+)
+SELECT model, COUNT(*)::BIGINT AS n_days,
+  ROUND(CAST(CAST(SUM(CASE WHEN y != 0
+               THEN CAST(abs((y - yhat)::DOUBLE) / y::DOUBLE AS DECIMAL(20,8))
+               END) AS VARCHAR) AS DOUBLE)
+        / SUM(CASE WHEN y != 0 THEN 1 ELSE 0 END)::DOUBLE, 6) AS mape,
+  ROUND(sqrt(CAST(CAST(SUM(CAST((y - yhat)::DOUBLE * (y - yhat)::DOUBLE
+                   AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*)::DOUBLE), 6) AS rmse_cents
+FROM preds GROUP BY model
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
+    register(
+        "forecast_backtest_naive", forecast_backtest_naive, FORECAST_BACKTEST_SQL
+    )
     register("anomaly_days_seasonal", anomaly_days_seasonal, ANOMALY_DAYS_SQL)
     register("ohlc_daily_bars", ohlc_daily_bars, OHLC_SQL)
     register("acf_daily_cents", acf_daily_cents, ACF_DAILY_SQL)

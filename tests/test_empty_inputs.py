@@ -116,6 +116,7 @@ REPRESENTATIVE = (
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
+    "forecast_backtest_naive",
 )
 
 

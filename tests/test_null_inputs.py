@@ -104,6 +104,7 @@ REPRESENTATIVE = (
     "degree_assortativity_copurchase",
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
+    "forecast_backtest_naive",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs

@@ -486,6 +486,18 @@ def test_winsorized_mean_between_trimmed_and_raw_extremes(spark, sf_dir):
         assert r.n_total > 0
 
 
+def test_forecast_backtest_shape(spark, sf_dir):
+    from hpv_etl_code_spark.plans.timeseries_queries import (
+        forecast_backtest_naive,
+    )
+
+    rows = {r.model: r for r in forecast_backtest_naive(spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive"}
+    for r in rows.values():
+        assert r.n_days == 14
+        assert r.mape >= 0 and r.rmse_cents >= 0
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
