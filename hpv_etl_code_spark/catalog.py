@@ -417,6 +417,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
     "forecast_backtest_naive",
+    "dedup_cluster_sizes",
 )
 
 

@@ -424,6 +424,42 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution — the operational readout on
+    top of ``dedup_components_portable`` (how big are the near-dup
+    clusters? a corpus whose mass sits in a few giant families needs a
+    different dedup policy than one full of pairs): one row per
+    cluster size with the cluster count and the documents they hold.
+
+    Pure composition: the components output (already hash-certified
+    against the recursive-CTE oracle) collapses through two exact
+    integer aggregates — cluster grain, then size grain.
+    """
+    comps = dedup_components_portable(spark, sf_dir)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH comps AS (
+{DEDUP_COMPONENTS_SQL}
+), sizes AS (
+  SELECT component, COUNT(*)::BIGINT AS cluster_size
+  FROM comps GROUP BY component
+)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+  (COUNT(*) * cluster_size)::BIGINT AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus incremental dedup (the steady-state ingest shape):
     every 5th document plays the 'new batch', the rest the accumulated
@@ -883,6 +919,9 @@ def register_entries(register) -> None:  # noqa: ANN001
     )
     register(
         "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
+    )
+    register(
+        "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
     )
     register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
     register("dedup_incremental_fast", dedup_incremental_fast, None, headline=True)

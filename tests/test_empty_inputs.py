@@ -117,6 +117,7 @@ REPRESENTATIVE = (
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
     "forecast_backtest_naive",
+    "dedup_cluster_sizes",
 )
 
 

@@ -105,6 +105,7 @@ REPRESENTATIVE = (
     "clustering_coefficient_copurchase",
     "winsorized_mean_cents",
     "forecast_backtest_naive",
+    "dedup_cluster_sizes",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs

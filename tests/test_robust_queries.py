@@ -498,6 +498,23 @@ def test_forecast_backtest_shape(spark, sf_dir):
         assert r.mape >= 0 and r.rmse_cents >= 0
 
 
+def test_dedup_cluster_sizes_consistent_with_components(spark, sf_dir):
+    from hpv_etl_code_spark.plans.text_queries import (
+        dedup_cluster_sizes,
+        dedup_components_portable,
+    )
+
+    rows = dedup_cluster_sizes(spark, sf_dir).collect()
+    assert rows
+    comps = dedup_components_portable(spark, sf_dir)
+    # every clustered doc is accounted for exactly once
+    assert sum(r.n_docs for r in rows) == comps.count()
+    assert sum(r.n_clusters for r in rows) == comps.select("component").distinct().count()
+    for r in rows:
+        assert r.cluster_size >= 2  # singletons never enter the pair graph
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
