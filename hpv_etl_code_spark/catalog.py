@@ -418,6 +418,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "winsorized_mean_cents",
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
+    "pointbiserial_engagement_conversion",
 )
 
 

@@ -1382,8 +1382,140 @@ FROM classed GROUP BY abc_class
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-biserial correlation: engagement vs conversion
+# ---------------------------------------------------------------------------
+
+
+def pointbiserial_engagement_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-biserial correlation between a user's engagement (event
+    count) and a binary RECENCY outcome (purchased within the last
+    quarter of the observation window — "any purchase ever" is
+    degenerate on long windows, every account eventually buys once) —
+    r_pb = (M₁−M₀)/s_n · √(n₁n₀/n²), the "does activity predict
+    retention" number that sits between the funnel (counts) and a full
+    uplift model.
+
+    Determinism: the recency boundary is exact integer timestamp
+    arithmetic on broadcast bounds; group sums/counts are exact
+    integers; the population s_n comes from the ÷n-free form
+    √(n·Σx²−S²)/n on exact DECIMAL(38,0); M₁−M₀ and the final product
+    are fixed-order doubles rounded 6dp. Degenerate designs yield NULL
+    via NULLIF divisors.
+
+    Scale: one bounds aggregate (broadcast 1 row) + ONE user-level
+    aggregate as the only full passes; the rest is a 1-row summary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("__t0"),
+        F.max(F.unix_timestamp("ts")).alias("__t1"),
+    )
+    recent_purchase = (
+        (F.col("event_type") == "purchase")
+        & (
+            F.unix_timestamp("ts") * 4
+            >= F.col("__t0") + 3 * F.col("__t1")
+        )
+    ).cast("int")
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.max(recent_purchase).alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("n_converted"),
+        F.sum("x").cast("bigint").alias("__s"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("__q"),
+        F.sum(F.when(F.col("y") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("__s1"),
+    )
+    n = F.col("n_users")
+    n1 = F.col("n_converted")
+    n0 = n - n1
+    # degenerate designs (everyone or no-one converted, constant x)
+    # yield NULL via the NULLIF-divisor pattern — guards must live
+    # INSIDE divisors (ANSI mode + CSE, the chi-square lesson)
+    m1 = F.col("__s1").cast("double") / F.nullif(
+        n1.cast("double"), F.lit(0.0)
+    )
+    m0 = (F.col("__s") - F.col("__s1")).cast("double") / F.nullif(
+        n0.cast("double"), F.lit(0.0)
+    )
+    sn = (
+        F.sqrt(
+            (n.cast(d38) * F.col("__q") - F.col("__s").cast(d38) * F.col("__s").cast(d38)).cast(
+                "double"
+            )
+        )
+        / n.cast("double")
+    )
+    rpb = (
+        (m1 - m0)
+        / F.nullif(sn, F.lit(0.0))
+        * F.sqrt(
+            (n1.cast(d38) * n0.cast(d38)).cast("double")
+            / (n.cast(d38) * n.cast(d38)).cast("double")
+        )
+    )
+    return agg.select(
+        "n_users",
+        "n_converted",
+        F.round(m1, 6).alias("mean_events_converted"),
+        F.round(m0, 6).alias("mean_events_not"),
+        F.round(rpb, 6).alias("pointbiserial_r"),
+    )
+
+
+POINTBISERIAL_SQL = """
+WITH bounds AS (
+  SELECT MIN(FLOOR(epoch(ts))::BIGINT) AS t0,
+         MAX(FLOOR(epoch(ts))::BIGINT) AS t1
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(*)::BIGINT AS x,
+    MAX(CASE WHEN event_type = 'purchase'
+              AND FLOOR(epoch(ts))::BIGINT * 4 >= t0 + 3 * t1
+         THEN 1 ELSE 0 END) AS y
+  FROM events CROSS JOIN bounds GROUP BY user_id
+), agg AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n1,
+    SUM(x)::BIGINT AS s,
+    SUM(x::DECIMAL(38,0) * x::DECIMAL(38,0)) AS q,
+    SUM(CASE WHEN y = 1 THEN x ELSE 0 END)::BIGINT AS s1
+  FROM per_user
+)
+SELECT n AS n_users, n1 AS n_converted,
+  ROUND(s1::DOUBLE / NULLIF(n1::DOUBLE, 0.0), 6) AS mean_events_converted,
+  ROUND((s - s1)::DOUBLE / NULLIF((n - n1)::DOUBLE, 0.0), 6)
+    AS mean_events_not,
+  ROUND((s1::DOUBLE / NULLIF(n1::DOUBLE, 0.0)
+         - (s - s1)::DOUBLE / NULLIF((n - n1)::DOUBLE, 0.0))
+        / NULLIF(sqrt((n::DECIMAL(38,0) * q
+                 - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE) / n::DOUBLE,
+                 0.0)
+        * sqrt((n1::DECIMAL(38,0) * (n - n1)::DECIMAL(38,0))::DOUBLE
+               / (n::DECIMAL(38,0) * n::DECIMAL(38,0))::DOUBLE), 6)
+    AS pointbiserial_r
+FROM agg
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register(
+        "pointbiserial_engagement_conversion",
+        pointbiserial_engagement_conversion,
+        POINTBISERIAL_SQL,
+    )
     register("hill_tail_index", hill_tail_index, HILL_SQL)
     register(
         "abc_classification_parts", abc_classification_parts, ABC_SQL

@@ -118,6 +118,7 @@ REPRESENTATIVE = (
     "winsorized_mean_cents",
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
+    "pointbiserial_engagement_conversion",
 )
 
 

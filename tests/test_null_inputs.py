@@ -106,6 +106,7 @@ REPRESENTATIVE = (
     "winsorized_mean_cents",
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
+    "pointbiserial_engagement_conversion",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs

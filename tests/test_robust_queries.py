@@ -515,6 +515,20 @@ def test_dedup_cluster_sizes_consistent_with_components(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
 
 
+def test_pointbiserial_bounds(spark, sf_dir):
+    from hpv_etl_code_spark.plans.robust_queries import (
+        pointbiserial_engagement_conversion,
+    )
+
+    row = pointbiserial_engagement_conversion(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_converted <= row.n_users
+    if row.pointbiserial_r is not None:
+        assert -1.0 - 1e-9 <= row.pointbiserial_r <= 1.0 + 1e-9
+        # sign agrees with the group-mean difference
+        diff = row.mean_events_converted - row.mean_events_not
+        assert row.pointbiserial_r * diff >= -1e-9
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
