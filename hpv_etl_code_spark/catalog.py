@@ -419,6 +419,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
     "pointbiserial_engagement_conversion",
+    "abc_by_segment",
 )
 
 

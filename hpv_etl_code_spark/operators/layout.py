@@ -274,6 +274,77 @@ def global_prefix_sum(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group: str,
+    key: str,
+    weight: str,
+    cum_col: str = "cum_weight",
+    n_buckets: int = 64,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """INCLUSIVE running sum of ``weight`` in ``(key, *tiebreak)`` order
+    WITHIN each ``group`` — completes the two-phase family
+    (:func:`global_row_index` / :func:`grouped_row_index` /
+    :func:`global_prefix_sum`): per-group cumulative shares, weighted
+    quantiles and Pareto cuts without
+    ``SUM() OVER (PARTITION BY group ORDER BY key)``'s one-task-per-
+    group sort. Same stages as :func:`global_prefix_sum`, group-
+    qualified: per-group bounds → order-preserving buckets → per-
+    (group, bucket) weight offsets (a metadata window PARTITIONED BY
+    group) → parallel within-bucket cumulative windows. NULL keys
+    accumulate FIRST within their group; NULL weights count as 0;
+    ``weight`` must be integral (exact LongType running sums).
+    """
+    from pyspark.sql.types import NumericType
+
+    for c in (key, weight):
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"grouped_prefix_sum column {c!r} must be numeric, got "
+                f"{df.schema[c].dataType.simpleString()}"
+            )
+    bounds = df.groupBy(group).agg(
+        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+    )
+    bucketed = df.join(F.broadcast(bounds), group).withColumn(
+        "__bucket",
+        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+            F.width_bucket(
+                F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
+            )
+        ),
+    ).drop("__lo", "__hi")
+    w0 = F.coalesce(F.col(weight).cast("long"), F.lit(0))
+    offsets = (
+        bucketed.groupBy(group, "__bucket")
+        .agg(F.sum(w0).alias("__bw"))
+        .withColumn(
+            "__offset",
+            F.sum("__bw").over(
+                Window.partitionBy(group)
+                .orderBy("__bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(
+            group,
+            "__bucket",
+            F.coalesce("__offset", F.lit(0)).alias("__offset"),
+        )
+    )
+    local = F.sum(w0).over(
+        Window.partitionBy(group, "__bucket")
+        .orderBy(key, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [group, "__bucket"])
+        .withColumn(cum_col, (F.col("__offset") + local).cast("long"))
+        .drop("__bucket", "__offset")
+    )
+
+
 def morton_z16(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer
     columns into a Z-order (Morton) value: x occupies even bit

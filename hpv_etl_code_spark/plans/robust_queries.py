@@ -1509,8 +1509,101 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-segment ABC classification (grouped_prefix_sum demonstration)
+# ---------------------------------------------------------------------------
+
+
+def abc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/15/5) classification of CUSTOMERS within each market
+    segment — the merchandising drilldown of
+    :func:`abc_classification_parts`: every segment gets its own Pareto
+    cut, so a whale in a small segment isn't drowned by the global
+    distribution. Per-segment descending cumulative revenue comes from
+    ``grouped_prefix_sum`` (operators/layout.py — per-group two-phase
+    running sums, NO one-task-per-segment ``SUM() OVER (PARTITION
+    BY segment ORDER BY …)``), and class boundaries are the integer
+    comparisons 5·cum ≤ 4·T and 20·cum ≤ 19·T against broadcast
+    per-segment totals.
+
+    Scale: one fact aggregate to (segment, customer) grain, one grouped
+    prefix pass, one ≤|segments|·3-group aggregate.
+    """
+    from ..operators.layout import grouped_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.select(
+            "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"), "o_custkey", "cents"
+        )
+        .withColumn("negc", -F.col("cents"))
+    )
+    cum = grouped_prefix_sum(
+        per_cust,
+        group="segment",
+        key="negc",
+        weight="cents",
+        cum_col="cw",
+        tiebreak=("o_custkey",),
+    )
+    tot = per_cust.groupBy("segment").agg(
+        F.sum("cents").cast("bigint").alias("__t")
+    )
+    classed = cum.join(F.broadcast(tot), "segment").withColumn(
+        "abc_class",
+        F.when(5 * F.col("cw") <= 4 * F.col("__t"), F.lit("A"))
+        .when(20 * F.col("cw") <= 19 * F.col("__t"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return classed.groupBy("segment", "abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        F.round(
+            F.sum("cents").cast("double") / F.max("__t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+ABC_BY_SEGMENT_SQL = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM((CAST(o_totalprice AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT segment, cents,
+    SUM(cents) OVER (PARTITION BY segment ORDER BY -cents, o_custkey
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+  FROM per_cust
+), tot AS (
+  SELECT segment, SUM(cents)::BIGINT AS t FROM per_cust GROUP BY segment
+), classed AS (
+  SELECT c.segment, cents, t,
+    CASE WHEN 5 * cw <= 4 * t THEN 'A'
+         WHEN 20 * cw <= 19 * t THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM cum c JOIN tot USING (segment)
+)
+SELECT segment, abc_class, COUNT(*)::BIGINT AS n_customers,
+  SUM(cents)::BIGINT AS class_cents,
+  ROUND(SUM(cents)::DOUBLE / MAX(t)::DOUBLE, 6) AS revenue_share
+FROM classed GROUP BY segment, abc_class
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_SQL)
+    register("abc_by_segment", abc_by_segment, ABC_BY_SEGMENT_SQL)
     register(
         "pointbiserial_engagement_conversion",
         pointbiserial_engagement_conversion,

@@ -119,6 +119,7 @@ REPRESENTATIVE = (
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
     "pointbiserial_engagement_conversion",
+    "abc_by_segment",
 )
 
 

@@ -107,6 +107,7 @@ REPRESENTATIVE = (
     "forecast_backtest_naive",
     "dedup_cluster_sizes",
     "pointbiserial_engagement_conversion",
+    "abc_by_segment",
 )
 
 _NULL_EVERY = 3  # ~1/3 of rows get NULLs

@@ -354,6 +354,49 @@ def test_prefix_sum_is_the_running_total(spark_session_holder, rows, n_buckets):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+def test_grouped_prefix_sum_is_the_per_group_running_total(
+    spark_session_holder, rows, n_buckets
+):
+    """For ANY (group, key, weight) multiset, the grouped two-phase
+    prefix sum equals the per-group running total in (key, id) order."""
+    from collections import defaultdict
+
+    from hpv_etl_code_spark.operators.layout import grouped_prefix_sum
+
+    spark = spark_session_holder
+    indexed = [(g, k, w, i) for i, (g, k, w) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "g string, k long, w long, id long")
+    got = {
+        r.id: r.cum_weight
+        for r in grouped_prefix_sum(
+            df, group="g", key="k", weight="w", n_buckets=n_buckets, tiebreak=("id",)
+        ).collect()
+    }
+    want = {}
+    per_group = defaultdict(list)
+    for g, k, w, i in indexed:
+        per_group[g].append((k, i, w))
+    for rows_g in per_group.values():
+        cum = 0
+        for k, i, w in sorted(rows_g, key=lambda t: (t[0], t[1])):
+            cum += w
+            want[i] = cum
+    assert got == want
+
+
 def _morton_ref(x: int, y: int) -> int:
     z = 0
     for j in range(16):

@@ -529,6 +529,23 @@ def test_pointbiserial_bounds(spark, sf_dir):
         assert row.pointbiserial_r * diff >= -1e-9
 
 
+def test_abc_by_segment_partitions_each_segment(spark, sf_dir):
+    from collections import defaultdict
+
+    from hpv_etl_code_spark.plans.robust_queries import abc_by_segment
+
+    rows = abc_by_segment(spark, sf_dir).collect()
+    by_seg = defaultdict(dict)
+    for r in rows:
+        by_seg[r.segment][r.abc_class] = r
+    for seg, classes in by_seg.items():
+        assert "A" in classes
+        shares = sum(r.revenue_share for r in classes.values())
+        assert abs(shares - 1.0) < 1e-5, seg
+        # per-segment Pareto: A's revenue share caps at the 80% cut
+        assert classes["A"].revenue_share <= 0.8 + 1e-6
+
+
 def test_burstiness_bounds(spark, sf_dir):
     rows = rq.burstiness_user_interarrival(spark, sf_dir).collect()
     assert rows, "expected at least one user with >= 2 gaps"
