@@ -3,18 +3,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed three times — one warm-up (JVM/codegen/scan
-cache) then two timed runs, recording the MINIMUM — and timed via a
-full materialization (count of the result) so the entire plan executes.
+Methodology (round 6 — VERDICT r5 #1, matching BASELINE.md's
+"median of 3 runs, warm JVM"): each query runs once as a warm-up
+(JVM/codegen/scan cache) then SPARK_GRAFT_BENCH_RUNS (default 3) timed
+runs via full materialization (count of the result, so the whole plan
+executes). The recorded per-query figure — and the headline total — is
+the MEDIAN of the timed runs; the MIN is emitted alongside in
+``queries_min`` as the transition-round legacy field (rounds 3-5
+recorded min-of-2, rounds 1-2 a single run; three straight rounds of
+sub-second JIT/ambient-drift false regression flags on the min
+estimator motivated the switch — see ADJUDICATED.md r5).
 
-Min-of-2 (round 3 change; rounds 1-2 recorded a single timed run): on
-this container two back-to-back full sf0.1 runs of IDENTICAL code
-measured 28.8 s vs 37.3 s total — ±30% uniform drift from outside-VM
-load — which made the per-query regression guard flap on sub-second
-entries. The minimum is the standard noise-robust estimator for
-wall-clock microbenchmarks (load only ever ADDS time); deltas vs the
-r2 single-run numbers therefore carry a small systematic improvement
-that is methodology, not plan changes — see ADJUDICATED.md.
+The regression guard compares LIKE WITH LIKE: median vs a prior
+median-methodology record when one exists at the same sf, else this
+run's min vs the prior min-methodology record — a median-vs-min
+comparison would flag the systematic min→median shift as a regression.
 """
 
 from __future__ import annotations
@@ -22,10 +25,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_METHODOLOGY = "median-of-3-warm"
 
 
 def main() -> None:
@@ -40,23 +46,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name, fn in catalog.headline_queries().items():
         try:
             fn(spark, sf_dir).count()  # warm-up
-            # SPARK_GRAFT_BENCH_RUNS: timed-run count (default 2, min
-            # recorded). The sf1 rehearsal uses 1 — its heavy entries
-            # run minutes each, and the scaling exponents it measures
-            # tolerate noise the per-round sf0.1 guard cannot.
-            n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-            best = float("inf")
+            # SPARK_GRAFT_BENCH_RUNS: timed-run count (default 3,
+            # median recorded). The sf1 rehearsal uses 1 — its heavy
+            # entries run minutes each, and the scaling exponents it
+            # measures tolerate noise the per-round sf0.1 guard cannot.
+            n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+            runs: list[float] = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+            timings_min[name] = round(min(runs), 4)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            timings_min[name] = -1.0
 
     total = round(sum(timings.values()), 4)
     line = {
@@ -64,21 +73,25 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "methodology": _METHODOLOGY,
         "sf": sf,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev = _load_prev_round(repo_dir, sf)
     violations: list[str] = []
     if prev:
-        prev_name, prev_q = prev
+        prev_name, prev_q, prev_is_median = prev
+        ours = timings if prev_is_median else timings_min
         line["delta_vs"] = prev_name
+        line["delta_estimator"] = "median" if prev_is_median else "min"
         line["delta"] = {
             q: round(t - prev_q[q], 4)
-            for q, t in timings.items()
+            for q, t in ours.items()
             if q in prev_q and t >= 0 and prev_q[q] >= 0
         }
         violations = regression_violations(
-            timings, prev_q, _adjudicated_text(repo_dir)
+            ours, prev_q, _adjudicated_text(repo_dir)
         )
         if violations:
             line["regressions"] = violations
@@ -139,21 +152,28 @@ def _adjudicated_text(repo_dir: str) -> str:
 
 
 def _load_prev_round(repo_dir: str, sf: float):
-    """Latest BENCH_r{N}.json at the same scale factor → (name, queries)
-    so each round's line carries per-query regression deltas."""
+    """Latest BENCH_r{N}.json at the same scale factor →
+    (name, queries, is_median). Prefers the latest MEDIAN-methodology
+    record (like-for-like comparison); falls back to the latest legacy
+    min-estimator record, in which case the guard compares this run's
+    min against it."""
     import glob
 
-    best = None
+    latest_median = None
+    latest_any = None
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 doc = json.load(f)
             parsed = doc.get("parsed", doc)
             if parsed.get("sf") == sf and parsed.get("queries"):
-                best = (os.path.basename(path), parsed["queries"])
+                rec = (os.path.basename(path), parsed["queries"])
+                latest_any = rec + (False,)
+                if parsed.get("methodology") == _METHODOLOGY:
+                    latest_median = rec + (True,)
         except Exception:  # noqa: BLE001 — a malformed record is not fatal
             continue
-    return best
+    return latest_median or latest_any
 
 
 if __name__ == "__main__":

@@ -149,24 +149,63 @@ _PRIORITY: tuple[str, ...] = (
 # ceil(len(pool)/slots) rounds. Out-of-window pool entries stay
 # oracle-checked by the in-repo mirror (tests/test_catalog_oracle.py +
 # scripts/driver_emulation.py).
-def _current_round() -> int:
-    """Derive the round number from the driver's own CORRECTNESS ledger
-    (CORRECTNESS_r{N}.json files at the repo root): current round =
-    max recorded N + 1. Removes the bump-_ROUND-by-hand step that the
-    round-4 ADVICE flagged as a footgun (a forgotten bump silently
-    re-checks the previous round's slice). Falls back to 5 (the round
-    this mechanism shipped) when the ledger isn't visible."""
+def _ledger_files() -> list[tuple[int, str]]:
+    """(round N, path) of every CORRECTNESS_r{N}.json at the repo root.
+    The ledgers are COMMITTED (ADVICE r5: a checkout without them used
+    to silently reset the rotation); absence therefore indicates a
+    broken deployment and warns loudly instead of silently degrading."""
     import glob
     import os
     import re
+    import warnings
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ns = [
-        int(m.group(1))
+    out = [
+        (int(m.group(1)), p)
         for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
+    if not out:
+        warnings.warn(
+            "no CORRECTNESS_r*.json ledgers found at the repo root — "
+            "they are committed artifacts; without them the rotation "
+            "scheduler treats EVERY pool entry as never-checked "
+            "(harmless but re-verifies stale slices). Check the "
+            "deployment layout.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return sorted(out)
+
+
+def _current_round() -> int:
+    """Derive the round number from the driver's own CORRECTNESS ledger:
+    current round = max recorded N + 1. Removes the bump-_ROUND-by-hand
+    step that the round-4 ADVICE flagged as a footgun. Falls back to 5
+    (the round this mechanism shipped) when the ledger isn't visible —
+    with a RuntimeWarning from :func:`_ledger_files` (ADVICE r5)."""
+    ns = [n for n, _ in _ledger_files()]
     return max(ns) + 1 if ns else 5
+
+
+def _ledger_last_checked() -> dict[str, int]:
+    """entry name → latest round whose CORRECTNESS_r{N}.json recorded a
+    driver-level check of it (regardless of pass/fail — a failed check
+    still ran; re-prioritizing failures is the builder's job, not the
+    scheduler's). Entries absent from every ledger were NEVER
+    driver-checked."""
+    import json
+
+    last: dict[str, int] = {}
+    for n, p in _ledger_files():
+        try:
+            with open(p) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in recorded:
+            last[name] = max(last.get(name, -1), n)
+    return last
 
 
 _ROUND = _current_round()  # auto-derived; see _current_round
@@ -424,9 +463,21 @@ _ROTATION_POOL: tuple[str, ...] = (
 
 
 def _rotation_window() -> tuple[str, ...]:
-    n = len(_ROTATION_POOL)
-    start = (_ROUND * _ROTATION_SLOTS) % n
-    return tuple(_ROTATION_POOL[(start + i) % n] for i in range(_ROTATION_SLOTS))
+    """VERDICT r5 #3: never-driver-checked entries first. The cyclic
+    slice took >30 rounds to give every pooled entry a FIRST driver
+    check; instead the slice is now the _ROTATION_SLOTS pool entries
+    with the OLDEST driver-level check (never-checked = -1, i.e.
+    first), tie-broken by pool order. Self-advancing: this round's
+    slice lands in CORRECTNESS_r{N}.json, so next round it sorts to the
+    back — least-recently-verified always cycles forward, and every
+    pool entry is re-checked within ceil(|pool|/slots) rounds of its
+    last check (asserted in tests/test_catalog_oracle.py)."""
+    last = _ledger_last_checked()
+    order = sorted(
+        range(len(_ROTATION_POOL)),
+        key=lambda i: (last.get(_ROTATION_POOL[i], -1), i),
+    )
+    return tuple(_ROTATION_POOL[i] for i in order[:_ROTATION_SLOTS])
 
 
 def _ensure_populated() -> None:

@@ -30,6 +30,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nan_key_and_finite(df: DataFrame, key: str) -> tuple[Column, Column]:
+    """(is-NaN predicate, finite-or-NULL key) for the two-phase
+    operators' bounds: float/double keys can hold NaN, which Spark
+    sorts ABOVE every value — so it would poison ``max(key)`` and turn
+    every ``width_bucket`` NULL (silent row loss through the inner
+    ``__bucket`` join). Non-float keys get a constant-false predicate
+    that codegen folds away."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(df.schema[key].dataType, (DoubleType, FloatType)):
+        nan_key = F.isnan(F.col(key))
+        return nan_key, F.when(~nan_key, F.col(key))
+    return F.lit(False), F.col(key)
+
+
 def global_row_index(
     df: DataFrame,
     key: str,
@@ -64,25 +79,17 @@ def global_row_index(
     replaces; min/max ignore NULLs, so value-bucket boundaries are
     unaffected. Float NaN keys are likewise kept and numbered LAST
     (Spark sorts NaN above every value), with the bounds computed over
-    finite values only — no key value silently drops rows.
+    finite values only (:func:`_nan_key_and_finite`) — no key value
+    silently drops rows.
     """
-    from pyspark.sql.types import DoubleType, FloatType, NumericType
+    from pyspark.sql.types import NumericType
 
     if not isinstance(df.schema[key].dataType, NumericType):
         raise TypeError(
             f"global_row_index key {key!r} must be numeric, got "
             f"{df.schema[key].dataType.simpleString()}; bucketize or cast first"
         )
-    # Float/double keys can hold NaN, which width_bucket maps to a NULL
-    # bucket (silent row loss through the offsets join) AND which would
-    # poison the max() bound (Spark sorts NaN above every value, so
-    # max = NaN → NULL buckets for ALL rows). Detect it explicitly and
-    # (a) exclude NaN from the bounds, (b) route NaN keys to their own
-    # bucket AFTER all value buckets — matching row_number()'s
-    # ORDER BY key placement of NaN last.
-    is_float = isinstance(df.schema[key].dataType, (DoubleType, FloatType))
-    nan_key = F.isnan(F.col(key)) if is_float else F.lit(False)
-    finite = F.when(~nan_key, F.col(key)) if is_float else F.col(key)
+    nan_key, finite = _nan_key_and_finite(df, key)
     bounds = df.agg(
         F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
     )
@@ -156,16 +163,14 @@ def grouped_row_index(
     :func:`global_row_index`. ``(key, *tiebreak)`` must be unique
     within a group for a deterministic result.
     """
-    from pyspark.sql.types import DoubleType, FloatType, NumericType
+    from pyspark.sql.types import NumericType
 
     if not isinstance(df.schema[key].dataType, NumericType):
         raise TypeError(
             f"grouped_row_index key {key!r} must be numeric, got "
             f"{df.schema[key].dataType.simpleString()}; bucketize or cast first"
         )
-    is_float = isinstance(df.schema[key].dataType, (DoubleType, FloatType))
-    nan_key = F.isnan(F.col(key)) if is_float else F.lit(False)
-    finite = F.when(~nan_key, F.col(key)) if is_float else F.col(key)
+    nan_key, finite = _nan_key_and_finite(df, key)
     bounds = df.groupBy(group).agg(
         F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
     )
@@ -227,22 +232,36 @@ def global_prefix_sum(
     Stages: per-bucket WEIGHT sums → running-sum window over the
     n_buckets metadata rows gives bucket offsets; inside each bucket a
     parallel cumulative window ordered by ``(key, *tiebreak)``; result
-    = offset + local running sum. NULL keys accumulate FIRST, exactly
-    like ``ORDER BY key NULLS FIRST``. ``weight`` must be integral
-    (LongType result keeps the sum exact); NULL weights count as 0.
+    = offset + local running sum. NULL keys accumulate FIRST, NaN keys
+    LAST (same finite-bounds + dedicated-bucket routing as
+    :func:`global_row_index` — ADVICE r5: without it one NaN key
+    poisons ``max(key)``, ``width_bucket`` returns NULL everywhere and
+    the inner ``__bucket`` join silently drops EVERY row). ``weight``
+    must be an INTEGRAL type (LongType result keeps the sum exact) —
+    enforced with a TypeError rather than a silent ``cast('long')``
+    truncation of doubles; NULL weights count as 0.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType, NumericType
 
-    for c in (key, weight):
-        if not isinstance(df.schema[c].dataType, NumericType):
-            raise TypeError(
-                f"global_prefix_sum column {c!r} must be numeric, got "
-                f"{df.schema[c].dataType.simpleString()}"
-            )
-    bounds = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    if not isinstance(df.schema[key].dataType, NumericType):
+        raise TypeError(
+            f"global_prefix_sum key {key!r} must be numeric, got "
+            f"{df.schema[key].dataType.simpleString()}"
+        )
+    if not isinstance(df.schema[weight].dataType, IntegralType):
+        raise TypeError(
+            f"global_prefix_sum weight {weight!r} must be integral "
+            f"(got {df.schema[weight].dataType.simpleString()}); scale "
+            "to integer units (e.g. cents) and cast first — a silent "
+            "cast('long') would truncate fractional weights"
+        )
+    nan_key, finite = _nan_key_and_finite(df, key)
+    bounds = df.agg(F.min(finite).alias("__lo"), F.max(finite).alias("__hi"))
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "__bucket",
-        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+        F.when(F.col(key).isNull(), F.lit(0))
+        .when(nan_key, F.lit(n_buckets + 1))
+        .otherwise(
             F.width_bucket(
                 F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
             )
@@ -293,23 +312,34 @@ def grouped_prefix_sum(
     qualified: per-group bounds → order-preserving buckets → per-
     (group, bucket) weight offsets (a metadata window PARTITIONED BY
     group) → parallel within-bucket cumulative windows. NULL keys
-    accumulate FIRST within their group; NULL weights count as 0;
-    ``weight`` must be integral (exact LongType running sums).
+    accumulate FIRST within their group, NaN keys LAST (finite-bounds
+    + NaN-bucket routing as :func:`global_prefix_sum`, ADVICE r5);
+    NULL weights count as 0; ``weight`` must be an INTEGRAL type
+    (exact LongType running sums) — TypeError otherwise.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType, NumericType
 
-    for c in (key, weight):
-        if not isinstance(df.schema[c].dataType, NumericType):
-            raise TypeError(
-                f"grouped_prefix_sum column {c!r} must be numeric, got "
-                f"{df.schema[c].dataType.simpleString()}"
-            )
+    if not isinstance(df.schema[key].dataType, NumericType):
+        raise TypeError(
+            f"grouped_prefix_sum key {key!r} must be numeric, got "
+            f"{df.schema[key].dataType.simpleString()}"
+        )
+    if not isinstance(df.schema[weight].dataType, IntegralType):
+        raise TypeError(
+            f"grouped_prefix_sum weight {weight!r} must be integral "
+            f"(got {df.schema[weight].dataType.simpleString()}); scale "
+            "to integer units (e.g. cents) and cast first — a silent "
+            "cast('long') would truncate fractional weights"
+        )
+    nan_key, finite = _nan_key_and_finite(df, key)
     bounds = df.groupBy(group).agg(
-        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+        F.min(finite).alias("__lo"), F.max(finite).alias("__hi")
     )
     bucketed = df.join(F.broadcast(bounds), group).withColumn(
         "__bucket",
-        F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+        F.when(F.col(key).isNull(), F.lit(0))
+        .when(nan_key, F.lit(n_buckets + 1))
+        .otherwise(
             F.width_bucket(
                 F.col(key), F.col("__lo"), F.col("__hi") + 1, F.lit(n_buckets)
             )

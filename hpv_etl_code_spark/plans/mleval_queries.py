@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.layout import global_row_index
 from ..sources.registry import load_table
 
 _LIFT_BUCKETS = 10
@@ -40,21 +41,25 @@ def auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no pairwise expansion (the naive AUC join is n⁺·n⁻ pairs —
     quadratic; the rank form is sort + two aggregates).
 
-    Scale: ranks come from ONE global sort exchange (range-partitioned,
-    no single task holds the table), the midrank adjustment is a
-    (score)-keyed aggregation, and everything downstream is a 1-row
-    summary. At 100 TB the same identity runs on a quantized-score
-    histogram (65k buckets) with identical midrank math.
+    Scale: the cumulative rank count over distinct scores is a
+    ``global_prefix_sum`` (two-phase bucketed — no single-partition
+    sort even when the score domain is data-sized; ADVICE r5 killed
+    the last bare ``ORDER BY`` windows in this module), the midrank
+    adjustment is a (score)-keyed aggregation, and everything
+    downstream is a 1-row summary. At 100 TB the same identity runs on
+    a quantized-score histogram (65k buckets) with identical math.
     """
+    from ..operators.layout import global_prefix_sum
+
     s = _scored(spark, sf_dir)
     # midrank per distinct score: ranks occupied are [rk, rk+cnt-1]
     per_score = s.groupBy("score").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("label").cast("bigint").alias("pos"),
     )
-    w = Window.orderBy("score")
-    ranked = per_score.withColumn(
-        "cum", F.sum("cnt").over(w)
+    # score is unique post-groupBy → the prefix order is deterministic
+    ranked = global_prefix_sum(
+        per_score, key="score", weight="cnt", cum_col="cum"
     ).withColumn(
         "midrank",
         (
@@ -124,19 +129,29 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     its positive rate, lift vs the base rate, and cumulative gain —
     the campaign-targeting readout.
 
-    Scale: one global sort exchange for ranks (range-partitioned),
-    one 10-group aggregation, a broadcast 1-row base rate. The
+    Scale: ranks come from the two-phase bucketed scheme
+    (``global_row_index`` on the NEGATED score — ADVICE r5: the former
+    bare ``row_number() OVER (ORDER BY ...)`` planned as Exchange
+    SinglePartition, the one-task global sort layout.py exists to
+    avoid; plan-asserted in tests/test_mleval_plans.py), then one
+    10-group aggregation and a broadcast 1-row base rate. The
     cumulative columns run over 10 metadata rows.
     """
     s = _scored(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), F.col("event_id"))
     n1 = s.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("label").cast("bigint").alias("__p"),
     )
+    # rank DESC by score = rank ASC by -score (scores are non-null
+    # exact cents; ties broken by event_id in both engines)
+    ranked = global_row_index(
+        s.withColumn("negscore", -F.col("score")),
+        key="negscore",
+        tiebreak=("event_id",),
+        index_col="rk",
+    ).drop("negscore")
     bucketed = (
-        s.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(n1))
+        ranked.join(F.broadcast(n1))
         .withColumn(
             "decile",
             F.expr(f"((rk - 1) * {_LIFT_BUCKETS}) DIV __n").cast("bigint"),
@@ -333,19 +348,24 @@ def pr_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     TP/FP/FN are exact integers from ONE cumulative window over ten
     bucket aggregates; precision/recall/F1 are single double divisions.
 
-    Scale: one global rank sort (range-partitioned), one 10-group
-    aggregation; the cumulative confusion counts and ratios run over
-    10 metadata rows.
+    Scale: ranks via ``global_row_index`` on the negated score (no
+    single-partition sort — ADVICE r5, plan-asserted in
+    tests/test_mleval_plans.py), one 10-group aggregation; the
+    cumulative confusion counts and ratios run over 10 metadata rows.
     """
     s = _scored(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), F.col("event_id"))
     n1 = s.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("label").cast("bigint").alias("__p"),
     )
+    ranked = global_row_index(
+        s.withColumn("negscore", -F.col("score")),
+        key="negscore",
+        tiebreak=("event_id",),
+        index_col="rk",
+    ).drop("negscore")
     per = (
-        s.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(n1))
+        ranked.join(F.broadcast(n1))
         .withColumn(
             "decile",
             F.expr(f"((rk - 1) * {_LIFT_BUCKETS}) DIV __n").cast("bigint"),
@@ -437,16 +457,19 @@ def calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE multiply of that double, per-row terms sum through
     DECIMAL(20,8), every ratio is a single final division rounded 6dp.
 
-    Scale: one rank sort exchange, one 10-group aggregation, a 1-row
+    Scale: ranks via ``global_row_index`` (ascending score — no
+    single-partition sort, ADVICE r5, plan-asserted in
+    tests/test_mleval_plans.py), one 10-group aggregation, a 1-row
     summary — same shape as the AUC entry.
     """
     s = _scored(spark, sf_dir)
-    w = Window.orderBy("score", "event_id")
     n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     p = (F.col("rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    ranked = global_row_index(
+        s, key="score", tiebreak=("event_id",), index_col="rk"
+    )
     tagged = (
-        s.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(n1))
+        ranked.join(F.broadcast(n1))
         .withColumn("p", p)
         .withColumn(
             "bin",
@@ -567,10 +590,15 @@ def conformal_interval_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank selection and coverage counting never touch a float);
     reported floats are single final divisions.
 
-    Scale: three conditional aggregates over one pass (train sums),
-    one rank window per type over the calibration half
-    (range-partitioned sort), one broadcast of the |types|-row q̂
-    table, one test-half count — no joins wider than the type table.
+    Scale: three conditional aggregates over one pass (train sums);
+    the per-type calibration rank comes from ``grouped_row_index``
+    (two-phase bucketed — a bare ``row_number() OVER (PARTITION BY
+    event_type ORDER BY ...)`` would sort each type's whole
+    calibration half in ONE task, the few-large-groups killer); one
+    broadcast of the |types|-row q̂ table, one test-half count — no
+    joins wider than the type table. The rank-k selected r is
+    deterministic even under (r, cents) ties: the k-th smallest r is a
+    property of the sorted multiset, not the tie order.
     """
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -601,13 +629,16 @@ def conformal_interval_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(train), "event_type")
         .withColumn("r", scaled_res)
     )
-    w = Window.partitionBy("event_type").orderBy("r", "cents")
     cal_n = cal.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cal")
     )
+    from ..operators.layout import grouped_row_index
+
+    cal_ranked = grouped_row_index(
+        cal, group="event_type", key="r", tiebreak=("cents",), index_col="rk"
+    )
     qhat = (
-        cal.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(cal_n), "event_type")
+        cal_ranked.join(F.broadcast(cal_n), "event_type")
         .filter(
             F.col("rk")
             == F.ceil(

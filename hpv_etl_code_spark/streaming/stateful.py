@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import decimal
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -727,12 +728,23 @@ def _make_ohlc():
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
             for val in pdf["value"]:
-                cents = _cents_exact(float(val))
+                # ADVICE r5: a SQL NULL value arrives as NaN (float64
+                # column) or None (object column) — it must not crash
+                # the Decimal quantize. Mirror the batch twin's SPARK
+                # semantics exactly (tests/test_stateful_ohlc.py):
+                # COUNT(*) counts the null row; min_by/max_by(cents,rn)
+                # return the cents AT the boundary row even when NULL;
+                # max/min skip nulls.
+                cents = None
+                if val is not None:
+                    fv = float(val)
+                    if not math.isnan(fv):
+                        cents = _cents_exact(fv)
                 if n == 0:
-                    o = h = l = cents
-                else:
-                    h = max(h, cents)
-                    l = min(l, cents)
+                    o = cents
+                if cents is not None:
+                    h = cents if h is None else max(h, cents)
+                    l = cents if l is None else min(l, cents)
                 c = cents
                 n += 1
         state.update((n, o, h, l, c))

@@ -33,6 +33,35 @@ def test_new_and_failed_queries_skipped():
     assert got == []
 
 
+def test_prev_round_prefers_median_methodology_record(tmp_path):
+    """VERDICT r5 #1: the guard compares like with like — a
+    median-of-3 record at the same sf wins over a newer legacy min
+    record; with only legacy records it returns is_median=False so the
+    caller compares mins (median-vs-min would flag the systematic
+    estimator shift as a regression)."""
+    import json
+
+    from bench import _METHODOLOGY, _load_prev_round
+
+    legacy = {"sf": 0.1, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(legacy))
+    name, q, is_median = _load_prev_round(str(tmp_path), 0.1)
+    assert (name, is_median) == ("BENCH_r05.json", False) and q == {"q": 1.0}
+
+    med = {"sf": 0.1, "queries": {"q": 1.2}, "methodology": _METHODOLOGY}
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps(med))
+    name, q, is_median = _load_prev_round(str(tmp_path), 0.1)
+    assert (name, is_median) == ("BENCH_r06.json", True) and q == {"q": 1.2}
+
+    # a LATER legacy record does not displace the median one
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(legacy))
+    name, q, is_median = _load_prev_round(str(tmp_path), 0.1)
+    assert (name, is_median) == ("BENCH_r06.json", True)
+
+    # other-sf records are ignored entirely
+    assert _load_prev_round(str(tmp_path), 1.0) is None
+
+
 def test_adjudication_requires_section_header():
     """A passing mention of a query inside ANOTHER query's rationale must
     not waive its regression — only a '## <name>' header counts."""

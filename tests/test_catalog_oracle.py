@@ -45,16 +45,21 @@ def test_gate_window_composition():
     assert not set(pool) & set(catalog._PRIORITY)
     assert len(set(pool)) == len(pool)
     assert all(n in es for n in pool)
-    # the cyclic slice visits every pool entry within ceil(n/slots) rounds
+    # VERDICT r5 #3: the ledger-driven scheduler visits every pool
+    # entry within ceil(n/slots) rounds — simulate: each round's slice
+    # is recorded as checked, which pushes it to the back of the order
     import math
 
-    rounds = math.ceil(len(pool) / catalog._ROTATION_SLOTS) + 1
+    last = catalog._ledger_last_checked()
+    slots = catalog._ROTATION_SLOTS
+    rounds = math.ceil(len(pool) / slots) + 1
     seen = set()
     for r in range(catalog._ROUND, catalog._ROUND + rounds):
-        start = (r * catalog._ROTATION_SLOTS) % len(pool)
-        seen.update(
-            pool[(start + i) % len(pool)] for i in range(catalog._ROTATION_SLOTS)
-        )
+        order = sorted(range(len(pool)), key=lambda i: (last.get(pool[i], -1), i))
+        sl = [pool[i] for i in order[:slots]]
+        seen.update(sl)
+        for n in sl:
+            last[n] = r
     assert seen == set(pool)
     rows_only = [n for n in names[:50] if es[n].oracle is None]
     # round 3: the window is fully oracle-dense — the sketch slot is
@@ -64,6 +69,22 @@ def test_gate_window_composition():
     assert rows_only == [], rows_only
     assert "kmv_distinct_portable" in names[:50]
     assert "approx_sketches" in names[50:]
+
+
+def test_rotation_slice_prefers_never_checked_entries():
+    """VERDICT r5 #3 done-criterion: while ANY pool entry has never
+    appeared in a CORRECTNESS_r*.json ledger, the current round's slice
+    must contain ONLY such entries (least-recently-checked ordering
+    degrades gracefully once the pool has full first-check coverage)."""
+    pool = catalog._ROTATION_POOL
+    last = catalog._ledger_last_checked()
+    never = [n for n in pool if last.get(n, -1) < 0]
+    window = catalog._rotation_window()
+    assert len(window) == catalog._ROTATION_SLOTS
+    if len(never) >= catalog._ROTATION_SLOTS:
+        assert all(n in never for n in window), (window, never[:10])
+        # and specifically the FIRST never-checked entries in pool order
+        assert list(window) == never[: catalog._ROTATION_SLOTS]
 
 
 def test_rotation_pool_entries_stay_oracle_backed():

@@ -42,9 +42,31 @@ def test_global_index_is_dense_from_one(spark, sf_dir):
     assert stats.nd == stats.n
 
 
+def _window_specs(plan: str) -> list[tuple[list[str], list[str]]]:
+    """(partition cols, order cols) of every windowspecdefinition in a
+    formatted plan string. Spark 4's formatted explain has no
+    ``partitionBy=[...]`` form (the pre-fix regexes matched NOTHING —
+    ADVICE r5 called the assertion vacuous); the spec args are
+    partition cols, then ASC/DESC order specs, then the frame."""
+    import re
+
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        parts: list[str] = []
+        order: list[str] = []
+        for a in (x.strip() for x in m.group(1).split(",")):
+            if a.startswith("specifiedwindowframe"):
+                break
+            (order if (" ASC" in a or " DESC" in a) else parts).append(a)
+        specs.append((parts, order))
+    return specs
+
+
 def test_global_index_avoids_single_partition_sort(spark, sf_dir):
     """The data-sized window must be partitioned by bucket; the only
-    unpartitioned window allowed is over the bucket-count metadata."""
+    unpartitioned window allowed is the offsets window over the
+    n_buckets metadata rows (recognizable: it ORDERS BY the bucket id,
+    not a data column)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     plan = (
         global_row_index(o, key="o_orderkey")
@@ -55,10 +77,14 @@ def test_global_index_avoids_single_partition_sort(spark, sf_dir):
             )
         )
     )
-    # the per-row numbering window is keyed by the bucket column
-    assert "partitionBy=[__bucket" in plan.replace(" ", "").replace(
-        "partitionBy=[__bucket", "partitionBy=[__bucket"
-    ) or "__bucket" in plan
+    specs = _window_specs(plan)
+    assert specs, "expected windowspecdefinition entries in the plan"
+    for parts, order in specs:
+        if parts:
+            assert any("__bucket" in p for p in parts), (parts, order)
+        else:
+            # metadata offsets window: unpartitioned but bucket-ordered
+            assert order and "__bucket" in order[0], (parts, order)
 
 
 def test_grouped_index_matches_naive_partitioned_window(spark, sf_dir):
@@ -119,15 +145,15 @@ def test_grouped_index_windows_are_bucket_partitioned(spark, sf_dir):
             )
         )
     )
-    import re
-
-    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
-        keys = m.group(1)
-        if "__bucket" not in keys:
-            # the offsets window partitions by group over metadata rows;
-            # it must be the ONLY bucket-free window and its input is
-            # the grouped count aggregate, not the raw table
-            assert "o_orderstatus" in keys
+    specs = _window_specs(plan)
+    assert specs, "expected windowspecdefinition entries in the plan"
+    for parts, order in specs:
+        if not any("__bucket" in p for p in parts):
+            # the offsets window partitions by group over metadata rows
+            # (recognizable: ordered by the bucket id); every DATA
+            # window must carry the bucket key
+            assert any("o_orderstatus" in p for p in parts), (parts, order)
+            assert order and "__bucket" in order[0], (parts, order)
 
 
 def test_morton_interleave_bits():
@@ -260,6 +286,54 @@ def test_global_index_rejects_non_numeric_key(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with _pytest.raises(TypeError, match="must be numeric"):
         global_row_index(df, "k")
+
+
+def test_prefix_sum_nan_keys_accumulate_last(spark):
+    """ADVICE r5: a float NaN key must not poison max(key) and silently
+    drop every row through the __bucket join — NaN keys accumulate
+    LAST (Spark sort order), NULL keys FIRST, nothing is lost."""
+    from hpv_etl_code_spark.operators.layout import (
+        global_prefix_sum,
+        grouped_prefix_sum,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, 10, 1), (nan, 5, 2), (None, 3, 3), (2.0, 7, 4)],
+        "k double, w long, id int",
+    )
+    got = {
+        r.id: r.cum_weight
+        for r in global_prefix_sum(df, "k", "w", tiebreak=("id",)).collect()
+    }
+    # order: NULL(3) → 1.0(10) → 2.0(7) → NaN(5)
+    assert got == {3: 3, 1: 13, 4: 20, 2: 25}
+
+    gdf = df.withColumn("g", F.lit("x"))
+    got_g = {
+        r.id: r.cum_weight
+        for r in grouped_prefix_sum(
+            gdf, "g", "k", "w", tiebreak=("id",)
+        ).collect()
+    }
+    assert got_g == got
+
+
+def test_prefix_sum_rejects_fractional_weight(spark):
+    """cast('long') on a double weight would silently truncate —
+    rejected with a TypeError instead (ADVICE r5)."""
+    import pytest as _pytest
+
+    from hpv_etl_code_spark.operators.layout import (
+        global_prefix_sum,
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, 0.5, "g")], "k long, w double, g string")
+    with _pytest.raises(TypeError, match="must be integral"):
+        global_prefix_sum(df, "k", "w")
+    with _pytest.raises(TypeError, match="must be integral"):
+        grouped_prefix_sum(df, "g", "k", "w")
 
 
 def test_global_index_nan_keys_numbered_last(spark):
