@@ -1,0 +1,140 @@
+"""Durable stage artifacts — the storage seam for multi-branch plans
+(VERDICT r5 #7).
+
+A DataFrame that feeds several plan branches must be materialized once
+or Spark recomputes its whole lineage per branch. Three materialization
+strategies, selected per call or globally via
+``SPARK_GRAFT_STAGE_STORAGE``:
+
+- ``memory`` (default) — ``persist()`` (MEMORY_AND_DISK). Cheap and
+  right for a single-tenant bench/driver session; on executor loss the
+  lineage silently recomputes (correct, just slow), and
+  ``localCheckpoint``-style truncation pitfalls are avoided entirely.
+- ``parquet`` — write the frame to a per-session scratch directory and
+  read it back: the lineage is TRUNCATED at a durable file, so a
+  cluster run survives executor loss without recompute storms, and the
+  artifact is inspectable/reusable across jobs — the
+  ``build_corpus_index`` pattern generalized. This is what a 100 TB
+  deployment should run with (pointing ``SPARK_GRAFT_ARTIFACT_DIR`` at
+  reliable storage, e.g. an HDFS/S3 path).
+- ``none`` — pass-through (recompute per branch); the measurement
+  baseline.
+
+Artifacts are cached per (SparkSession, name): the caller's ``name``
+must uniquely identify the frame CONTENT within a session (include the
+sf_dir / table identity), exactly like ``plans/shared_cache.py`` keys.
+
+Results are storage-invariant by construction — every strategy
+materializes the same rows (equivalence-tested in
+``tests/test_artifacts.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_STORAGE_ENV = "SPARK_GRAFT_STAGE_STORAGE"
+_DIR_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
+_STRATEGIES = ("memory", "parquet", "none")
+
+# (applicationId, name) → materialized DataFrame
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def stage_storage() -> str:
+    """The session-default strategy: ``$SPARK_GRAFT_STAGE_STORAGE`` or
+    ``memory``. Unknown values fail loudly — a typo silently degrading
+    to recompute-per-branch would be a 100 TB performance bug."""
+    s = os.environ.get(_STORAGE_ENV, "memory")
+    if s not in _STRATEGIES:
+        raise ValueError(
+            f"{_STORAGE_ENV}={s!r}: expected one of {_STRATEGIES}"
+        )
+    return s
+
+
+def stage_artifact(
+    df: DataFrame, name: str, storage: str | None = None
+) -> DataFrame:
+    """Materialize ``df`` once under ``name`` and return the frame every
+    downstream branch should read. ``storage=None`` uses
+    :func:`stage_storage`; see the module docstring for strategies."""
+    storage = stage_storage() if storage is None else storage
+    if storage not in _STRATEGIES:
+        raise ValueError(f"storage={storage!r}: expected one of {_STRATEGIES}")
+    if storage == "none":
+        return df
+    if not re.fullmatch(r"[A-Za-z0-9._\-]+", name):
+        raise ValueError(
+            f"artifact name {name!r} must be filesystem-safe "
+            "([A-Za-z0-9._-]+) — it becomes a directory name"
+        )
+    spark = df.sparkSession
+    # key includes a fingerprint of the ANALYZED logical plan: two
+    # frames sharing a name but holding different content (e.g. the
+    # same pipeline at two sf_dirs in one session) must never alias —
+    # deterministic plans with equal text produce equal rows, so a
+    # fingerprint hit is a true content hit
+    fp = _plan_fingerprint(df)
+    key = (spark.sparkContext.applicationId, name, fp)
+    if key not in _CACHE:
+        _prune_dead_entries()
+        if storage == "memory":
+            _CACHE[key] = df.persist()
+        else:  # parquet
+            path = os.path.join(_scratch_dir(spark), f"{name}_{fp}")
+            df.write.mode("overwrite").parquet(path)
+            _CACHE[key] = spark.read.parquet(path)
+    return _CACHE[key]
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    import hashlib
+
+    text = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(text.encode()).hexdigest()[:12]
+
+
+def _scratch_dir(spark) -> str:
+    """$SPARK_GRAFT_ARTIFACT_DIR (the durable location a cluster run
+    points at reliable storage) or a per-application tempdir."""
+    base = os.environ.get(_DIR_ENV)
+    if base:
+        return os.path.join(base, spark.sparkContext.applicationId)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_artifacts_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _prune_dead_entries() -> None:
+    """Drop cache entries bound to stopped SparkSessions (same hygiene
+    as ``shared_cache._prune_dead_entries`` — a cycling driver must
+    never be handed a frame of a dead context)."""
+    dead = []
+    for key, df in _CACHE.items():
+        try:
+            if df.sparkSession.sparkContext._jsc.sc().isStopped():
+                dead.append(key)
+        except Exception:  # noqa: BLE001 — unreachable JVM == dead session
+            dead.append(key)
+    for key in dead:
+        _CACHE.pop(key, None)
+
+
+def clear_cache() -> None:
+    """Unpersist/drop all artifacts (tests / teardown). Parquet scratch
+    files are left for the OS tempdir policy — they may still back live
+    reader DataFrames elsewhere."""
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — read-back frames aren't persisted
+            pass
+    _CACHE.clear()

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .artifacts import stage_artifact
 
 # --------------------------------------------------------------- bloom
 
@@ -181,7 +182,10 @@ _APRIORI_VOCAB_CUTOFF = 1000  # engage the basket prefilter above this |vocab|
 
 
 def basket_rules_from(
-    baskets: DataFrame, vocab_cutoff: int = _APRIORI_VOCAB_CUTOFF
+    baskets: DataFrame,
+    vocab_cutoff: int = _APRIORI_VOCAB_CUTOFF,
+    storage: str | None = None,
+    artifact_name: str = "basket_rules_baskets",
 ) -> DataFrame:
     """Association rules from a ``(oid, items: array<string>)`` basket
     frame (items sorted, deduped). Pair GENERATION is row-local: each
@@ -204,9 +208,14 @@ def basket_rules_from(
     # the basket frame feeds FIVE plan branches (N, item counts, the
     # frequent/vocab scalars, pair expansion) — materialize it once or
     # the basket-build shuffle re-runs per branch (this was a +39%
-    # bench regression when the prefilter branches landed un-persisted;
-    # at 100 TB the basket frame is the parquet artifact of the run)
-    baskets = baskets.localCheckpoint(eager=True)
+    # bench regression when the prefilter branches landed un-persisted).
+    # VERDICT r5 #7: the former localCheckpoint(eager=True) pinned
+    # executor local disk and ran an eager action at PLAN BUILD time;
+    # the storage seam keeps the default session behavior (memory
+    # persist) and lets a cluster run select storage="parquet" — a
+    # durable artifact that survives executor loss (``artifact_name``
+    # must be unique per distinct basket frame within a session).
+    baskets = stage_artifact(baskets, artifact_name, storage=storage)
     n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
 
     item_counts = (
@@ -345,10 +354,11 @@ def itemsim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("l_orderkey").alias("oid"))
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
-        # feeds two branches (pair expansion + item counts): materialize
-        # once — the same lesson recorded in basket_rules_from
-        .localCheckpoint(eager=True)
     )
+    # feeds two branches (pair expansion + item counts): materialize
+    # once — the same lesson (and the same storage seam, VERDICT r5
+    # #7) as basket_rules_from
+    baskets = stage_artifact(baskets, "itemsim_baskets")
     pair_structs = F.flatten(
         F.transform(
             "items",

@@ -10,10 +10,17 @@ frame / dedup index as a parquet artifact and every downstream job reads
 it instead of re-tokenizing the corpus — see
 ``operators/dedup.py::build_corpus_index``).
 
-This module is the in-process analog: one persisted DataFrame per
+This module is the in-process analog: one materialized DataFrame per
 (SparkSession, sf_dir), built lazily on first use. Results are
 unchanged — every derived column is a deterministic per-row function —
 only the redundant recompute across entries disappears.
+
+Materialization goes through the :mod:`.artifacts` storage seam
+(VERDICT r5 #7): the default is a session-scoped memory persist;
+setting ``SPARK_GRAFT_STAGE_STORAGE=parquet`` turns every shared frame
+into a durable parquet artifact (lineage truncated — a cluster run
+survives executor loss without recompute storms), equivalence-tested
+in ``tests/test_artifacts.py``.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textops
+from .artifacts import stage_artifact
 from ..operators.dedup import minhash_signature
 from ..operators.textops import distinct_tokens
 from ..sources.registry import load_table
@@ -68,7 +76,7 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("sig", minhash_signature(F.col("toks"), _NUM_HASHES))
             .withColumn("gkey", F.xxhash64(F.array_sort("toks")))
         )
-        _CACHE[key] = base.persist()
+        _CACHE[key] = stage_artifact(base, "shared_enriched")
     return _CACHE[key]
 
 
@@ -89,7 +97,10 @@ def grouped_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         members, groups = tokset_groups(
             e.select(F.col("doc_id").alias("id"), "toks", "sig", "gkey")
         )
-        _CACHE[key] = (members.persist(), groups.persist())
+        _CACHE[key] = (
+            stage_artifact(members, "shared_members"),
+            stage_artifact(groups, "shared_groups"),
+        )
     return _CACHE[key]
 
 
@@ -118,7 +129,7 @@ def portable_grouped_corpus(
             )
             .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
         )
-        _CACHE[key] = (members, pgroups.persist())
+        _CACHE[key] = (members, stage_artifact(pgroups, "shared_pgroups"))
     return _CACHE[key]
 
 
@@ -135,9 +146,10 @@ def pipeline_exact_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         keepers = gated.groupBy("fingerprint").agg(
             F.min("doc_id").alias("doc_id")
         )
-        _CACHE[key] = gated.join(
-            keepers.select("doc_id"), "doc_id", "left_semi"
-        ).persist()
+        _CACHE[key] = stage_artifact(
+            gated.join(keepers.select("doc_id"), "doc_id", "left_semi"),
+            "shared_pipeline_exact",
+        )
     return _CACHE[key]
 
 
@@ -153,7 +165,10 @@ def pipeline_grouped(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
             F.col("doc_id").alias("id"), "toks", "sig", "gkey"
         )
         members, groups = tokset_groups(base)
-        _CACHE[key] = (members.persist(), groups.persist())
+        _CACHE[key] = (
+            stage_artifact(members, "shared_pipeline_members"),
+            stage_artifact(groups, "shared_pipeline_groups"),
+        )
     return _CACHE[key]
 
 
@@ -179,7 +194,7 @@ def pipeline_portable_grouped(
             )
             .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
         )
-        _CACHE[key] = (members, pgroups.persist())
+        _CACHE[key] = (members, stage_artifact(pgroups, "shared_pipeline_pgroups"))
     return _CACHE[key]
 
 
@@ -208,9 +223,9 @@ def incremental_grouped(
         corpus_fps = corpus.select("fp")
         _CACHE[key] = (
             new_docs,
-            batch_groups.persist(),
+            stage_artifact(batch_groups, "shared_incr_batch_groups"),
             corpus_fps,
-            corpus_groups.persist(),
+            stage_artifact(corpus_groups, "shared_incr_corpus_groups"),
         )
     return _CACHE[key]
 

@@ -444,9 +444,15 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _EVAL_SAMPLE_MOD == 0
     )
-    base = d.select(
-        F.col("doc_id").alias("id"), distinct_tokens("text").alias("toks")
-    ).localCheckpoint(eager=True)  # feeds truth + banding branches
+    from .artifacts import stage_artifact
+
+    # feeds truth + banding branches — storage seam (VERDICT r5 #7)
+    base = stage_artifact(
+        d.select(
+            F.col("doc_id").alias("id"), distinct_tokens("text").alias("toks")
+        ),
+        "lsh_recall_sample",
+    )
 
     # ground truth: blocked all-pairs exact Jaccard over the sample
     blk = base.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(_EVAL_BLOCKS)))

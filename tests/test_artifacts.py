@@ -1,0 +1,124 @@
+"""The stage-artifact storage seam (VERDICT r5 #7): every strategy
+materializes the same rows; parquet truncates lineage to a durable
+scan; names never alias across different content."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpv_etl_code_spark.plans import artifacts
+from hpv_etl_code_spark.plans.artifacts import stage_artifact, stage_storage
+
+
+@pytest.fixture(autouse=True)
+def _clean_artifact_cache():
+    artifacts.clear_cache()
+    yield
+    artifacts.clear_cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_strategies_are_result_equivalent(spark):
+    df = spark.range(100).select(
+        "id", (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    base = _rows(stage_artifact(df, "eq_test", storage="none"))
+    assert _rows(stage_artifact(df, "eq_test", storage="memory")) == base
+    artifacts.clear_cache()
+    assert _rows(stage_artifact(df, "eq_test", storage="parquet")) == base
+
+
+def test_parquet_truncates_lineage(spark):
+    df = spark.range(50).groupBy((F.col("id") % 5).alias("k")).count()
+    out = stage_artifact(df, "lineage_test", storage="parquet")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the read-back frame is a bare parquet scan — no aggregate lineage
+    assert "parquet" in plan.lower()
+    assert "HashAggregate" not in plan
+
+
+def test_same_name_different_content_never_aliases(spark):
+    a = spark.range(10).select(F.lit("a").alias("tag"), "id")
+    b = spark.range(10).select(F.lit("b").alias("tag"), "id")
+    got_a = stage_artifact(a, "alias_test", storage="memory")
+    got_b = stage_artifact(b, "alias_test", storage="memory")
+    assert {r.tag for r in got_a.collect()} == {"a"}
+    assert {r.tag for r in got_b.collect()} == {"b"}
+    artifacts.clear_cache()
+    got_a = stage_artifact(a, "alias_test", storage="parquet")
+    got_b = stage_artifact(b, "alias_test", storage="parquet")
+    assert {r.tag for r in got_a.collect()} == {"a"}
+    assert {r.tag for r in got_b.collect()} == {"b"}
+
+
+def test_repeated_calls_return_cached_frame(spark):
+    df = spark.range(10)
+    first = stage_artifact(df, "cache_test", storage="memory")
+    second = stage_artifact(df, "cache_test", storage="memory")
+    assert first is second
+
+
+def test_invalid_inputs_raise(spark, monkeypatch):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="expected one of"):
+        stage_artifact(df, "x", storage="disk")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        stage_artifact(df, "../escape", storage="memory")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_STORAGE", "bogus")
+    with pytest.raises(ValueError, match="expected one of"):
+        stage_storage()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_STORAGE", "parquet")
+    assert stage_storage() == "parquet"
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_STORAGE")
+    assert stage_storage() == "memory"
+
+
+def test_basket_rules_storage_equivalence(spark, sf_dir):
+    """VERDICT r5 #7 done-criterion: the durable-parquet form of the
+    basket stage produces byte-identical rules to the in-memory form
+    (the former localCheckpoint path)."""
+    from hpv_etl_code_spark.plans.mining_queries import market_basket_rules
+
+    mem = _rows(market_basket_rules(spark, sf_dir))
+    artifacts.clear_cache()
+    try:
+        import os
+
+        os.environ["SPARK_GRAFT_STAGE_STORAGE"] = "parquet"
+        pq = _rows(market_basket_rules(spark, sf_dir))
+    finally:
+        os.environ.pop("SPARK_GRAFT_STAGE_STORAGE", None)
+    assert pq == mem
+
+
+def test_shared_cache_parquet_equivalence(spark, sf_dir):
+    """The shared corpus cache built through parquet artifacts yields
+    the same enriched frame as the memory path."""
+    import os
+
+    from hpv_etl_code_spark.plans import shared_cache
+
+    shared_cache.clear_cache()
+    mem = (
+        shared_cache.enriched_documents(spark, sf_dir)
+        .select("doc_id", "quality", "n_tokens", "fingerprint", "gkey")
+        .collect()
+    )
+    mem_rows = sorted(tuple(r) for r in mem)
+    shared_cache.clear_cache()
+    artifacts.clear_cache()
+    try:
+        os.environ["SPARK_GRAFT_STAGE_STORAGE"] = "parquet"
+        pq = (
+            shared_cache.enriched_documents(spark, sf_dir)
+            .select("doc_id", "quality", "n_tokens", "fingerprint", "gkey")
+            .collect()
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_STAGE_STORAGE", None)
+        shared_cache.clear_cache()
+    assert sorted(tuple(r) for r in pq) == mem_rows
