@@ -459,6 +459,11 @@ _ROTATION_POOL: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "pointbiserial_engagement_conversion",
     "abc_by_segment",
+    # round-6 additions (VERDICT r5 #2: bounded-cost graph-health
+    # variants — never-checked-first ordering puts them early in the
+    # natural rotation; both sf0.01-mirror-green before registration):
+    "dedup_cluster_sizes_indexed",
+    "clustering_coefficient_sampled",
 )
 
 

@@ -763,6 +763,248 @@ def clustering_coefficient_copurchase(
     )
 
 
+_WEDGE_SAMPLES = 1024  # strata of the wedge-position space (one draw each)
+
+
+def clustering_coefficient_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wedge-SAMPLED global clustering coefficient (VERDICT r5 #2): the
+    exact entry's triangle join inherits the full wedge fan-out
+    (11→89 s at the sf0.1→sf1 step — wedge-inherent, not a plan
+    defect); this variant estimates C as the closed fraction of
+    ``_WEDGE_SAMPLES`` uniformly drawn wedges, so its cost is
+    O(edges + K) REGARDLESS of wedge count — the bounded-cost health
+    probe a 100 TB graph actually runs.
+
+    The draw is DETERMINISTIC and PORTABLE (hash-certified by the
+    DuckDB twin): wedge positions 0..W−1 (W = Σ C(deg v, 2)) are cut
+    into K equal strata and each stratum contributes one md5-drawn
+    position — stratified uniform sampling, so the estimator is
+    unbiased and the binomial 95% CI applies (the exact C lies inside
+    it, asserted against ``clustering_coefficient_copurchase`` in
+    tests/test_graph_health.py).
+
+    Plan shape: the edge list is a stage artifact (feeds adjacency,
+    degree, and the closure probe); vertex wedge-ranges come from ONE
+    ``global_prefix_sum`` (no single-partition sort); position→vertex
+    is a banded equi-join on the stratum index (samples broadcast —
+    never a nested-loop range scan); position→neighbor-pair is exact
+    integer triangular-number decoding plus two broadcast joins into
+    the ranked adjacency; closure is one broadcast semi-probe of the
+    K wedges against the edge list. No wedge materialization anywhere.
+    """
+    from ..operators.layout import global_prefix_sum
+    from .artifacts import stage_artifact
+
+    K = _WEDGE_SAMPLES
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = stage_artifact(
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct(),
+        "copurchase_edges",
+    )
+    adj = edges.select(F.col("pa").alias("v"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("v"), F.col("pa").alias("nbr"))
+    )
+    # rank neighbors within each vertex (many small groups — a plain
+    # partitioned window is the right tool here, unlike the few-large-
+    # groups rankings that need grouped_row_index)
+    ranked = adj.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("v").orderBy("nbr"))
+    )
+    wv = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .withColumn("wv", F.expr("d * (d - 1) DIV 2"))
+        .filter(F.col("wv") > 0)
+    )
+    offs = global_prefix_sum(wv, key="v", weight="wv", cum_col="cum").select(
+        "v",
+        (F.col("cum") - F.col("wv")).alias("lo"),
+        F.col("cum").alias("hi"),
+    )
+    tot = wv.agg(F.sum("wv").cast("bigint").alias("W"))
+    samples = (
+        spark.range(K)
+        .select(F.col("id").alias("i"))
+        .join(F.broadcast(tot))
+        .withColumn("s_lo", F.expr(f"(i * W) DIV {K}"))
+        .withColumn("s_hi", F.expr(f"((i + 1) * W) DIV {K}"))
+        .filter(F.col("s_hi") > F.col("s_lo"))
+        .withColumn(
+            "draw",
+            F.conv(
+                F.substring(F.md5(F.col("i").cast("string")), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+        .select(
+            "i",
+            (
+                F.col("s_lo") + F.col("draw") % (F.col("s_hi") - F.col("s_lo"))
+            ).alias("pos"),
+        )
+    )
+    # banded point-in-interval join: stratum i holds positions
+    # [(i·W) DIV K, ((i+1)·W) DIV K); a vertex range [lo, hi) expands
+    # to exactly the strata it intersects (exact integer bounds — no
+    # margin heuristics, no silent sample loss), then equi-joins the
+    # broadcast samples on the stratum index
+    banded = (
+        offs.join(F.broadcast(tot))
+        .withColumn(
+            "i_lo",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.expr(f"((lo + 1) * {K} + W - 1) DIV W - 1"),
+            ),
+        )
+        .withColumn(
+            "i_hi",
+            F.least(
+                F.lit(K - 1).cast("bigint"), F.expr(f"(hi * {K} - 1) DIV W")
+            ),
+        )
+        .select("v", "lo", "hi", F.explode(F.sequence("i_lo", "i_hi")).alias("i"))
+    )
+    hits = (
+        banded.join(F.broadcast(samples), "i")
+        .filter((F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")))
+        .select("v", (F.col("pos") - F.col("lo")).alias("L"))
+    )
+    # local wedge index L → neighbor-rank pair (r, c), 0 ≤ r < c < d,
+    # L = C(c,2) + r: c = ⌊(1+√(1+8L))/2⌋ with exact-integer guards
+    # (the sqrt of the perfect square 4c²−4c+1 is IEEE-exact, but the
+    # CASE corrections make boundary behavior arithmetic, not float)
+    hits = (
+        hits.withColumn(
+            "c0",
+            F.floor(
+                (F.lit(1.0) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.col("L").cast("double")))
+                / F.lit(2.0)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "c",
+            F.when(F.expr("c0 * (c0 - 1) DIV 2") > F.col("L"), F.col("c0") - 1)
+            .when(F.expr("(c0 + 1) * c0 DIV 2") <= F.col("L"), F.col("c0") + 1)
+            .otherwise(F.col("c0")),
+        )
+        .withColumn("r", F.col("L") - F.expr("c * (c - 1) DIV 2"))
+    )
+    ax = ranked.select("v", "rn", F.col("nbr").alias("x"))
+    az = ranked.select("v", "rn", F.col("nbr").alias("z"))
+    wedges = stage_artifact(
+        ax.join(
+            F.broadcast(hits.select("v", (F.col("r") + 1).alias("rn"), "c")),
+            ["v", "rn"],
+        )
+        .select("v", "x", (F.col("c") + 1).alias("rn"))
+        .join(az, ["v", "rn"])
+        .select("v", "x", "z"),
+        "sampled_wedges",
+    )
+    # neighbors are ranked ascending and r < c, so x < z always — the
+    # closure probe matches the canonical (pa < pb) edge orientation
+    n_closed = (
+        edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+        .join(F.broadcast(wedges.select("x", "z")), ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    )
+    n_samp = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    p = F.col("n_closed").cast("double") / F.col("n_sampled").cast("double")
+    se = F.sqrt(p * (F.lit(1.0) - p) / F.col("n_sampled").cast("double"))
+    return (
+        n_samp.join(F.broadcast(n_closed))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("W").alias("n_wedges"),
+            "n_sampled",
+            "n_closed",
+            F.round(p, 6).alias("coeff_est"),
+            F.round(F.greatest(F.lit(0.0), p - F.lit(1.96) * se), 6).alias(
+                "ci_low"
+            ),
+            F.round(F.least(F.lit(1.0), p + F.lit(1.96) * se), 6).alias(
+                "ci_high"
+            ),
+        )
+    )
+
+
+CLUSTERING_COEFF_SAMPLED_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT v, nbr, ROW_NUMBER() OVER (PARTITION BY v ORDER BY nbr) AS rn
+  FROM (SELECT pa AS v, pb AS nbr FROM e UNION ALL SELECT pb, pa FROM e)
+), wv AS (
+  SELECT v, (d * (d - 1) // 2)::BIGINT AS wv FROM (
+    SELECT v, COUNT(*)::BIGINT AS d FROM adj GROUP BY v
+  ) WHERE d >= 2
+), offs AS (
+  SELECT v,
+    (SUM(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - wv)::BIGINT AS lo,
+    SUM(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS hi
+  FROM wv
+), tot AS (SELECT SUM(wv)::BIGINT AS W FROM wv),
+samples AS (
+  SELECT i, s_lo
+    + (('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT % (s_hi - s_lo))
+      AS pos
+  FROM (
+    SELECT i, (i * W) // {_WEDGE_SAMPLES} AS s_lo,
+           ((i + 1) * W) // {_WEDGE_SAMPLES} AS s_hi
+    FROM (SELECT unnest(generate_series(0, {_WEDGE_SAMPLES - 1})) AS i)
+    CROSS JOIN tot
+  ) WHERE s_hi > s_lo
+), hits AS (
+  SELECT o.v, s.pos - o.lo AS L
+  FROM offs o JOIN samples s ON s.pos >= o.lo AND s.pos < o.hi
+), dec AS (
+  SELECT v, L,
+    CASE WHEN c0 * (c0 - 1) // 2 > L THEN c0 - 1
+         WHEN (c0 + 1) * c0 // 2 <= L THEN c0 + 1
+         ELSE c0 END AS c
+  FROM (
+    SELECT v, L,
+      CAST(FLOOR((1.0 + SQRT(1.0 + 8.0 * L::DOUBLE)) / 2.0) AS BIGINT) AS c0
+    FROM hits
+  )
+), wedge AS (
+  SELECT d.v, ax.nbr AS x, az.nbr AS z
+  FROM (SELECT v, L, c, (L - c * (c - 1) // 2)::BIGINT AS r FROM dec) d
+  JOIN adj ax ON ax.v = d.v AND ax.rn = d.r + 1
+  JOIN adj az ON az.v = d.v AND az.rn = d.c + 1
+), agg AS (
+  SELECT
+    (SELECT W FROM tot) AS n_wedges,
+    (SELECT COUNT(*) FROM wedge)::BIGINT AS n_sampled,
+    (SELECT COUNT(*)
+     FROM wedge w JOIN e ON e.pa = w.x AND e.pb = w.z)::BIGINT AS n_closed
+)
+SELECT n_wedges, n_sampled, n_closed,
+  ROUND(n_closed::DOUBLE / n_sampled::DOUBLE, 6) AS coeff_est,
+  ROUND(GREATEST(0.0,
+    n_closed::DOUBLE / n_sampled::DOUBLE
+    - 1.96 * SQRT((n_closed::DOUBLE / n_sampled::DOUBLE)
+                  * (1.0 - n_closed::DOUBLE / n_sampled::DOUBLE)
+                  / n_sampled::DOUBLE)), 6) AS ci_low,
+  ROUND(LEAST(1.0,
+    n_closed::DOUBLE / n_sampled::DOUBLE
+    + 1.96 * SQRT((n_closed::DOUBLE / n_sampled::DOUBLE)
+                  * (1.0 - n_closed::DOUBLE / n_sampled::DOUBLE)
+                  / n_sampled::DOUBLE)), 6) AS ci_high
+FROM agg
+"""
+
+
 CLUSTERING_COEFF_SQL = """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -801,6 +1043,11 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
         "clustering_coefficient_copurchase",
         clustering_coefficient_copurchase,
         CLUSTERING_COEFF_SQL,
+    )
+    register(
+        "clustering_coefficient_sampled",
+        clustering_coefficient_sampled,
+        CLUSTERING_COEFF_SAMPLED_SQL,
     )
     register("sessionize_events", sessionize_events, SESSIONIZE_SQL)
     register("copurchase_triangles", copurchase_triangles, COPURCHASE_TRIANGLES_SQL)
