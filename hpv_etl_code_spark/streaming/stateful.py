@@ -791,3 +791,158 @@ def ohlc_stream(stream_df: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------- streaming A/B sufficient stats
+
+AB_STATS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("mean_a", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("t_stat", DoubleType()),
+        StructField("welch_df", DoubleType()),
+    ]
+)
+# per event_type: (rows, non-null values, Σcents, Σcents²) × two arms —
+# exact integers, so the stream is micro-batch-cut-independent by
+# construction (integer addition is associative; the ONLY floats are in
+# the emit-side Welch readout, computed from the same exact sums the
+# batch twin's decimal aggregates hold)
+_AB_STATE_SCHEMA = StructType(
+    [StructField(f, LongType()) for f in
+     ("n0", "nv0", "sx0", "sxx0", "n1", "nv1", "sx1", "sxx1")]
+)
+
+
+def _arm_of(user_id) -> int:
+    """The batch twin's portable md5 arm split, verbatim:
+    pmod(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10), 2)."""
+    import hashlib
+
+    h = hashlib.md5(str(int(user_id)).encode()).hexdigest()[:15]
+    return int(h, 16) % 2
+
+
+def _welch_readout(etype, st):
+    """(event_type, n_a, n_b, mean_a, mean_b, t_stat, welch_df) from the
+    integer state — the EXACT double chain of
+    plans/olap_queries.py::ab_welch_ttest: decimal sums → double once,
+    then the identical IEEE op order, NULL propagation (an absent arm,
+    a ≤1-row arm, zero pooled variance) and 6dp HALF_UP rounding."""
+    n0, nv0, sx0c, sxx0c, n1, nv1, sx1c, sxx1c = st
+
+    def dd(c: int, scale: int) -> float:
+        # sum(DECIMAL) cast DOUBLE == correctly-rounded double of the
+        # exact rational cents/scale
+        return float(decimal.Decimal(c) / scale)
+
+    sx0 = dd(sx0c, 100) if nv0 > 0 else None
+    sxx0 = dd(sxx0c, 10000) if nv0 > 0 else None
+    sx1 = dd(sx1c, 100) if nv1 > 0 else None
+    sxx1 = dd(sxx1c, 10000) if nv1 > 0 else None
+    m0 = sx0 / n0 if (sx0 is not None and n0 > 0) else None
+    m1 = sx1 / n1 if (sx1 is not None and n1 > 0) else None
+    v0 = (
+        (sxx0 - sx0 * sx0 / n0) / (n0 - 1)
+        if (n0 > 1 and sxx0 is not None)
+        else None
+    )
+    v1 = (
+        (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+        if (n1 > 1 and sxx1 is not None)
+        else None
+    )
+    se2 = (v0 / n0 + v1 / n1) if (v0 is not None and v1 is not None) else None
+    t = (
+        (m1 - m0) / math.sqrt(se2)
+        if (se2 is not None and se2 > 0 and m0 is not None and m1 is not None)
+        else None
+    )
+    dof = None
+    if v0 is not None and v1 is not None and se2 is not None:
+        a = v0 / n0
+        b = v1 / n1
+        den = a * a / (n0 - 1) + b * b / (n1 - 1)
+        if den > 0:
+            dof = se2 * se2 / den
+
+    def r6(x):
+        return None if x is None else _round6_half_up(x)
+
+    return (
+        etype,
+        n0 if n0 > 0 else None,
+        n1 if n1 > 0 else None,
+        r6(m0),
+        r6(m1),
+        r6(t),
+        r6(dof),
+    )
+
+
+def _make_ab_stats():
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = list(state.get) if state.exists else [0] * 8
+        for pdf in pdf_iter:
+            for uid, val in zip(pdf["user_id"], pdf["value"]):
+                if uid is None or (isinstance(uid, float) and math.isnan(uid)):
+                    # batch: md5(NULL) → NULL arm → never picked
+                    continue
+                base = 4 * _arm_of(uid)
+                st[base] += 1  # COUNT(*) within (type, arm): nulls too
+                if val is not None and not math.isnan(float(val)):
+                    cents = _cents_exact(float(val))
+                    st[base + 1] += 1
+                    st[base + 2] += cents
+                    st[base + 3] += cents * cents
+        state.update(tuple(st))
+        yield pd.DataFrame(
+            [_welch_readout(key[0], st)], columns=list(AB_STATS_SCHEMA.names)
+        )
+
+    return fold
+
+
+def ab_stats_stream(stream_df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming Welch A/B readout — the batch entry
+    (plans/olap_queries.py::ab_welch_ttest) as O(1)-state
+    ``applyInPandasWithState`` keyed by event_type: eight exact
+    integers of state per experiment cell (n, non-null n, Σcents,
+    Σcents² for each arm), the full Welch t/df row re-emitted per
+    micro-batch in update mode (VERDICT r5 #5 — the always-on
+    experimentation dashboard shape).
+
+    The FINAL per-type row is BIT-IDENTICAL to the batch entry over the
+    same prefix (tests/test_stateful_ab.py): sufficient statistics are
+    exact integer sums (order- and micro-batch-cut-independent, unlike
+    the EWMA/Holt folds — this operator needs NO ordering contract),
+    and the emit-side double chain replicates the batch expression
+    order exactly. CUPED and power readouts reduce to the same (n, Σx,
+    Σx²) state — this operator is their carrier too.
+
+    State fits comfortably at any scale: 8 longs per (event_type) key.
+    Σcents² caps the safe value range near |value| ≤ ~3·10⁴ on 10⁹-row
+    arms (9.2·10¹⁸ / 10⁹ rows); wider regimes move the two sum fields
+    to split hi/lo words — the state schema seam is the only change.
+    """
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_ab_stats(),
+            outputStructType=AB_STATS_SCHEMA,
+            stateStructType=_AB_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
