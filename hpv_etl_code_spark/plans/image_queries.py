@@ -221,7 +221,85 @@ FROM h GROUP BY ahash
 """
 
 
+def jpeg_coeff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-JPEG ENTROPY layer certified exactly (VERDICT r5
+    #6): each document renders one 8×8 block of md5-defined quantized
+    coefficients (⅓ sparsified to zero so the zero-run/EOB machinery is
+    exercised) into a REAL JFIF stream via the stdlib encoder
+    (operators/jpeg_codec.py), the decoder walks the markers, rebuilds
+    the Huffman tables FROM THE FILE, entropy-decodes with
+    byte-unstuffing, de-zigzags and dequantizes — and because the
+    entropy layer is LOSSLESS over quantized coefficients, the DuckDB
+    oracle reproduces the integer sums straight from md5 hex without
+    ever parsing a JPEG. ``checksum`` weights natural position j by
+    (j+1) so a zigzag or run-length slip cannot cancel."""
+    from ..operators.multimodal import jpeg_coeff_sums, render_doc_jpeg
+
+    d = load_table(spark, sf_dir, "documents")
+    return jpeg_coeff_sums(render_doc_jpeg(d))
+
+
+def _quant_values_sql() -> str:
+    from ..operators.jpeg_codec import QUANT_LUMA
+
+    return ", ".join(f"({j}, {int(q)})" for j, q in enumerate(QUANT_LUMA))
+
+
+JPEG_COEFF_SQL = f"""
+WITH q(j, qv) AS (VALUES {_quant_values_sql()}),
+raw AS (
+  SELECT doc_id, 16 * i.i + j.j AS pos,
+    ('0x' || substr(md5(text || ':c' || i.i::VARCHAR), 2*j.j + 1, 2))::BIGINT
+      AS b
+  FROM documents, range(4) i(i), range(16) j(j)
+), c AS (
+  SELECT doc_id, pos,
+    (CASE WHEN b % 3 = 0 THEN 0 ELSE b - 128 END) * qv AS coeff
+  FROM raw JOIN q ON q.j = raw.pos
+)
+SELECT doc_id, 8::INT AS width, 8::INT AS height,
+  COUNT(*)::BIGINT AS n_coeffs,
+  SUM(coeff)::BIGINT AS sum_coeff,
+  SUM(ABS(coeff))::BIGINT AS sum_abs,
+  SUM((pos + 1) * coeff)::BIGINT AS checksum
+FROM c GROUP BY doc_id
+"""
+
+
+def jpeg_dc_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-JPEG PIXEL path certified end-to-end on the DC
+    subspace: DC-only JPEGs (DC = byte 0 of md5(text + ':dc') − 128,
+    Q00 = 16) decode through the FULL pixel chain — entropy layer,
+    float64 IDCT, HALF-UP rounding, +128 level shift, [0,255] clamp —
+    where the IDCT collapses arithmetically to
+    ``clamp(DC·16/8 + 128) = clamp(2·DC + 128)``: pure integers the
+    oracle reproduces. Clamping is exercised on both ends (DC ∈
+    [−128, 127] → pre-clamp pixel ∈ [−128, 382]). Full-AC IDCT values
+    are locked by golden tests (tests/test_jpeg_codec.py)."""
+    from ..operators.multimodal import jpeg_pixel_sums, render_doc_jpeg_dc
+
+    d = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(render_doc_jpeg_dc(d))
+
+
+JPEG_DC_PIXEL_SQL = """
+WITH dc AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(text || ':dc'), 1, 2))::BIGINT - 128 AS d
+  FROM documents
+), p AS (
+  SELECT doc_id, LEAST(255, GREATEST(0, 2 * d + 128)) AS px FROM dc
+)
+SELECT doc_id, 8::INT AS width, 8::INT AS height,
+  (64 * px)::BIGINT AS sum_px,
+  (64 * px * px)::BIGINT AS sumsq_px
+FROM p
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
+    register("jpeg_coeff_roundtrip", jpeg_coeff_roundtrip, JPEG_COEFF_SQL)
+    register("jpeg_dc_pixel_stats", jpeg_dc_pixel_stats, JPEG_DC_PIXEL_SQL)
     register("image_pixel_stats", image_pixel_stats, IMAGE_PIXEL_STATS_SQL)
     register("image_dedup_ahash", image_dedup_ahash, IMAGE_DEDUP_AHASH_SQL)
     register("image_ahash_fingerprint", image_ahash_fingerprint, IMAGE_AHASH_SQL)

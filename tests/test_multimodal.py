@@ -64,13 +64,42 @@ def test_byte_histogram_is_normalized_16d(spark, sf_dir):
         assert abs(sum(r.f) - 1.0) < 1e-3
 
 
-def test_sample_frames_is_gated_stub(spark):
+def test_sample_frames_routes_per_payload(spark):
+    """VERDICT r5 #6: the former unconditional NotImplementedError is
+    retired into the permissive seam — unsupported codecs DROP under
+    the default strict=False (no caller can hit an unhandled raise),
+    raise per payload only under strict=True, and JPEG/PNG stills come
+    through as frame 0."""
+    from hpv_etl_code_spark.operators.jpeg_codec import encode_jpeg_gray_coeffs
+    from hpv_etl_code_spark.operators.png_codec import encode_png
+
+    import numpy as np
+
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    df = spark.createDataFrame([(1, b"fake video bytes")], schema)
-    with pytest.raises(NotImplementedError, match="frame sampling"):
-        sample_frames(df)
+    from hpv_etl_code_spark.operators.video import mux_avi_mpng
+
+    jpg = encode_jpeg_gray_coeffs(np.zeros((1, 1, 8, 8), dtype=np.int64))
+    png = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    avi = mux_avi_mpng([png, png, png], 8, 8)
+    df = spark.createDataFrame(
+        [(1, b"fake h264 bytes"), (2, jpg), (3, png), (4, avi)], schema
+    )
+    got = {
+        (r.doc_id, r.frame_idx)
+        for r in sample_frames(df, every_n=2).collect()
+    }
+    # AVI: frames 0 and 2 survive every_n=2; stills are frame 0;
+    # the unsupported payload is dropped without raising
+    assert got == {(2, 0), (3, 0), (4, 0), (4, 1)}
+
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="frame sampling"):
+        sample_frames(df, strict=True).collect()
 
 
 def test_decode_parses_real_wav_header(spark):
