@@ -953,8 +953,12 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "dedup_simhash_portable", dedup_simhash_portable, DEDUP_SIMHASH_PORTABLE_SQL
     )
+    # the components ENTRY routes through the artifact too, so whichever
+    # of components / cluster_sizes_indexed runs first pays the LSH +
+    # label-propagation cost ONCE per session — the second is a
+    # metadata aggregate over the materialized labeling
     register(
-        "dedup_components_portable", dedup_components_portable, DEDUP_COMPONENTS_SQL
+        "dedup_components_portable", components_artifact, DEDUP_COMPONENTS_SQL
     )
     register(
         "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
