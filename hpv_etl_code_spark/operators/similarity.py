@@ -288,16 +288,21 @@ def neardup_pairs_lsh(
         "table",
         "bucket",
     )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("__va"), F.col("__vb"))
+    # refine BEFORE the pair dedup: a pair colliding in several tables
+    # is duplicated in the candidate stream, but its cosine is the same
+    # deterministic value each time, so deduping AFTER the threshold
+    # filter is output-identical while the dedup exchange carries only
+    # the few QUALIFYING (id_a, id_b, cosine) rows — the former order
+    # shuffled every candidate WITH BOTH EMBEDDING VECTORS attached
+    # (the r6 sf1 sweep measured 585 s; the refine itself is map-side
+    # codegen and costs ntables× at most)
     return (
         cand.withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

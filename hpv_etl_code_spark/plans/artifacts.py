@@ -93,9 +93,19 @@ def stage_artifact(
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
+    """md5 of the analyzed plan with expression IDs stripped: Spark
+    assigns fresh `#NNN` ids every time a plan is BUILT, so two calls
+    of the same builder produce textually different but semantically
+    identical plans — without normalization the cache never hits for
+    re-built plans (the sf1 sweep caught dedup_cluster_sizes_indexed
+    re-deriving the components artifact at full cost). Names, operator
+    tree, literals and scan paths all remain, so distinct content still
+    fingerprints apart."""
     import hashlib
 
-    text = df._jdf.queryExecution().analyzed().toString()
+    text = re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+    )
     return hashlib.md5(text.encode()).hexdigest()[:12]
 
 

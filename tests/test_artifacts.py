@@ -62,6 +62,26 @@ def test_repeated_calls_return_cached_frame(spark):
     assert first is second
 
 
+def test_rebuilt_plan_hits_the_cache(spark):
+    """Spark assigns fresh expression IDs each time a plan is built —
+    the fingerprint must normalize them, or every re-built (identical)
+    plan misses the cache and re-derives the artifact at full cost
+    (the r6 sf1 sweep caught exactly this on the components artifact)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        return (
+            spark.range(20)
+            .select((F.col("id") % 4).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+
+    first = stage_artifact(build(), "rebuild_test", storage="memory")
+    second = stage_artifact(build(), "rebuild_test", storage="memory")
+    assert first is second
+
+
 def test_invalid_inputs_raise(spark, monkeypatch):
     df = spark.range(1)
     with pytest.raises(ValueError, match="expected one of"):
