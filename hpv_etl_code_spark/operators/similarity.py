@@ -276,18 +276,24 @@ def neardup_pairs_lsh(
     massive pruning — the right default for dedup at 100 TB.
     """
     bucketed = lsh_bucketed(df, id_col, vec_col, nbits, ntables, seed)
+    # pin the join's partitioning to the (table, bucket) key count: the
+    # pre-join sides are small by bytes, so AQE coalesces the exchange
+    # (measured: TWO tasks carried the whole 50M-pair fan-out at sf1)
+    # while the join output is quadratic per bucket — the same
+    # fan-out-vs-input-stats lesson as _block_pair_sides
+    n_out = ntables * (1 << nbits)
     a = bucketed.select(
         F.col("id").alias("id_a"),
         F.col("__v").alias("__va"),
         "table",
         "bucket",
-    )
+    ).repartition(n_out, "table", "bucket")
     b = bucketed.select(
         F.col("id").alias("id_b"),
         F.col("__v").alias("__vb"),
         "table",
         "bucket",
-    )
+    ).repartition(n_out, "table", "bucket")
     cand = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("__va"), F.col("__vb"))
     # refine BEFORE the pair dedup: a pair colliding in several tables

@@ -92,6 +92,48 @@ def stage_artifact(
     return _CACHE[key]
 
 
+def stage_artifact_from(
+    spark,
+    builder,
+    name: str,
+    content_key: str,
+    storage: str | None = None,
+) -> DataFrame:
+    """Builder-deferred variant of :func:`stage_artifact`, for frames
+    whose BUILD is itself expensive — iterative algorithms (pointer-
+    jumping connected components, PageRank) run eager jobs at
+    plan-construction time, so a plan-fingerprint cache would pay the
+    full build cost on every call just to discover the hit. Keyed on
+    the caller-supplied ``content_key`` (e.g. the sf_dir) instead;
+    ``builder()`` runs only on a miss."""
+    storage = stage_storage() if storage is None else storage
+    if storage == "none":
+        return builder()
+    key = (spark.sparkContext.applicationId, name, f"ck:{content_key}")
+    if key not in _CACHE:
+        _prune_dead_entries()
+        df = builder()
+        if storage == "memory":
+            _CACHE[key] = df.persist()
+        else:
+            if not re.fullmatch(r"[A-Za-z0-9._\-]+", name):
+                raise ValueError(
+                    f"artifact name {name!r} must be filesystem-safe"
+                )
+            path = os.path.join(
+                _scratch_dir(spark), f"{name}_{_key_digest(content_key)}"
+            )
+            df.write.mode("overwrite").parquet(path)
+            _CACHE[key] = spark.read.parquet(path)
+    return _CACHE[key]
+
+
+def _key_digest(content_key: str) -> str:
+    import hashlib
+
+    return hashlib.md5(str(content_key).encode()).hexdigest()[:12]
+
+
 def _plan_fingerprint(df: DataFrame) -> str:
     """md5 of the analyzed plan with expression IDs stripped: Spark
     assigns fresh `#NNN` ids every time a plan is BUILT, so two calls

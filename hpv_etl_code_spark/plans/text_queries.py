@@ -468,11 +468,18 @@ def components_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the components output is a parquet artifact written next to the
     corpus, and every downstream health readout (sizes, survivor
     policies, audits) aggregates the artifact instead of re-running the
-    LSH pair listing + label propagation."""
-    from .artifacts import stage_artifact
+    LSH pair listing + label propagation. Builder-DEFERRED
+    (``stage_artifact_from``): pointer jumping runs eager jobs at
+    plan-construction time, so even BUILDING the frame twice would pay
+    the full propagation cost — the cache is keyed on sf_dir and the
+    builder runs once per session."""
+    from .artifacts import stage_artifact_from
 
-    return stage_artifact(
-        dedup_components_portable(spark, sf_dir), "dedup_components"
+    return stage_artifact_from(
+        spark,
+        lambda: dedup_components_portable(spark, sf_dir),
+        "dedup_components",
+        content_key=sf_dir,
     )
 
 
