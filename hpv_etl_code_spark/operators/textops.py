@@ -164,6 +164,52 @@ def word_bigrams(col: Column | str) -> Column:
     )
 
 
+def winnowing_kgram_hashes(col: Column | str, k: int = 3) -> Column:
+    """Stage 1 of winnowing: the array of portable k-gram hashes (first
+    60 bits of md5 per word k-gram). Callers should BIND this to a real
+    column in its own projection before applying
+    :func:`winnowing_window_minima` — referencing the expression inline
+    inside the window lambda re-evaluates the whole O(n)-md5 array per
+    window element (O(n²) md5s per document; measured 228 s → 9 s at
+    sf0.1 on the text_winnowing entry)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    ng = n - F.lit(k - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        "_", *[F.element_at(toks, i + off) for off in range(k)]
+    )
+    return F.when(
+        ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.conv(
+                F.substring(F.md5(gram(i)), 1, 15), 16, 10
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnowing_window_minima(hs: Column | str, w: int = 4) -> Column:
+    """Stage 2 of winnowing: distinct minima of every length-``w``
+    window over a BOUND k-gram-hash array column. Documents with fewer
+    than ``w`` hashes yield the single global minimum (the standard
+    degenerate-window rule); empty arrays stay empty."""
+    hs = F.col(hs) if isinstance(hs, str) else hs
+    nh = F.size(hs)
+    wins = (
+        F.when(
+            nh >= w,
+            F.transform(
+                F.sequence(F.lit(1), nh - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            ),
+        )
+        .when(nh >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.array_distinct(wins)
+
+
 def winnowing_fingerprints(
     col: Column | str, k: int = 3, w: int = 4
 ) -> Column:
@@ -177,22 +223,16 @@ def winnowing_fingerprints(
     Documents with fewer than ``k`` tokens yield an empty set; documents
     with fewer than ``w`` k-grams yield the single global minimum (the
     standard degenerate-window rule).
+
+    PERFORMANCE NOTE: this one-Column convenience splices the k-gram
+    hash array INLINE into every window lambda, which re-evaluates the
+    O(n)-md5 array per window element — O(n²) md5 calls per document.
+    Fine for tests and small frames; production plans should stage
+    :func:`winnowing_kgram_hashes` as a bound column and apply
+    :func:`winnowing_window_minima` on top (what the text_winnowing
+    entry does — 25× at sf0.1).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    ng = n - F.lit(k - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        "_", *[F.element_at(toks, i + off) for off in range(k)]
-    )
-    hs = F.when(
-        ng >= 1,
-        F.transform(
-            F.sequence(F.lit(1), ng),
-            lambda i: F.conv(
-                F.substring(F.md5(gram(i)), 1, 15), 16, 10
-            ).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    hs = winnowing_kgram_hashes(col, k)
     nh = F.size(hs)
     wins = (
         F.when(

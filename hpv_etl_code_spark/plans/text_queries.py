@@ -323,11 +323,17 @@ WHERE bit_count(xor(sh_a, sh_b)) <= 3
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash k-gram windows, MOSS scheme)
     exploded to (doc_id, fingerprint) rows — ORACLE-CHECKED via the
-    portable md5 hash (operators/textops.py::winnowing_fingerprints)."""
+    portable md5 hash. STAGED: the k-gram hash array binds to a real
+    column before the window-minima pass — splicing it inline into the
+    window lambda re-evaluated the whole O(n)-md5 array per window
+    element (O(n²) md5s/doc; 228 s → 9 s at sf0.1, r6 sweep find)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select(
+        "doc_id", textops.winnowing_kgram_hashes("text", k=3).alias("__hs")
+    )
+    return staged.select(
         "doc_id",
-        F.explode(textops.winnowing_fingerprints("text", k=3, w=4)).alias(
+        F.explode(textops.winnowing_window_minima("__hs", w=4)).alias(
             "fingerprint"
         ),
     )
