@@ -100,7 +100,11 @@ def edit_candidate_pairs(
     return (
         joined.filter(cond)
         .select(F.col("__blk").alias("block"), "key_a", "name_a", "key_b", "name_b")
-        .dropDuplicates(["key_a", "key_b"])
+        # dedup INCLUDES the block: with globally-unique keys it is
+        # implied, but rep-level callers key on the NAME, which repeats
+        # across blocks — a blockless dedup silently dropped every
+        # block but one for a repeated name pair (r6 oracle catch)
+        .dropDuplicates(["block", "key_a", "key_b"])
     )
 
 
@@ -132,6 +136,7 @@ def fuzzy_pairs_collapsed(
     name: str,
     block: str,
     max_edit: int = 2,
+    generator: str = "join",
 ) -> DataFrame:
     """ed ≤ ``max_edit`` same-block pairs via IDENTICAL-NAME collapse
     (the tokset-collapse idea applied to fuzzy matching): mine name
@@ -149,19 +154,42 @@ def fuzzy_pairs_collapsed(
     :func:`fuzzy_edit_pairs` (deletion-neighborhood equi-join); the
     plain blocked join remains the simplest option for genuinely small
     blocks. All three are output-identical.
+
+    ``generator`` picks how REP pairs are mined: ``"join"`` (default)
+    is the rep-block self-join; ``"neighborhood"`` runs the SymSpell
+    deletion-neighborhood equi-join over the reps — composing BOTH
+    scale tricks (collapse first, pigeonhole second), the right shape
+    when rep blocks are themselves large. Output identical either way
+    (the refine is the same exact banded levenshtein).
     """
     members = df.select(
         F.col(block).alias("block"), F.col(name).alias("__nm"), F.col(key).alias("__k")
     )
     reps = members.groupBy("block", "__nm").agg(F.count(F.lit(1)).alias("__gn"))
-    a = reps.select("block", F.col("__nm").alias("name_a"))
-    b = reps.select("block", F.col("__nm").alias("name_b"))
-    rep_pairs = (
-        a.join(b, "block")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", max_edit))
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
-    )
+    if generator == "neighborhood":
+        rep_named = reps.select("block", "__nm")
+        cand = edit_candidate_pairs(
+            rep_named, rep_named, key="__nm", name="__nm", block="block",
+            k=max_edit,
+        )
+        rep_pairs = (
+            cand.withColumn(
+                "edit_dist", F.levenshtein("name_a", "name_b", max_edit)
+            )
+            .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
+            .select("block", "name_a", "name_b", "edit_dist")
+        )
+    elif generator == "join":
+        a = reps.select("block", F.col("__nm").alias("name_a"))
+        b = reps.select("block", F.col("__nm").alias("name_b"))
+        rep_pairs = (
+            a.join(b, "block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b", max_edit))
+            .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
+        )
+    else:
+        raise ValueError(f"generator must be 'join'|'neighborhood', got {generator!r}")
     m_a = members.select(
         "block", F.col("__nm").alias("name_a"), F.col("__k").alias("ka")
     )

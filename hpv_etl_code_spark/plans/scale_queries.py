@@ -232,18 +232,25 @@ FROM r GROUP BY 1
 
 
 def fuzzy_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deletion-neighborhood generator (operators/editjoin.py::
-    fuzzy_edit_pairs — SymSpell pigeonhole candidates + exact banded
-    refine) over the same parts surface as ``fuzzy_blocked_pairs`` —
-    output-identical by construction, so it shares that entry's oracle;
-    registering it separately keeps the high-name-cardinality generator
-    under driver-level hash verification, not just pytest."""
-    from ..operators.editjoin import fuzzy_edit_pairs
+    """The deletion-neighborhood generator (SymSpell pigeonhole
+    candidates + exact banded refine) over the same parts surface as
+    ``fuzzy_blocked_pairs`` — output-identical by construction, so it
+    shares that entry's oracle; registering it separately keeps the
+    generator under driver-level hash verification, not just pytest.
+
+    r6 sweep fix: the generator now runs COLLAPSED (reps per distinct
+    (brand, name), neighborhoods over the ~64 reps, members expanded
+    back) — the flat form exploded every member's ~L²/2 deletion
+    variants into the equi-join where heavy name repetition made
+    collisions quadratic in members (264 s → ~2 s at sf1, identical
+    rows). The flat :func:`~...editjoin.fuzzy_edit_pairs` remains the
+    right generator when names are high-cardinality."""
+    from ..operators.editjoin import fuzzy_pairs_collapsed
 
     p = load_table(spark, sf_dir, "part")
-    return fuzzy_edit_pairs(p, "p_partkey", "p_name", "p_brand").select(
-        F.col("block").alias("brand"), "key_a", "key_b", "edit_dist"
-    )
+    return fuzzy_pairs_collapsed(
+        p, "p_partkey", "p_name", "p_brand", generator="neighborhood"
+    ).select(F.col("block").alias("brand"), "key_a", "key_b", "edit_dist")
 
 
 def register_entries(register) -> None:  # noqa: ANN001
