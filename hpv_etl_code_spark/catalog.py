@@ -467,6 +467,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "ab_stats_stream",
     "jpeg_coeff_roundtrip",
     "jpeg_dc_pixel_stats",
+    "cuped_stream",
 )
 
 

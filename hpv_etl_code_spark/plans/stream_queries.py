@@ -76,6 +76,86 @@ def ab_stats_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cuped_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUPED executed end-to-end: events replayed as a 4-file
+    availableNow stream through ``streaming/stateful.py::cuped_stream``
+    (per-shard exact integer moments over per-user pre/post totals),
+    then ONE ≤32-row reduce of the latest shard rows recovers θ / corr
+    / variance-reduction via the ÷n-free integer identities
+    (cov·n² = n²Σxy − n·Sx·Sy) — bit-identical to
+    ``cuped_variance_reduction``, so the SAME DuckDB oracle
+    hash-certifies this streaming execution (the second such entry
+    after ``ab_stats_stream``). The (d0, d1) period split is derived
+    batch-side exactly as the batch entry does — in a deployment it is
+    the pinned experiment definition."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import cuped_stream
+    from ..streaming.stream import run_to_memory_sink
+    from .artifacts import _scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).first()
+    src = os.path.join(
+        _scratch_dir(spark), f"cuped_stream_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    sink = f"cuped_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        cuped_stream(stream, b.d0, b.d1), sink, output_mode="update"
+    )
+    latest = (
+        spark.table(sink)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(
+                    (F.col("sxx") + F.col("syy")).desc(), F.col("n_users").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = latest.agg(
+        F.sum("n_users").cast("decimal(19,0)").alias("n"),
+        F.sum(d("sx")).alias("Sx"),
+        F.sum(d("sy")).alias("Sy"),
+        F.sum(d("sxy")).alias("Sxy"),
+        F.sum(d("sxx")).alias("Sxx"),
+        F.sum(d("syy")).alias("Syy"),
+    )
+    n = F.col("n")
+    cov_n2 = n * n * F.col("Sxy") - n * F.col("Sx") * F.col("Sy")
+    varx_n2 = n * n * F.col("Sxx") - n * F.col("Sx") * F.col("Sx")
+    vary_n2 = n * n * F.col("Syy") - n * F.col("Sy") * F.col("Sy")
+    theta = cov_n2.cast("double") / varx_n2.cast("double")
+    corr = cov_n2.cast("double") / F.sqrt(
+        varx_n2.cast("double") * vary_n2.cast("double")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(corr, 6).alias("corr_pre_post"),
+        F.round(corr * corr * F.lit(100.0), 6).alias("var_reduction_pct"),
+    )
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_table(spark, sf_dir, "events"), duration="1 hour")
 
@@ -287,7 +367,10 @@ FROM agg WHERE n != 0
 def register_entries(register) -> None:  # noqa: ANN001
     from .olap_queries import AB_WELCH_SQL
 
+    from .inference_queries import CUPED_SQL
+
     register("ab_stats_stream", ab_stats_stream_final, AB_WELCH_SQL)
+    register("cuped_stream", cuped_stream_final, CUPED_SQL)
     register("cdc_matview_events", cdc_matview_events, CDC_MATVIEW_SQL)
     register("lateness_profile", lateness_profile, LATENESS_SQL)
     register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)

@@ -946,3 +946,130 @@ def ab_stats_stream(stream_df: DataFrame, watermark: str = "1 hour") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------- streaming CUPED moments
+
+CUPED_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("n_users", LongType()),
+        StructField("sx", LongType()),
+        StructField("sy", LongType()),
+        StructField("sxy", LongType()),
+        StructField("sxx", LongType()),
+        StructField("syy", LongType()),
+    ]
+)
+_CUPED_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("pre", ArrayType(LongType())),
+        StructField("post", ArrayType(LongType())),
+    ]
+)
+
+
+def _make_cuped(d0: dt.date, d1: dt.date):
+    span = (d1 - d0).days
+
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state = this shard's users' running (pre, post) cents totals —
+        # O(users/shards) per shard, the same asymptotic footprint as
+        # any per-user stateful operator, with shard-level parallelism
+        if state.exists:
+            users, pre, post = (list(c) for c in state.get)
+            idx = {u: i for i, u in enumerate(users)}
+        else:
+            users, pre, post, idx = [], [], [], {}
+        for pdf in pdf_iter:
+            for uid, ts, val in zip(pdf["user_id"], pdf["ts"], pdf["value"]):
+                if uid is None or (isinstance(uid, float) and math.isnan(uid)):
+                    continue  # batch: NULL user forms its own group; the
+                    # synthetic corpus has none — documented divergence
+                if val is None or math.isnan(float(val)):
+                    continue  # NULL cents: sum skips
+                cents = _cents_exact(float(val))
+                day = ts.date() if hasattr(ts, "date") else ts
+                period = 1 if (day - d0).days * 2 >= span else 0
+                u = int(uid)
+                i = idx.get(u)
+                if i is None:
+                    idx[u] = i = len(users)
+                    users.append(u)
+                    pre.append(0)
+                    post.append(0)
+                if period:
+                    post[i] += cents
+                else:
+                    pre[i] += cents
+        state.update((users, pre, post))
+        # exact integer raw moments over this shard's users — the
+        # ÷n-free centered forms recover from (n, Sx, Sy, Σxy, Σx², Σy²)
+        # via cov·n² = n·Σxy·n − n·Sx·Sy (integer identity)
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    len(users),
+                    sum(pre),
+                    sum(post),
+                    sum(x * y for x, y in zip(pre, post)),
+                    sum(x * x for x in pre),
+                    sum(y * y for y in post),
+                )
+            ],
+            columns=list(CUPED_SHARD_SCHEMA.names),
+        )
+
+    return fold
+
+
+def cuped_stream(
+    stream_df: DataFrame,
+    d0: dt.date,
+    d1: dt.date,
+    n_shards: int = 32,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CUPED sufficient statistics — the batch entry
+    (plans/inference_queries.py::cuped_variance_reduction) carried as
+    per-SHARD exact integer moments over per-user (pre, post) cents
+    totals, via ``applyInPandasWithState`` keyed by ``user_id %
+    n_shards``. Each micro-batch re-emits every touched shard's
+    (n_users, Σpre, Σpost, Σpre·post, Σpre², Σpost²); the final θ /
+    corr / variance-reduction row is ONE ≤n_shards-row reduce at read
+    time using the integer identities cov·n² = n·Σxy − Sx·Sy (scaled by
+    n) — bit-identical to the batch entry's decimal chain because both
+    sides aggregate EXACT integers (tests/test_stateful_cuped.py; the
+    ``cuped_stream`` catalog entry hash-certifies the whole streaming
+    execution against the batch oracle).
+
+    The period split (d0, d1) is a FIXED monitoring parameter (the
+    batch entry derives it from the data's date bounds; a deployment
+    pins it from the experiment definition) — same convention as
+    ``cusum_stream``'s reference level. Σ moments are LongType — safe
+    to ~10⁶-cent users on 10⁵-user shards; wider regimes split hi/lo
+    words, the same seam as ``ab_stats_stream``.
+    """
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .withColumn(
+            "__shard", F.pmod(F.col("user_id"), F.lit(n_shards)).cast("long")
+        )
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            _make_cuped(d0, d1),
+            outputStructType=CUPED_SHARD_SCHEMA,
+            stateStructType=_CUPED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
