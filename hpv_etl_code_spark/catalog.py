@@ -468,6 +468,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "jpeg_coeff_roundtrip",
     "jpeg_dc_pixel_stats",
     "cuped_stream",
+    "unigram_ce_bands",
 )
 
 

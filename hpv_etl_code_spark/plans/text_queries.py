@@ -57,6 +57,91 @@ FROM documents
 """
 
 
+def unigram_ce_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, the unigram exact form: train a
+    unigram LM on the corpus itself (token counts / total), score each
+    document's per-token cross-entropy H_d = ln N − (1/n_d)·Σ ln c(t_i),
+    and cut the corpus into three equal-population bands (head/middle/
+    tail — the band a mixture policy keeps, downsamples, or drops).
+
+    Determinism: ln c(t) is QUANTIZED to an exact integer
+    (⌊ln(c)·10⁶ + 0.5⌋ — half-up, written identically in the oracle),
+    so the per-doc sum is exact integer arithmetic — ORDER-FREE, no
+    ordered fold needed — and H_d is one double division. Band cuts use
+    the integer rank rule ((rank−1)·3) DIV n over ``global_row_index``
+    (ties → doc_id), the decile_lift playbook, so no ntile ambiguity.
+
+    Scale: one explode→(token) count aggregation (the vocabulary pass
+    every tokenizer-adjacent job already pays), one join back on token,
+    one per-doc aggregation, and the two-phase global rank — no
+    single-partition sort, no vocabulary broadcast requirement (the
+    token join shuffles by token; at 100 TB both sides are
+    token-partitioned and the vocab side is tiny after aggregation).
+    """
+    from ..operators.layout import global_row_index
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    total = counts.agg(F.sum("ct").cast("bigint").alias("N"))
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(lnq(F.col("ct"))).cast("bigint").alias("slnq"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("n_tokens") * lnq(F.col("N")) - F.col("slnq")).cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens").cast("double"))
+        ).alias("ce"),
+    )
+    ranked = global_row_index(
+        scored, key="ce", tiebreak=("doc_id",), index_col="rk"
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    return (
+        ranked.join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("ce", 6).alias("cross_entropy"),
+            F.expr("((rk - 1) * 3) DIV nd").cast("int").alias("band"),
+        )
+    )
+
+
+UNIGRAM_CE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*)::BIGINT AS ct FROM toks GROUP BY tok
+), total AS (SELECT SUM(ct)::BIGINT AS N FROM counts),
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+    SUM(CAST(FLOOR(ln(ct::DOUBLE) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+      AS slnq
+  FROM toks JOIN counts USING (tok)
+  GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n_tokens,
+    (n_tokens * CAST(FLOOR(ln(N::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+     - slnq)::DOUBLE / (1000000.0 * n_tokens::DOUBLE) AS ce
+  FROM per_doc CROSS JOIN total
+), nd AS (SELECT COUNT(*)::BIGINT AS nd FROM scored)
+SELECT doc_id, n_tokens, ROUND(ce, 6) AS cross_entropy,
+  (((ROW_NUMBER() OVER (ORDER BY ce, doc_id)) - 1) * 3 // nd)::INT AS band
+FROM scored CROSS JOIN nd
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -952,6 +1037,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
     register("oov_rate_by_source", oov_rate_by_source, OOV_RATE_SQL)
     register("text_quality", text_quality, TEXT_QUALITY_SQL)
+    register("unigram_ce_bands", unigram_ce_bands, UNIGRAM_CE_SQL)
     register("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL)
     register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
     register("text_winnowing", text_winnowing, TEXT_WINNOWING_SQL)
