@@ -469,6 +469,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "jpeg_dc_pixel_stats",
     "cuped_stream",
     "unigram_ce_bands",
+    "bottomk_quantile_stream",
 )
 
 

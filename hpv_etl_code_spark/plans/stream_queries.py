@@ -156,6 +156,72 @@ def cuped_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bottomk_quantile_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k quantile sampling executed end-to-end (third
+    oracle-hash-certified streaming execution, after ``ab_stats_stream``
+    and ``cuped_stream``): the mergeable bottom-k sample is
+    arrival-order-free, so after the 4-file availableNow replay the
+    latest per-type row is bit-identical to the batch sample stage of
+    ``sampled_quantile_portable``."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import bottomk_stream
+    from ..streaming.stream import run_to_memory_sink
+    from .artifacts import _scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = os.path.join(
+        _scratch_dir(spark), f"bottomk_stream_src_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    sink = f"bottomk_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(bottomk_stream(stream), sink, output_mode="update")
+    # latest row per type = max n_seen (strictly increasing; n_sample
+    # saturates at k and cannot break ties between update rows)
+    return (
+        spark.table(sink)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("n_seen").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("event_type", "n_sample", "sample_median")
+    )
+
+
+BOTTOMK_QUANTILE_SQL = """
+WITH h AS (
+  SELECT event_type, value, event_id,
+    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM h
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_sample,
+       round(median(value), 6) AS sample_median
+FROM r WHERE rn <= 32 GROUP BY 1
+"""
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_table(spark, sf_dir, "events"), duration="1 hour")
 
@@ -371,6 +437,11 @@ def register_entries(register) -> None:  # noqa: ANN001
 
     register("ab_stats_stream", ab_stats_stream_final, AB_WELCH_SQL)
     register("cuped_stream", cuped_stream_final, CUPED_SQL)
+    register(
+        "bottomk_quantile_stream",
+        bottomk_quantile_stream_final,
+        BOTTOMK_QUANTILE_SQL,
+    )
     register("cdc_matview_events", cdc_matview_events, CDC_MATVIEW_SQL)
     register("lateness_profile", lateness_profile, LATENESS_SQL)
     register("stream_tumbling_counts", stream_tumbling_counts, TUMBLING_SQL, headline=True)

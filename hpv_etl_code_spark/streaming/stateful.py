@@ -1073,3 +1073,109 @@ def cuped_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------- streaming bottom-k quantile sample
+
+BOTTOMK_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),  # total events folded — the
+        # strictly-increasing "latest row" key (n_sample saturates at k,
+        # so it cannot order the sink's update rows)
+        StructField("n_sample", LongType()),
+        StructField("sample_median", DoubleType()),
+    ]
+)
+_BOTTOMK_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("hs", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),  # None for NULL value
+    ]
+)
+
+
+def _make_bottomk(k: int):
+    def fold(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        # state = the k records with the SMALLEST (h, event_id) — the
+        # bottom-k trick: a mergeable, arrival-order-free, RNG-free
+        # uniform sample (same algebra as the KMV sketch), so the final
+        # set is bit-identical to the batch window whatever the
+        # micro-batch cuts were
+        if state.exists:
+            n_seen, hs0, ids0, vals0 = state.get
+            rows = list(zip(hs0, ids0, vals0))
+        else:
+            n_seen, rows = 0, []
+        for pdf in pdf_iter:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                e = int(eid)
+                h = int(
+                    hashlib.md5(str(e).encode()).hexdigest()[:15], 16
+                )
+                v = None
+                if val is not None and not math.isnan(float(val)):
+                    v = float(val)
+                rows.append((h, e, v))
+                n_seen += 1
+        rows.sort(key=lambda r: (r[0], r[1]))
+        rows = rows[:k]
+        cols = tuple(list(c) for c in zip(*rows)) if rows else ([], [], [])
+        state.update((n_seen,) + cols)
+        # RAW doubles, exactly the batch median's input: Spark/DuckDB
+        # median of an even count is (a + b) / 2 on the stored doubles
+        vals = sorted(v for _, _, v in rows if v is not None)
+        med = None
+        if vals:
+            m = len(vals)
+            mid = (
+                vals[m // 2]
+                if m % 2
+                else (vals[m // 2 - 1] + vals[m // 2]) / 2.0
+            )
+            med = _round6_half_up(mid)
+        yield pd.DataFrame(
+            [(key[0], n_seen, len(rows), med)],
+            columns=list(BOTTOMK_SCHEMA.names),
+        )
+
+    return fold
+
+
+def bottomk_stream(
+    stream_df: DataFrame, k: int = 32, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming bottom-k quantile sample — the batch entry
+    (plans/battery_queries.py::sampled_quantile_portable) sample stage
+    as ``applyInPandasWithState`` keyed by event_type: state is the k
+    records with the smallest portable 60-bit md5(event_id) hash (ties
+    → event_id), re-emitting the refreshed sample median per
+    micro-batch. Bottom-k is MERGEABLE and arrival-order-free, so the
+    final sample — and its median — is bit-identical to the batch
+    window whatever the micro-batch boundaries were
+    (tests/test_stateful_bottomk.py; the ``bottomk_quantile_stream``
+    catalog entry hash-certifies the execution against the batch
+    oracle). Median arithmetic mirrors both engines exactly: exact
+    integer cents, (a+b)/2 for even counts, 6dp HALF-UP."""
+    from .windows import ensure_event_time
+
+    return (
+        ensure_event_time(stream_df, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_bottomk(int(k)),
+            outputStructType=BOTTOMK_SCHEMA,
+            stateStructType=_BOTTOMK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
