@@ -470,6 +470,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "cuped_stream",
     "unigram_ce_bands",
     "bottomk_quantile_stream",
+    "filter_funnel_report",
 )
 
 

@@ -718,6 +718,84 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule attrition of the corpus filter cascade — the C4-style
+    funnel report every pipeline run ships for observability: each
+    document is attributed to the FIRST rule it fails (fixed order:
+    quality floor → language allowlist → minimum length → exact-dup
+    keeper), and the report is one row per stage with the drop count
+    and corpus share, plus the survivor row. Rules are evaluated on the
+    ORIGINAL corpus (attribution is order-of-cascade, not conditional
+    re-evaluation) — the convention that makes stage counts additive to
+    the corpus total.
+
+    Plan: one narrow scoring scan, one fingerprint aggregation joined
+    back for the keeper rule (the exact-dedup shape), one ≤5-group
+    rollup. Shares are single divisions of exact counts."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        textops.token_count("text").alias("n_tokens"),
+        textops.quality_score("text").alias("quality"),
+        textops.fingerprint_md5("text").alias("fingerprint"),
+    )
+    keepers = scored.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    tagged = scored.join(keepers, "fingerprint").select(
+        F.when(F.col("quality") < 0.2, F.struct(F.lit(1).alias("s"), F.lit("quality_floor").alias("r")))
+        .when(~F.col("lang").isin("en", "de", "es", "fr"), F.struct(F.lit(2).alias("s"), F.lit("lang_allowlist").alias("r")))
+        .when(F.col("n_tokens") < 10, F.struct(F.lit(3).alias("s"), F.lit("min_tokens").alias("r")))
+        .when(F.col("doc_id") != F.col("keeper_id"), F.struct(F.lit(4).alias("s"), F.lit("exact_dup").alias("r")))
+        .otherwise(F.struct(F.lit(5).alias("s"), F.lit("survived").alias("r")))
+        .alias("fate")
+    )
+    total = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    return (
+        tagged.groupBy(
+            F.col("fate.s").alias("stage"), F.col("fate.r").alias("rule")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(total))
+        .select(
+            "stage",
+            "rule",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__t").cast("double"), 6
+            ).alias("pct_of_corpus"),
+        )
+    )
+
+
+def _filter_funnel_sql() -> str:
+    return f"""
+WITH scored AS ({_quality_sql_fragment()}),
+keepers AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper_id FROM scored GROUP BY fingerprint
+), tagged AS (
+  SELECT CASE WHEN quality < 0.2 THEN 1
+              WHEN lang NOT IN ('en','de','es','fr') THEN 2
+              WHEN n_tokens < 10 THEN 3
+              WHEN doc_id <> keeper_id THEN 4
+              ELSE 5 END AS stage,
+         CASE WHEN quality < 0.2 THEN 'quality_floor'
+              WHEN lang NOT IN ('en','de','es','fr') THEN 'lang_allowlist'
+              WHEN n_tokens < 10 THEN 'min_tokens'
+              WHEN doc_id <> keeper_id THEN 'exact_dup'
+              ELSE 'survived' END AS rule
+  FROM scored JOIN keepers USING (fingerprint)
+), total AS (SELECT COUNT(*)::BIGINT AS t FROM tagged)
+SELECT stage::INT AS stage, rule, COUNT(*)::BIGINT AS n_docs,
+  ROUND(COUNT(*)::DOUBLE / t::DOUBLE, 6) AS pct_of_corpus
+FROM tagged CROSS JOIN total
+GROUP BY stage, rule, t
+"""
+
+
 def _quality_sql_fragment() -> str:
     from .text_queries import _STOP_SQL
 
@@ -1068,6 +1146,7 @@ def register_entries(register) -> None:  # noqa: ANN001 — see catalog.register
     register("itemsim_cosine_topk", itemsim_cosine_topk, ITEMSIM_SQL)
     register("rolling_zscore_events", rolling_zscore_events, ROLLING_ZSCORE_SQL)
     register("corpus_datasheet", corpus_datasheet, _corpus_datasheet_sql())
+    register("filter_funnel_report", filter_funnel_report, _filter_funnel_sql())
     register(
         "fold_assignment_leakfree", fold_assignment_leakfree, FOLD_ASSIGNMENT_SQL
     )
