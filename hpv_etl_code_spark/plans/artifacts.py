@@ -140,15 +140,20 @@ def _plan_fingerprint(df: DataFrame) -> str:
     of the same builder produce textually different but semantically
     identical plans — without normalization the cache never hits for
     re-built plans (the sf1 sweep caught dedup_cluster_sizes_indexed
-    re-deriving the components artifact at full cost). Names, operator
-    tree, literals and scan paths all remain, so distinct content still
-    fingerprints apart."""
+    re-deriving the components artifact at full cost). The analyzed
+    plan's ``Relation`` nodes ELIDE file paths, so the fingerprint also
+    folds in the plan's input-file list — two pipelines identical in
+    shape but reading different directories (e.g. the empty-table
+    robustness suite after a real run) must never alias (r6 catch:
+    market_basket_rules served a previous test's baskets on empty
+    input)."""
     import hashlib
 
     text = re.sub(
         r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
     )
-    return hashlib.md5(text.encode()).hexdigest()[:12]
+    files = "\n".join(sorted(df.inputFiles()))
+    return hashlib.md5((text + "\x00" + files).encode()).hexdigest()[:12]
 
 
 def _scratch_dir(spark) -> str:

@@ -142,3 +142,21 @@ def test_shared_cache_parquet_equivalence(spark, sf_dir):
         os.environ.pop("SPARK_GRAFT_STAGE_STORAGE", None)
         shared_cache.clear_cache()
     assert sorted(tuple(r) for r in pq) == mem_rows
+
+
+def test_same_shape_different_source_never_aliases(spark, tmp_path):
+    """Identical plan SHAPE over different source directories must
+    fingerprint apart — the analyzed plan elides parquet paths, so the
+    input-file list is part of the key (r6: the empty-table suite was
+    served a previous run's cached baskets)."""
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(5).selectExpr("id AS k").write.parquet(a_dir)
+    spark.range(9).selectExpr("id AS k").write.parquet(b_dir)
+
+    def build(d):
+        return spark.read.parquet(d).groupBy().count()
+
+    got_a = stage_artifact(build(a_dir), "src_alias_test", storage="memory")
+    got_b = stage_artifact(build(b_dir), "src_alias_test", storage="memory")
+    assert got_a.first()[0] == 5
+    assert got_b.first()[0] == 9
