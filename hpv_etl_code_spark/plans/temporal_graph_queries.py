@@ -916,7 +916,13 @@ def clustering_coefficient_sampled(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
     )
     n_samp = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
-    p = F.col("n_closed").cast("double") / F.col("n_sampled").cast("double")
+    # empty graph → zero samples: guard the ratio (ANSI /0 RAISES) and
+    # let NULL propagate through est/CI — the degenerate-input contract
+    # (empty-input suite); the gate's data never hits it
+    p = F.when(
+        F.col("n_sampled") > 0,
+        F.col("n_closed").cast("double") / F.col("n_sampled").cast("double"),
+    )
     se = F.sqrt(p * (F.lit(1.0) - p) / F.col("n_sampled").cast("double"))
     return (
         n_samp.join(F.broadcast(n_closed))

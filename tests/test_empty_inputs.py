@@ -78,6 +78,19 @@ REPRESENTATIVE = (
     "pr_curve_deciles",
     "calibration_bins_brier",
     "conformal_interval_cents",
+    # round-6 families: wedge-sampled transitivity (NULL wedge total →
+    # empty sample set survives the banded join), artifact-backed
+    # cluster sizes, JPEG codec entries (0-row map stages), perplexity
+    # bands (global_row_index over zero rows), the funnel report
+    # (empty total never divides), and the streaming executions
+    # (availableNow over an empty source drains cleanly)
+    "clustering_coefficient_sampled",
+    "dedup_cluster_sizes_indexed",
+    "jpeg_coeff_roundtrip",
+    "jpeg_dc_pixel_stats",
+    "unigram_ce_bands",
+    "filter_funnel_report",
+    "ab_stats_stream",
     # round-5 session-5 families: robust stats, concentration, drift,
     # text diagnostics, calibration — empty inputs hit the rank-median
     # selection over zero pairs, the NULL min/max bounds through
