@@ -471,6 +471,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "unigram_ce_bands",
     "bottomk_quantile_stream",
     "filter_funnel_report",
+    "mixture_rebalance_plan",
 )
 
 

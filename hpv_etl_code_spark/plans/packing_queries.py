@@ -65,6 +65,60 @@ WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
 """
 
 
+def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing PLAN (the prepass before
+    :func:`corpus_mixture_sample` applies rates): per source, token
+    volume and current share vs a token-uniform target, the sampling
+    multiplier that would hit it (>1 = upsample/repeat epochs, <1 =
+    downsample) and the capped downsample-only rate — the numbers a
+    mixture policy (DoReMi-style reweighting, deduped-epoch planning)
+    starts from. Exact integer token counts; every share/multiplier is
+    a single rounded division. One per-source aggregate + a broadcast
+    1-row total."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(textops.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("total_tokens").cast("bigint").alias("__T"),
+        F.count(F.lit(1)).cast("bigint").alias("__S"),
+    )
+    cur = F.col("total_tokens").cast("double") / F.col("__T").cast("double")
+    target = F.lit(1.0) / F.col("__S").cast("double")
+    mult = target / cur
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(cur, 6).alias("cur_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(mult, 6).alias("multiplier"),
+        F.round(F.least(F.lit(1.0), mult), 6).alias("downsample_rate"),
+    )
+
+
+MIXTURE_REBALANCE_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(total_tokens)::BIGINT AS T, COUNT(*)::BIGINT AS S FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+  ROUND(total_tokens::DOUBLE / T::DOUBLE, 6) AS cur_share,
+  ROUND(1.0 / S::DOUBLE, 6) AS target_share,
+  ROUND((1.0 / S::DOUBLE) / (total_tokens::DOUBLE / T::DOUBLE), 6)
+    AS multiplier,
+  ROUND(LEAST(1.0, (1.0 / S::DOUBLE) / (total_tokens::DOUBLE / T::DOUBLE)), 6)
+    AS downsample_rate
+FROM per_src CROSS JOIN tot
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: concatenate documents in deterministic
     order until a token budget fills, emit per-pack manifests. The real
@@ -309,6 +363,7 @@ def register_entries(register) -> None:  # noqa: ANN001
         NEGATIVE_SAMPLES_SQL,
     )
     register("corpus_mixture_sample", corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
+    register("mixture_rebalance_plan", mixture_rebalance_plan, MIXTURE_REBALANCE_SQL)
     register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)
     register("corpus_epoch_shuffle", corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_SQL)
     register("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL)
