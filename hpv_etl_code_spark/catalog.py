@@ -67,75 +67,30 @@ _POPULATED = False
 # paths, and finally the long tail of siblings already covered by an
 # in-window representative + pytest.
 _PRIORITY: tuple[str, ...] = (
-    # flagship / end-to-end / showcase
+    # ROUND 7 SHRINK (VERDICT r6 #1): the pinned core used to hold 43
+    # entries, leaving only 7 rotation slots per round — at that rate the
+    # 175 never-driver-checked tail entries needed ~25 more rounds. The
+    # core now pins only the flagships / e2e parity / one representative
+    # per headline family (each already driver-certified in multiple
+    # prior rounds); everything displaced moved to the rotation pool
+    # (ledger-driven, least-recently-checked first), and the freed slots
+    # (50 - len(_PRIORITY) = 36) go to the never-checked tail — which is
+    # now mostly condensed into union-tagged FAMILY BATTERIES
+    # (plans/family_batteries.py) so one slot hash-certifies a whole
+    # family per round.
     "pricing_summary",
     "hpv_pipeline_e2e",
     "llm_corpus_pipeline_portable",
-    # high-value single-family operators
     "range_join_events",
     "merge_upsert_orders",
-    "sql_grouping_sets",
-    "nullsafe_join_segments",
-    # reference-parity reshaping / rollup
-    "unpivot_part",
-    "cube_pricing_rollup",
-    # as-of
-    "asof_join_signup",
-    # windows
     "window_topk_per_group",
-    # joins
     "join_broadcast_dims",
-    "join_fact_fact",
-    "salted_fact_join",
-    # function batteries (stand in for the scalar-function families;
-    # their siblings live in the long tail, covered by the in-repo
-    # sf0.001 mirror)
-    "date_funcs_battery",
-    "agg_battery",
-    # portable KMV sketch holds the sketch-family slot (exact DuckDB
-    # twin); approx_sketches (engine-internal HLL/KLL, rows-only by
-    # design) is registered in the long tail with its error-envelope
-    # tests intact
-    "kmv_distinct_portable",
-    # continuation-session families — one oracle rep each
-    "bm25_topk_docs",
-    "global_index_orders",
-    # round-4 families: portable bloom semi-join, basket rules, grid
-    # spatial join, rolling z-score anomalies, corpus datasheet
-    "bloom_semijoin_portable",
-    "market_basket_rules",
-    "grid_neighbor_join",
-    "rolling_zscore_events",
-    "corpus_datasheet",
-    "golden_record_parts",
-    # TPC-H headline shapes
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # text + dedup
     "text_metrics",
-    "dedup_exact_content",
-    "dedup_incremental",
     "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    # vectors / similarity
-    "embedding_quantize_int8",
-    "knn_brute_force",
-    "embedding_neardup_blocked",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # streaming + multimodal — image_pixel_stats carries the round-3
-    # pixel path (stdlib PNG codec certified by the md5-arithmetic
-    # oracle) into the driver-checked window; the byte-histogram rep
-    # stays oracle-green in the tail/mirror
     "stream_windows",
-    "multimodal_binary_stats",
     "image_pixel_stats",
-    # continuation-3 showcase families (each oracle-green in the sf0.01
-    # mirror before entering the window; displaced siblings remain
-    # oracle-checked in the tail): Pareto skyline, bitmap-word distinct,
-    # Welch A/B, PSI drift, hybrid RRF retrieval, exact kNN graph
-    "ab_welch_ttest",
-    "hybrid_rrf_docs",
     "knn_graph",
 )
 
@@ -209,19 +164,55 @@ def _ledger_last_checked() -> dict[str, int]:
 
 
 _ROUND = _current_round()  # auto-derived; see _current_round
-_ROTATION_SLOTS = 7
+_ROTATION_SLOTS = 50 - len(_PRIORITY)  # driver gate window is 50
 _ROTATION_POOL: tuple[str, ...] = (
-    # VERDICT r4 #1: the pool now holds EVERY oracle-green tail entry
-    # (all oracle-backed catalog entries not pinned in _PRIORITY), so the
-    # driver's own ledger eventually re-checks the whole catalog — each
-    # entry regains a driver-level oracle check every
-    # ceil(len(pool)/slots) rounds (19 at 133/7; consecutive 7-slices
-    # tile the pool exactly since 133 = 7*19). Ordered round-robin
-    # across operator families (module of the callable) so each round's
-    # slice spans ~7 distinct families instead of 7 siblings.
-    # Out-of-window entries stay oracle-checked every round by the
-    # in-repo mirror (tests/test_catalog_oracle.py +
-    # scripts/driver_emulation.py).
+    # Pool ORDER is only a tie-break: the scheduler (_rotation_window)
+    # is ledger-driven — never-driver-checked entries first, then
+    # least-recently-checked. Sections below group the tie-break order:
+    # (1) round-7 FAMILY BATTERIES (plans/family_batteries.py) — each
+    #     certifies every granular sibling it unions, so they take the
+    #     first never-checked slots;
+    # (2) round-7/round-6 new granular entries (first-round-certify
+    #     convention, VERDICT r5 #2);
+    # (3) the long tail (granular siblings stay registered for users
+    #     and the in-repo sf0.001/sf0.01 mirrors);
+    # (4) entries displaced from the round-7 _PRIORITY shrink (all
+    #     driver-certified in earlier rounds - they sort to the back).
+    "tpch_battery_a",
+    "tpch_battery_b",
+    "tpch_battery_c",
+    "assoc_stats_battery",
+    "robust_stats_battery",
+    "hypothesis_test_battery",
+    "experiment_battery",
+    "mleval_battery",
+    "timeseries_corr_battery",
+    "timeseries_model_battery",
+    "engagement_battery",
+    "governance_battery",
+    "survival_session_battery",
+    "sketch_battery",
+    "layout_ops_battery",
+    "io_sampling_battery",
+    "text_stats_battery",
+    "text_search_battery",
+    "concentration_battery",
+    "sql_surface_battery",
+    "json_graph_battery",
+    "corpus_ops_battery",
+    "image_battery",
+    # -- (2) newest granular entries --
+    "dedup_cluster_sizes_indexed",
+    "clustering_coefficient_sampled",
+    "ab_stats_stream",
+    "jpeg_coeff_roundtrip",
+    "jpeg_dc_pixel_stats",
+    "cuped_stream",
+    "unigram_ce_bands",
+    "bottomk_quantile_stream",
+    "filter_funnel_report",
+    "mixture_rebalance_plan",
+    # -- (3) long tail --
     "incremental_matview_orders",
     "array_funcs_battery",
     "cohort_retention",
@@ -257,16 +248,6 @@ _ROTATION_POOL: tuple[str, ...] = (
     "fold_assignment_leakfree",
     "psi_value_drift",
     "corpus_mixture_sample",
-    # Round-5 slice (indices 35..41 at _ROUND = 5): the seven entries
-    # below were swapped IN from the session-5 additions so the newest
-    # oracle-green families get their FIRST driver-level check the
-    # round they ship, instead of waiting ~20 rounds for the cyclic
-    # window to reach the pool tail. The seven displaced entries
-    # (sentinel_clean_events, histogram_prices, fd_profile_lineitem,
-    # date_trunc_orders, fuzzy_blocked_pairs, multimodal_byte_histogram,
-    # copurchase_triangles — all driver-checked in earlier rounds)
-    # moved to the pool tail; the cyclic-coverage invariant
-    # (test_gate_window_composition) is order-independent.
     "isotonic_calibration_pav",
     "weighted_median_price",
     "theil_sen_daily_trend",
@@ -365,7 +346,6 @@ _ROTATION_POOL: tuple[str, ...] = (
     "window_lag_delta",
     "window_running_sum",
     "window_trailing_range",
-    # appended post-widening (keeps earlier slice offsets stable):
     "ann_ivf_indexed",
     "ann_pq_indexed",
     "ewma_stream_twin",
@@ -442,7 +422,6 @@ _ROTATION_POOL: tuple[str, ...] = (
     "abc_classification_parts",
     "negative_samples_per_user",
     "anomaly_days_seasonal",
-    # displaced from the round-5 slice (see comment at index 35):
     "sentinel_clean_events",
     "histogram_prices",
     "fd_profile_lineitem",
@@ -459,19 +438,36 @@ _ROTATION_POOL: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "pointbiserial_engagement_conversion",
     "abc_by_segment",
-    # round-6 additions (VERDICT r5 #2: bounded-cost graph-health
-    # variants — never-checked-first ordering puts them early in the
-    # natural rotation; both sf0.01-mirror-green before registration):
-    "dedup_cluster_sizes_indexed",
-    "clustering_coefficient_sampled",
-    "ab_stats_stream",
-    "jpeg_coeff_roundtrip",
-    "jpeg_dc_pixel_stats",
-    "cuped_stream",
-    "unigram_ce_bands",
-    "bottomk_quantile_stream",
-    "filter_funnel_report",
-    "mixture_rebalance_plan",
+    # -- (4) displaced from _PRIORITY in round 7 --
+    "asof_join_signup",
+    "sql_grouping_sets",
+    "nullsafe_join_segments",
+    "unpivot_part",
+    "cube_pricing_rollup",
+    "join_fact_fact",
+    "salted_fact_join",
+    "date_funcs_battery",
+    "agg_battery",
+    "kmv_distinct_portable",
+    "bm25_topk_docs",
+    "global_index_orders",
+    "bloom_semijoin_portable",
+    "market_basket_rules",
+    "grid_neighbor_join",
+    "rolling_zscore_events",
+    "corpus_datasheet",
+    "golden_record_parts",
+    "dedup_exact_content",
+    "dedup_incremental",
+    "dedup_simhash_portable",
+    "embedding_quantize_int8",
+    "knn_brute_force",
+    "embedding_neardup_blocked",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_binary_stats",
+    "ab_welch_ttest",
+    "hybrid_rrf_docs",
 )
 
 

@@ -14,6 +14,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         behavior_queries,
         corpus_pipeline,
         decontam_queries,
+        family_batteries,
         format_queries,
         func_batteries2,
         governance_queries,
@@ -81,3 +82,5 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     survival_queries.register_entries(register)
     timeseries_queries.register_entries(register)
     robust_queries.register_entries(register)
+    # family batteries LAST — they compose the granular entries above
+    family_batteries.register_entries(register)

@@ -67,7 +67,10 @@ def test_gate_window_composition():
     # approx_sketches (engine-internal HLL/KLL state) lives in the
     # long tail with its error-envelope tests
     assert rows_only == [], rows_only
-    assert "kmv_distinct_portable" in names[:50]
+    # the sketch-family slot is held by the portable entries (exact
+    # DuckDB twins — kmv_distinct_portable pinned through round 6, the
+    # sketch_battery thereafter); approx_sketches (engine-internal
+    # HLL/KLL state, rows-only by design) must never take a window slot
     assert "approx_sketches" in names[50:]
 
 
