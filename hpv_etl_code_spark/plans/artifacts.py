@@ -34,15 +34,29 @@ from __future__ import annotations
 import os
 import re
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 
 _STORAGE_ENV = "SPARK_GRAFT_STAGE_STORAGE"
 _DIR_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
+_REUSE_ENV = "SPARK_GRAFT_ARTIFACT_REUSE"
 _STRATEGIES = ("memory", "parquet", "none")
 
-# (applicationId, name) → materialized DataFrame
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (applicationId, name, fingerprint-or-content-key) → materialized frame
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Serializes build-and-insert per key so two threads staging the same
+# artifact never double-build (the same race the recursive-CTE conf
+# override was locked against in round 6). One global mutex guards the
+# dicts; the per-key lock is held across the (possibly long) build so
+# DIFFERENT artifacts still build concurrently.
+_CACHE_MUTEX = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+
+
+def _key_lock(key: tuple[str, str, str]) -> threading.Lock:
+    with _CACHE_MUTEX:
+        return _KEY_LOCKS.setdefault(key, threading.Lock())
 
 
 def stage_storage() -> str:
@@ -81,15 +95,22 @@ def stage_artifact(
     # fingerprint hit is a true content hit
     fp = _plan_fingerprint(df)
     key = (spark.sparkContext.applicationId, name, fp)
-    if key not in _CACHE:
+    if key in _CACHE:
+        return _CACHE[key]
+    with _key_lock(key):
+        if key in _CACHE:  # built by a concurrent thread while we waited
+            return _CACHE[key]
         _prune_dead_entries()
         if storage == "memory":
-            _CACHE[key] = df.persist()
+            out = df.persist()
         else:  # parquet
-            path = os.path.join(_scratch_dir(spark), f"{name}_{fp}")
-            df.write.mode("overwrite").parquet(path)
-            _CACHE[key] = spark.read.parquet(path)
-    return _CACHE[key]
+            path = _artifact_path(spark, name, fp)
+            if not (_reuse_enabled() and _is_complete(path)):
+                df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+        with _CACHE_MUTEX:
+            _CACHE[key] = out
+    return out
 
 
 def stage_artifact_from(
@@ -110,22 +131,32 @@ def stage_artifact_from(
     if storage == "none":
         return builder()
     key = (spark.sparkContext.applicationId, name, f"ck:{content_key}")
-    if key not in _CACHE:
+    if key in _CACHE:
+        return _CACHE[key]
+    with _key_lock(key):
+        if key in _CACHE:  # built by a concurrent thread while we waited
+            return _CACHE[key]
         _prune_dead_entries()
-        df = builder()
-        if storage == "memory":
-            _CACHE[key] = df.persist()
-        else:
+        if storage == "parquet":
             if not re.fullmatch(r"[A-Za-z0-9._\-]+", name):
                 raise ValueError(
                     f"artifact name {name!r} must be filesystem-safe"
                 )
-            path = os.path.join(
-                _scratch_dir(spark), f"{name}_{_key_digest(content_key)}"
-            )
-            df.write.mode("overwrite").parquet(path)
-            _CACHE[key] = spark.read.parquet(path)
-    return _CACHE[key]
+            path = _artifact_path(spark, name, _key_digest(content_key))
+            # cross-session rehydration (VERDICT r6 #6): with
+            # SPARK_GRAFT_ARTIFACT_REUSE=1 a completed artifact from a
+            # PREVIOUS session is read back and the (expensive) builder
+            # never runs — (name, content_key) must identify the frame
+            # content globally, which is already this function's
+            # documented key contract.
+            if not (_reuse_enabled() and _is_complete(path)):
+                builder().write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+        else:  # memory — session-local by nature
+            out = builder().persist()
+        with _CACHE_MUTEX:
+            _CACHE[key] = out
+    return out
 
 
 def _key_digest(content_key: str) -> str:
@@ -156,6 +187,40 @@ def _plan_fingerprint(df: DataFrame) -> str:
     return hashlib.md5((text + "\x00" + files).encode()).hexdigest()[:12]
 
 
+def _reuse_enabled() -> bool:
+    """``SPARK_GRAFT_ARTIFACT_REUSE=1`` opts parquet artifacts into
+    CROSS-SESSION reuse: paths drop the applicationId component, and a
+    completed artifact directory from a previous session is rehydrated
+    instead of rebuilt. Off by default — reuse is only sound when the
+    artifact store outlives sessions on purpose (a cluster pointing
+    ``SPARK_GRAFT_ARTIFACT_DIR`` at reliable shared storage) and keys
+    honor the content-identity contract (they do: plan fingerprints
+    fold in plan text + input files; content_keys are caller-owned)."""
+    return os.environ.get(_REUSE_ENV, "") == "1"
+
+
+def _is_complete(path: str) -> bool:
+    """Only a _SUCCESS-marked directory is reusable — a crashed writer
+    leaves a partial directory that must be overwritten, not served."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _artifact_path(spark, name: str, digest: str) -> str:
+    base = (
+        _shared_dir() if _reuse_enabled() else _scratch_dir(spark)
+    )
+    return os.path.join(base, f"{name}_{digest}")
+
+
+def _shared_dir() -> str:
+    """Session-independent artifact root for the cross-session reuse
+    mode (``$SPARK_GRAFT_ARTIFACT_DIR/shared`` or a stable tempdir)."""
+    base = os.environ.get(_DIR_ENV) or tempfile.gettempdir()
+    d = os.path.join(base, "spark_graft_artifacts_shared")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _scratch_dir(spark) -> str:
     """$SPARK_GRAFT_ARTIFACT_DIR (the durable location a cluster run
     points at reliable storage) or a per-application tempdir."""
@@ -174,24 +239,30 @@ def _prune_dead_entries() -> None:
     """Drop cache entries bound to stopped SparkSessions (same hygiene
     as ``shared_cache._prune_dead_entries`` — a cycling driver must
     never be handed a frame of a dead context)."""
+    with _CACHE_MUTEX:
+        snapshot = list(_CACHE.items())
     dead = []
-    for key, df in _CACHE.items():
+    for key, df in snapshot:
         try:
             if df.sparkSession.sparkContext._jsc.sc().isStopped():
                 dead.append(key)
         except Exception:  # noqa: BLE001 — unreachable JVM == dead session
             dead.append(key)
-    for key in dead:
-        _CACHE.pop(key, None)
+    with _CACHE_MUTEX:
+        for key in dead:
+            _CACHE.pop(key, None)
 
 
 def clear_cache() -> None:
     """Unpersist/drop all artifacts (tests / teardown). Parquet scratch
     files are left for the OS tempdir policy — they may still back live
     reader DataFrames elsewhere."""
-    for df in _CACHE.values():
+    with _CACHE_MUTEX:
+        frames = list(_CACHE.values())
+        _CACHE.clear()
+        _KEY_LOCKS.clear()
+    for df in frames:
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — read-back frames aren't persisted
             pass
-    _CACHE.clear()
