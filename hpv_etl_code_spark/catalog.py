@@ -202,6 +202,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "corpus_ops_battery",
     "image_battery",
     # -- (2) newest granular entries --
+    # round 7:
+    "video_mjpeg_frame_stats",
+    # round 6:
     "dedup_cluster_sizes_indexed",
     "clustering_coefficient_sampled",
     "ab_stats_stream",

@@ -91,3 +91,62 @@ def test_avi_demux_never_hangs_on_mutation(data):
         assert isinstance(out, list)
     except Exception:  # noqa: BLE001 — permissive-catchable
         pass
+
+
+def test_mjpeg_avi_pipeline_drops_corrupt_payloads(spark):
+    """VERDICT r6 #2 done-criterion: corrupt rows flow through the
+    permissive seam — a garbage payload, a truncated AVI, and an AVI
+    holding a corrupt JPEG frame are DROPPED (strict=False) while the
+    well-formed sibling rows still decode; strict=True raises."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hpv_etl_code_spark.operators.jpeg_codec import (
+        encode_jpeg_gray_coeffs,
+    )
+    from hpv_etl_code_spark.operators.video import (
+        frame_pixel_sums,
+        sample_frames_avi,
+    )
+
+    def dc_jpeg(seed: str) -> bytes:
+        dc = hashlib.md5(seed.encode()).digest()[0] - 128
+        c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        c[0, 0, 0, 0] = dc
+        return encode_jpeg_gray_coeffs(c)
+
+    good = mux_avi_mpng([dc_jpeg(f"g{f}") for f in range(4)], 8, 8,
+                        fourcc=b"MJPG")
+    corrupt_frame = mux_avi_mpng(
+        [dc_jpeg("x"), b"\xff\xd8 not a real jpeg"], 8, 8, fourcc=b"MJPG"
+    )
+    rows = [
+        Row(doc_id=1, payload=good),
+        Row(doc_id=2, payload=b"garbage, not RIFF at all"),
+        Row(doc_id=3, payload=good[:20]),          # truncated container
+        Row(doc_id=4, payload=corrupt_frame),      # demuxes, frame 1 bad
+    ]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    sampled = sample_frames_avi(df, every_n=1, strict=False)
+    out = frame_pixel_sums(sampled, codec="jpeg", strict=False)
+    got = {(r.doc_id, r.frame_idx) for r in out.collect()}
+    # doc 1: all 4 frames; doc 2/3 dropped at demux; doc 4: frame 0
+    # survives, frame 1 dropped at decode
+    assert got == {(1, 0), (1, 1), (1, 2), (1, 3), (4, 0)}
+
+    with pytest.raises(Exception):
+        frame_pixel_sums(
+            sample_frames_avi(df, every_n=1, strict=True), codec="jpeg"
+        ).collect()
