@@ -204,6 +204,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     # -- (2) newest granular entries --
     # round 7:
     "video_mjpeg_frame_stats",
+    "mixture_reweight_rounds",
     # round 6:
     "dedup_cluster_sizes_indexed",
     "clustering_coefficient_sampled",
