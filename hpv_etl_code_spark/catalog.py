@@ -205,6 +205,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     # round 7:
     "video_mjpeg_frame_stats",
     "mixture_reweight_rounds",
+    "ann_ivf_append",
     # round 6:
     "dedup_cluster_sizes_indexed",
     "clustering_coefficient_sampled",

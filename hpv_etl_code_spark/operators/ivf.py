@@ -218,6 +218,110 @@ def build_ivf_index(
         "v",
     ).withColumn("norm", l2_norm(F.col("v")))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    _write_cell_stats(assigned, path)
+
+
+def _write_cell_stats(assigned: DataFrame, path: str) -> None:
+    """Per-cell (n, mean_d2) of members to their centroid — the
+    baseline the drift check in :func:`ivf_index_append` compares new
+    batches against. ``assigned`` must carry (v, cell); d2 is
+    recomputed from the persisted centroids."""
+    spark = assigned.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").agg(
+        F.collect_list(F.struct("cell", "c")).alias("__cents")
+    )
+    with_c = assigned.crossJoin(F.broadcast(cents)).withColumn(
+        "__c",
+        F.filter("__cents", lambda s: s.getField("cell") == F.col("cell"))
+        .getItem(0)
+        .getField("c"),
+    )
+    (
+        with_c.withColumn("__d2", _sq_dist(F.col("v"), F.col("__c")))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("__d2").alias("mean_d2"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a NEW batch of vectors to a persisted IVF index WITHOUT
+    rebuilding (VERDICT r6 #7 — the dedup_incremental batch-vs-corpus
+    shape for ANN): assign the batch to the EXISTING centroids
+    (broadcast argmin, one narrow pass over the batch only), append the
+    assigned rows into the cell-partitioned corpus parquet, and return
+    a per-cell DRIFT REPORT comparing the batch's mean squared
+    assignment distance against the index baseline —
+    ``drift_ratio = mean_d2_new / mean_d2_base`` climbing past ~1.5, or
+    the new-mass share growing large, is the signal to schedule a full
+    rebuild (centroids no longer describe the data). The corpus is
+    never re-shuffled or re-clustered; at 100 TB an append costs
+    O(batch), not O(index). Searches through
+    :func:`ivf_topk_indexed` immediately see the appended vectors and
+    are exactly equivalent to a same-centroid search over the union
+    (tested on the clustered fixture)."""
+    spark = batch.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r.c) for r in cents]
+    assigned = _assign(
+        batch.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("v"),
+        ),
+        spark,
+        centroids,
+        "v",
+    ).withColumn("norm", l2_norm(F.col("v")))
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+    cents_row = spark.read.parquet(f"{path}/centroids").agg(
+        F.collect_list(F.struct("cell", "c")).alias("__cents")
+    )
+    new_stats = (
+        assigned.crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "__c",
+            F.filter(
+                "__cents", lambda s: s.getField("cell") == F.col("cell")
+            )
+            .getItem(0)
+            .getField("c"),
+        )
+        .withColumn("__d2", _sq_dist(F.col("v"), F.col("__c")))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.avg("__d2").alias("mean_d2_new"),
+        )
+    )
+    base_stats = spark.read.parquet(f"{path}/stats").select(
+        "cell",
+        F.col("n").alias("n_base"),
+        F.col("mean_d2").alias("mean_d2_base"),
+    )
+    return (
+        base_stats.join(new_stats, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "mean_d2_base",
+            "mean_d2_new",
+            F.when(
+                F.col("mean_d2_base") > 0,
+                F.col("mean_d2_new") / F.col("mean_d2_base"),
+            ).alias("drift_ratio"),
+        )
+    )
 
 
 def ivf_topk_indexed(

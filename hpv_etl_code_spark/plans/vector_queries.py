@@ -182,20 +182,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_oracle_sql(
-    dim: int = 64, k: int = 5, n_cells: int = 8, nprobe: int = 2, iterations: int = 4
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 4,
+    train_where: str = "",
+    member_where: str = "",
 ) -> str:
     """Render the DuckDB twin of ann_ivf_topk by unrolling the
     fixed-iteration k-means: each round is an assign CTE (argmin squared
     distance, ties → lowest cell) + a centroid CTE (decimal-exact
-    elementwise means, empty cells carry the previous centroid)."""
+    elementwise means, empty cells carry the previous centroid).
+    ``train_where`` restricts the k-means corpus (seeds + iterations);
+    ``member_where`` restricts the searchable membership — the append
+    entry trains on the base corpus but searches base ∪ batch."""
     diff = f"list_transform(range(1, {dim + 1}), i -> d.v[i] - c.c[i])"
     dist = f"list_dot_product({diff}, {diff})"
+    tw = f"WHERE {train_where} " if train_where else ""
+    mw = f"WHERE {member_where} " if member_where else ""
 
     parts = [
         "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""cent0 AS (
   SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
-  FROM d ORDER BY vec_id LIMIT {n_cells}
+  FROM d {tw}ORDER BY vec_id LIMIT {n_cells}
 )""",
     ]
     for t in range(iterations):
@@ -205,6 +216,7 @@ def _ann_ivf_oracle_sql(
       ROW_NUMBER() OVER (PARTITION BY d.vec_id
                          ORDER BY {dist} ASC, c.cell ASC) AS rk
     FROM d CROSS JOIN cent{t} c
+    {tw}
   ) WHERE rk = 1
 )""")
         parts.append(f"""cent{t + 1} AS (
@@ -225,6 +237,7 @@ def _ann_ivf_oracle_sql(
       ROW_NUMBER() OVER (PARTITION BY d.vec_id
                          ORDER BY {dist} ASC, c.cell ASC) AS rk
     FROM d CROSS JOIN {final} c
+    {mw}
   ) WHERE rk = 1
 )""")
     parts.append(f"""probes AS (
@@ -478,6 +491,29 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
 
 
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end-to-end (VERDICT r6 #7): the index
+    is BUILT on the base corpus (vec_id ≥ 50 — k-means trains there),
+    a new batch (10 ≤ vec_id < 50) is APPENDED via
+    ``operators/ivf.py::ivf_index_append`` (assigned to the frozen
+    centroids, cell-partitioned parquet append, drift report on the
+    side — no rebuild, no corpus re-shuffle), and the search runs over
+    the union through the persisted artifact. The oracle unrolls the
+    SAME semantics: k-means over the base subset, membership over
+    base ∪ batch — so the append path (including the parquet append
+    round-trip) is hash-certified."""
+    from ..operators.ivf import build_ivf_index, ivf_index_append, ivf_topk_indexed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _index_scratch(sf_dir, "ivf_app")
+    build_ivf_index(e.filter(F.col("vec_id") >= 50), path, n_cells=8)
+    ivf_index_append(
+        e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 50)), path
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+
+
 def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-5 through the PERSISTED index artifact (VERDICT r4
     #4): codebook + encoded corpus written once as parquet
@@ -500,6 +536,13 @@ def register_entries(register) -> None:  # noqa: ANN001
     # inside the hash-checked path (VERDICT r4 #4)
     register("ann_ivf_indexed", ann_ivf_indexed, _ann_ivf_oracle_sql())
     register("ann_pq_indexed", ann_pq_indexed, _ann_pq_oracle_sql())
+    register(
+        "ann_ivf_append",
+        ann_ivf_append,
+        _ann_ivf_oracle_sql(
+            train_where="vec_id >= 50", member_where="d.vec_id >= 10"
+        ),
+    )
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_graph", knn_graph, KNN_GRAPH_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)

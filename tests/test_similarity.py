@@ -364,3 +364,123 @@ def test_pq_index_roundtrip_equals_inline(clustered, tmp_path):
     # corpus vector blocks. Simplest robust check: the encoded scan
     # exposes `codes` directly as a read column.
     assert "ReadSchema" in plan and "codes" in plan
+
+
+def test_ivf_append_equals_same_centroid_union_search(clustered, tmp_path):
+    """VERDICT r6 #7: build on a base subset, append the rest — the
+    indexed search must EXACTLY equal an inline search over the union
+    assigned to the same (frozen) centroids."""
+    from hpv_etl_code_spark.functions.vector import l2_norm, to_double_array
+    from hpv_etl_code_spark.operators.ivf import (
+        _assign,
+        _cents_row,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+        ivf_topk_indexed,
+    )
+
+    spark = clustered.sparkSession
+    base = clustered.filter(F.col("vec_id") >= 40)
+    batch = clustered.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 40)
+    )
+    q = clustered.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_append_idx")
+    build_ivf_index(base, path, n_cells=5, iterations=3)
+    report = ivf_index_append(batch, path)
+    got = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ivf_topk_indexed(spark, path, q, k=5, nprobe=2).collect()
+    }
+
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r.c) for r in cents]
+    union = clustered.filter(F.col("vec_id") >= 10)
+    assigned = _assign(
+        union.select(
+            F.col("vec_id").alias("neighbor_id"),
+            to_double_array("embedding").alias("__vc"),
+        ),
+        spark,
+        centroids,
+        "__vc",
+    ).withColumn("__nc", l2_norm(F.col("__vc")))
+    want = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ivf_search(
+            assigned, _cents_row(spark, centroids), q, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want
+    # in-distribution batch: drift stays near 1 in every populated cell
+    for r in report.collect():
+        if r.n_new > 0 and r.drift_ratio is not None:
+            assert r.drift_ratio < 1.5, (r.cell, r.drift_ratio)
+
+
+def test_ivf_append_rebuild_equivalence_on_clustered_fixture(clustered, tmp_path):
+    """On well-separated clusters the appended index and a FULL REBUILD
+    over the union return the same top-k (centroids shift slightly but
+    cluster membership, probes, and exact cosine ranking are stable)."""
+    from hpv_etl_code_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    spark = clustered.sparkSession
+    base = clustered.filter(F.col("vec_id") < 60)
+    batch = clustered.filter(F.col("vec_id") >= 60)
+    q = clustered.filter(F.col("vec_id") < 5)
+
+    p_app = str(tmp_path / "app_idx")
+    build_ivf_index(base, p_app, n_cells=5, iterations=3)
+    ivf_index_append(batch, p_app)
+    got = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ivf_topk_indexed(spark, p_app, q, k=5, nprobe=2).collect()
+    }
+
+    p_full = str(tmp_path / "full_idx")
+    build_ivf_index(clustered, p_full, n_cells=5, iterations=3)
+    want = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ivf_topk_indexed(spark, p_full, q, k=5, nprobe=2).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_drift_flags_out_of_distribution_batch(clustered, tmp_path):
+    """A batch far from every centroid must push drift_ratio well past
+    the rebuild threshold — the signal the maintenance loop acts on."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hpv_etl_code_spark.operators.ivf import build_ivf_index, ivf_index_append
+
+    spark = clustered.sparkSession
+    path = str(tmp_path / "drift_idx")
+    build_ivf_index(clustered, path, n_cells=5, iterations=3)
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (1000 + i, [float(x) for x in rng.randn(16) * 40.0], 9)
+        for i in range(20)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    far = spark.createDataFrame(rows, schema)
+    report = ivf_index_append(far, path).collect()
+    ratios = [r.drift_ratio for r in report if r.n_new > 0 and r.drift_ratio]
+    assert ratios and max(ratios) > 10, ratios
