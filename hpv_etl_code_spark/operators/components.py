@@ -139,6 +139,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()  # metadata-class scalar
+    if n == 0:  # empty graph: no nodes, no ranks (not a crash)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n  # same IEEE ops as the SQL twin
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 

@@ -59,14 +59,27 @@ def per_group_trend_ols(
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        e = pdf["e"].astype("int64")
-        x = (e - int(e.min())) // 86400
-        yc = pdf["yc"].astype("int64")
         n = len(pdf)
-        sx = int(x.sum())
-        sxx = int((x * x).sum())
-        syc = int(yc.sum())
-        sxyc = int((x * yc).sum())
+        e, yc = pdf["e"], pdf["yc"]
+        if e.notna().all() and yc.notna().all():
+            e = e.astype("int64")
+            x = (e - int(e.min())) // 86400
+            yc = yc.astype("int64")
+            sx = int(x.sum())
+            sxx = int((x * x).sum())
+            syc = int(yc.sum())
+            sxyc = int((x * yc).sum())
+        else:
+            # dirty-data path: NULL cells arrive as NaN and skip the
+            # sums exactly like the SQL twin's SUM-over-NULL semantics
+            # (COUNT(*) still counts every row); values stay < 2^53 so
+            # the float sums remain exact
+            ev = e.dropna()
+            x = (e - float(ev.min())) // 86400 if len(ev) else e
+            sx = x.sum()
+            sxx = (x * x).sum()
+            syc = yc.sum()
+            sxyc = (x * yc).sum()
         den = n * sxx - sx * sx
         if den == 0:
             slope = intercept = None

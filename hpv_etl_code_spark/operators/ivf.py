@@ -84,7 +84,9 @@ def kmeans_fit(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
     seed_rows = base.orderBy("id").limit(k).collect()
-    centroids = [list(r.v) for r in seed_rows]
+    centroids = [list(r.v) for r in seed_rows if r.v is not None]
+    if not centroids:  # empty corpus: nothing to cluster
+        return []
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = _assign(base, spark, centroids, "v")
@@ -217,7 +219,15 @@ def build_ivf_index(
         centroids,
         "v",
     ).withColumn("norm", l2_norm(F.col("v")))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    if not centroids:
+        # empty corpus: a partitionBy write of zero rows emits NO data
+        # files, so the read-back couldn't infer a schema — write the
+        # empty frame unpartitioned (schema-bearing footer) instead
+        assigned.write.mode("overwrite").parquet(f"{path}/cells")
+    else:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
     _write_cell_stats(assigned, path)
 
 
@@ -281,7 +291,15 @@ def ivf_index_append(
         centroids,
         "v",
     ).withColumn("norm", l2_norm(F.col("v")))
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    if not centroids:
+        # index built over an empty corpus has no centroids to assign
+        # against (and an unpartitioned empty cells file) — nothing in
+        # the batch can be placed; match the empty layout
+        assigned.write.mode("append").parquet(f"{path}/cells")
+    else:
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
 
     cents_row = spark.read.parquet(f"{path}/centroids").agg(
         F.collect_list(F.struct("cell", "c")).alias("__cents")

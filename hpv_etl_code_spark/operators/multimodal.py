@@ -94,6 +94,9 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (failed upstream fetch, optional column)
+            # drop — the permissive posture of per_payload_decoder
+            pdf = pdf[pdf[payload_col].notna()].reset_index(drop=True)
             metas = [_parse_image_header(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {

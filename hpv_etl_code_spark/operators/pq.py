@@ -169,7 +169,16 @@ def pq_topk(
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
     )
-    dim = len(base.select("__v").first()[0])
+    head = base.select("__v").first()
+    if head is None or head[0] is None:  # empty corpus: empty top-k
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("est_d2"),
+            F.lit(0.0).alias("true_d2"),
+            F.lit(1).alias("rk"),
+        ).limit(0)
+    dim = len(head[0])
     sub_dim = dim // m
     seed_rows = base.orderBy("neighbor_id").limit(ksub).collect()
     seeds = [list(r["__v"]) for r in seed_rows]
@@ -197,7 +206,20 @@ def build_pq_index(
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
     )
-    dim = len(base.select("__v").first()[0])
+    head = base.select("__v").first()
+    if head is None or head[0] is None:
+        # empty corpus: schema-bearing empty artifacts so the indexed
+        # search still reads + returns empty instead of crashing
+        spark.createDataFrame([], "j INT, k INT, c ARRAY<DOUBLE>").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/codebook")
+        base.select(
+            "neighbor_id",
+            F.col("__v").alias("v"),
+            F.array().cast("array<int>").alias("codes"),
+        ).write.mode("overwrite").parquet(f"{path}/encoded")
+        return
+    dim = len(head[0])
     sub_dim = dim // m
     seed_rows = base.orderBy("neighbor_id").limit(ksub).collect()
     seeds = [list(r["__v"]) for r in seed_rows]
@@ -233,6 +255,14 @@ def pq_topk_indexed(
     meta = cb_df.agg(
         (F.max("j") + 1).alias("m"), F.max(F.size("c")).alias("sub_dim")
     ).first()
+    if meta["m"] is None:  # index built over an empty corpus
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("est_d2"),
+            F.lit(0.0).alias("true_d2"),
+            F.lit(1).alias("rk"),
+        ).limit(0)
     m, sub_dim = int(meta["m"]), int(meta["sub_dim"])
     cb_row = cb_df.agg(F.collect_list(F.struct("j", "k", "c")).alias("__cw"))
     encoded = spark.read.parquet(f"{path}/encoded").select(

@@ -87,6 +87,15 @@ def lsh_bucketed(
 ) -> DataFrame:
     """(id, vec, table, bucket) — one row per (vector, table)."""
     sample = df.select(vec_col).first()
+    if sample is None or sample[0] is None:
+        # empty (or all-NULL) side: no buckets — downstream joins empty
+        # out instead of crashing on the dim probe
+        return df.select(
+            F.col(id_col).alias("id"),
+            to_double_array(vec_col).alias("__v"),
+            F.lit(0).alias("table"),
+            F.lit(0).alias("bucket"),
+        ).limit(0)
     dim = len(sample[0])
     planes = _hyperplanes(dim, nbits, ntables, seed)
     v = to_double_array(vec_col)

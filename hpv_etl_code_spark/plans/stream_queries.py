@@ -125,6 +125,12 @@ def cuped_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
     ).first()
+    if b.d0 is None:  # empty events: no experiment period to split
+        return spark.createDataFrame(
+            [],
+            "n_users BIGINT, theta DOUBLE, corr_pre_post DOUBLE, "
+            "var_reduction_pct DOUBLE",
+        )
     stream = _events_replay_stream(
         spark, sf_dir, ("event_id", "ts", "user_id", "value")
     )
