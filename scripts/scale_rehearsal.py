@@ -1,0 +1,131 @@
+"""Two-decade scale rehearsal (VERDICT r6 #3): run the scale-critical
+catalog entries at sf0.1 → sf1 → sf10 and report per-decade wall-time
+exponents (log10 of the time ratio across each 10× data step — 1.0 is
+linear, <1 sub-linear, >1 super-linear).
+
+Entries here are the ones whose 100 TB story depends on plan SHAPE
+(dedup banding, ANN indexes, graph aggregates, global indexes, corpus
+pipelines); exact-quadratic ground-truth entries (knn_graph,
+embedding_neardup_pairs/blocked, exact clustering coefficient) are
+adjudicated in SCALING.md — their sampled/banded twins are the scale
+path and ARE measured here.
+
+Usage: python scripts/scale_rehearsal.py [entry ...]
+Emits one markdown table row per entry + a JSON line for the record.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = (
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", "/root/repo/.scratch/sf1"),
+    ("sf10", "/root/repo/.scratch/sf10"),
+)
+
+SCALE_CRITICAL = (
+    # dedup family
+    "dedup_exact_content",
+    "dedup_minhash_portable",
+    "dedup_minhash_lsh",
+    "dedup_simhash_portable",
+    "dedup_incremental",
+    "dedup_incremental_fast",
+    "dedup_components_portable",
+    "dedup_cluster_sizes_indexed",
+    # text analysis at corpus scale
+    "text_winnowing",
+    "text_metrics",
+    "unigram_ce_bands",
+    "bm25_topk_docs",
+    # corpus pipeline + packing/mixing
+    "llm_corpus_pipeline",
+    "sequence_packing",
+    "corpus_epoch_shuffle",
+    "mixture_reweight_rounds",
+    # ANN / embeddings (banded & indexed paths)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_indexed",
+    "ann_ivf_append",
+    "ann_pq_topk",
+    "embedding_neardup_lsh",
+    # graph health (bounded-cost variants)
+    "clustering_coefficient_sampled",
+    "bfs_hops_copurchase",
+    "pagerank_orders_graph",
+    "market_basket_rules",
+    # relational backbone
+    "global_index_orders",
+    "pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "salted_fact_join",
+    "range_join_events",
+    "asof_join_signup",
+    "sessionize_events",
+)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    names = [n for n in SCALE_CRITICAL if not only or n in only]
+
+    from hpv_etl_code_spark import catalog
+    from hpv_etl_code_spark.plans import artifacts, shared_cache
+    from hpv_etl_code_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    es = catalog.entries()
+
+    results: dict[str, dict] = {}
+    for label, sf_dir in SF_DIRS:
+        if not os.path.isdir(sf_dir):
+            print(f"missing {sf_dir} — run scripts/make_sf1.py first")
+            return 1
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                rows = es[name].fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[label] = round(dt, 2)
+                results[name][f"{label}_rows"] = rows
+                print(f"{label:6s} {name:34s} {dt:8.2f}s rows={rows}")
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                results.setdefault(name, {})[label] = None
+                print(f"{label:6s} {name:34s} ERROR {type(exc).__name__}: "
+                      f"{str(exc)[:120]}")
+        # fresh caches per scale so sf10 never reuses an sf1 artifact
+        shared_cache.clear_cache()
+        artifacts.clear_cache()
+
+    print("\n| entry | sf0.1 s | sf1 s | sf10 s | exp 0.1→1 | exp 1→10 |")
+    print("|---|---|---|---|---|---|")
+    for name in names:
+        r = results.get(name, {})
+        a, b, c = r.get("sf0.1"), r.get("sf1"), r.get("sf10")
+
+        def ex(x, y):
+            if not x or not y or x <= 0:
+                return "—"
+            return f"{math.log10(y / x):.2f}"
+
+        fmt = lambda v: f"{v:.2f}" if isinstance(v, float) else "ERR"  # noqa: E731
+        print(
+            f"| {name} | {fmt(a)} | {fmt(b)} | {fmt(c)} "
+            f"| {ex(a, b)} | {ex(b, c)} |"
+        )
+    print("\n" + json.dumps({"scale_rehearsal": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
