@@ -166,25 +166,35 @@ def _key_digest(content_key: str) -> str:
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """md5 of the analyzed plan with expression IDs stripped: Spark
+    """md5 of (normalized analyzed-plan text, semanticHash): Spark
     assigns fresh `#NNN` ids every time a plan is BUILT, so two calls
     of the same builder produce textually different but semantically
     identical plans — without normalization the cache never hits for
-    re-built plans (the sf1 sweep caught dedup_cluster_sizes_indexed
-    re-deriving the components artifact at full cost). The analyzed
-    plan's ``Relation`` nodes ELIDE file paths, so the fingerprint also
-    folds in the plan's input-file list — two pipelines identical in
-    shape but reading different directories (e.g. the empty-table
-    robustness suite after a real run) must never alias (r6 catch:
-    market_basket_rules served a previous test's baskets on empty
-    input)."""
+    re-built plans (the r6 sf1 sweep caught
+    dedup_cluster_sizes_indexed re-deriving the components artifact at
+    full cost). The analyzed plan's ``Relation`` nodes ELIDE file
+    paths, so data identity comes from ``df.semanticHash()`` — the
+    canonicalized LOGICAL-plan hash, which keeps the relation paths.
+
+    Round-7 hard lesson: the previous scheme folded in
+    ``df.inputFiles()``, but inputFiles() consults the plan AFTER
+    CacheManager substitution — once any identical subplan is
+    persisted, a rebuilt frame reports ZERO input files, so two
+    same-shape pipelines over DIFFERENT directories collided at
+    ``text + ""`` and one served the other's rows (market_basket_rules
+    returned real baskets on empty input whenever the itemsim sibling
+    had persisted the shared basket subplan first — full-suite-order
+    dependent). semanticHash operates on the logical plan, so it is
+    immune to cache substitution (measured: stable across rebuilds and
+    persists, distinct across directories, distinct across
+    local-relation contents)."""
     import hashlib
 
     text = re.sub(
         r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
     )
-    files = "\n".join(sorted(df.inputFiles()))
-    return hashlib.md5((text + "\x00" + files).encode()).hexdigest()[:12]
+    sem = df.semanticHash()
+    return hashlib.md5(f"{text}\x00{sem}".encode()).hexdigest()[:12]
 
 
 def _reuse_enabled() -> bool:

@@ -62,17 +62,21 @@ def test_repeated_calls_return_cached_frame(spark):
     assert first is second
 
 
-def test_rebuilt_plan_hits_the_cache(spark):
+def test_rebuilt_plan_hits_the_cache(spark, sf_dir):
     """Spark assigns fresh expression IDs each time a plan is built —
     the fingerprint must normalize them, or every re-built (identical)
     plan misses the cache and re-derives the artifact at full cost
-    (the r6 sf1 sweep caught exactly this on the components artifact)."""
+    (the r6 sf1 sweep caught exactly this on the components artifact).
+    Uses a FILE-BACKED frame — its semanticHash is rebuild-stable
+    (local relations over-distinguish and simply miss, which is safe)."""
     from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.sources.registry import load_table
 
     def build():
         return (
-            spark.range(20)
-            .select((F.col("id") % 4).alias("k"))
+            load_table(spark, sf_dir, "orders")
+            .select((F.col("o_orderkey") % 4).alias("k"))
             .groupBy("k")
             .count()
         )
@@ -146,9 +150,10 @@ def test_shared_cache_parquet_equivalence(spark, sf_dir):
 
 def test_same_shape_different_source_never_aliases(spark, tmp_path):
     """Identical plan SHAPE over different source directories must
-    fingerprint apart — the analyzed plan elides parquet paths, so the
-    input-file list is part of the key (r6: the empty-table suite was
-    served a previous run's cached baskets)."""
+    fingerprint apart — the analyzed plan text elides parquet paths, so
+    data identity rides on semanticHash (r6: the empty-table suite was
+    served a previous run's cached baskets; r7: ditto through
+    CacheManager substitution, see the sibling test below)."""
     a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
     spark.range(5).selectExpr("id AS k").write.parquet(a_dir)
     spark.range(9).selectExpr("id AS k").write.parquet(b_dir)
@@ -256,3 +261,62 @@ def test_reuse_ignores_incomplete_artifacts(spark, monkeypatch, tmp_path):
     )
     assert second.count() == n
     assert os.path.exists(os.path.join(shared, d, "_SUCCESS"))
+
+
+def test_frames_without_file_provenance_never_alias(spark):
+    """Stale-serve regression guard: two DIFFERENT local-relation
+    frames staged under the same name must never serve each other's
+    rows — they have no inputFiles(), so data identity must come from
+    semanticHash (which distinguishes local-relation contents)."""
+    a = spark.createDataFrame([(1, "a")], "id INT, tag STRING")
+    b = spark.createDataFrame([(2, "b")], "id INT, tag STRING")
+    got_a = stage_artifact(a, "nofiles_test", storage="memory")
+    got_b = stage_artifact(b, "nofiles_test", storage="memory")
+    assert {r.tag for r in got_a.collect()} == {"a"}
+    assert {r.tag for r in got_b.collect()} == {"b"}
+    artifacts.clear_cache()
+    got_a = stage_artifact(a, "nofiles_test", storage="parquet")
+    got_b = stage_artifact(b, "nofiles_test", storage="parquet")
+    assert {r.tag for r in got_a.collect()} == {"a"}
+    assert {r.tag for r in got_b.collect()} == {"b"}
+
+
+def test_cache_substitution_never_aliases_across_directories(
+    spark, sf_dir, tmp_path
+):
+    """Round-7 regression (the full-suite market_basket_rules stale
+    serve): persist a subplan, then stage the SAME-SHAPE pipeline over
+    a DIFFERENT directory under the same artifact name. inputFiles()
+    returns [] after CacheManager substitution, so a files-based
+    fingerprint collides — the semanticHash-based one must not."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    empty = str(tmp_path / "alias_sf")
+    os.makedirs(empty)
+    load_table(spark, sf_dir, "orders").limit(0).write.parquet(
+        os.path.join(empty, "orders.parquet")
+    )
+
+    def build(d):
+        return (
+            load_table(spark, d, "orders")
+            .select((F.col("o_orderkey") % 4).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+
+    # persist the small-side subplan so rebuilt twins lose inputFiles()
+    pinned = build(sf_dir).persist()
+    pinned.count()
+    try:
+        assert build(sf_dir).inputFiles() == []  # substitution in effect
+        got_small = stage_artifact(build(sf_dir), "subst_test", storage="memory")
+        got_empty = stage_artifact(build(empty), "subst_test", storage="memory")
+        assert got_small.count() > 0
+        assert got_empty.count() == 0, "stale artifact served across dirs"
+    finally:
+        pinned.unpersist()
