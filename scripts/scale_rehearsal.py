@@ -74,9 +74,29 @@ SCALE_CRITICAL = (
 )
 
 
+# (entry, scale) legs excluded by adjudication, with the plan-level
+# cause — printed into the report so the table shows WHY, not a hole.
+EXCLUDE = {
+    ("embedding_neardup_lsh", "sf10"):
+        "fixed nbits=4 (calibrated for the sf0.01 oracle) keeps the "
+        "bucket count constant, so occupancy ∝ n and candidate pairs "
+        "∝ n² — a cluster run sizes nbits ≈ log2(n/target_bucket) to "
+        "stay linear; measured 0.1→1 here, quadratic by design beyond",
+    ("dedup_minhash_portable", "sf10"):
+        "the CERTIFICATION twin materializes every per-band full-"
+        "signature row for the DuckDB hash-compare (~n·bands wide rows "
+        "≈ 10^8.5 × ~0.5 KB at sf10 — it filled this host's spill "
+        "disk and took the local JVM down); the production query is "
+        "dedup_minhash_lsh (narrow band-bucket rows), measured at sf10",
+}
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     names = [n for n in SCALE_CRITICAL if not only or n in only]
+    scales = set(
+        s for s in os.environ.get("SPARK_GRAFT_SCALES", "").split(",") if s
+    )
 
     from hpv_etl_code_spark import catalog
     from hpv_etl_code_spark.plans import artifacts, shared_cache
@@ -86,12 +106,35 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     es = catalog.entries()
 
+    def ensure_spark(s):
+        """A disk-full spill can take the whole local JVM down — detect
+        a stopped context and start a fresh session so one casualty
+        doesn't void the rest of the sweep."""
+        try:
+            if not s.sparkContext._jsc.sc().isStopped():
+                return s
+        except Exception:  # noqa: BLE001 — unreachable JVM == dead
+            pass
+        print("-- SparkContext died; starting a fresh session --")
+        shared_cache.clear_cache()
+        artifacts.clear_cache()
+        fresh = get_spark(app_name="scale_rehearsal_r")
+        fresh.sparkContext.setLogLevel("ERROR")
+        return fresh
+
     results: dict[str, dict] = {}
     for label, sf_dir in SF_DIRS:
+        if scales and label not in scales:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"missing {sf_dir} — run scripts/make_sf1.py first")
             return 1
         for name in names:
+            if (name, label) in EXCLUDE:
+                print(f"{label:6s} {name:34s} SKIP (adjudicated: "
+                      f"{EXCLUDE[(name, label)]})")
+                continue
+            spark = ensure_spark(spark)
             t0 = time.perf_counter()
             try:
                 rows = es[name].fn(spark, sf_dir).count()
