@@ -451,3 +451,34 @@ def test_group_graph_components_equal_member_graph(spark, sf_dir):
     rows = lambda df: {tuple(r) for r in df.collect()}
     got = rows(grouped)
     assert got == rows(flat) and got
+
+
+def test_lsh_params_for_scales_with_corpus():
+    """The round-7 sizing helper: the false-positive budget binds r to
+    grow with corpus size (constant-parameter banding is FP-quadratic —
+    SCALING.md round-7 finding), while recall just above the threshold
+    stays over the floor and the S-curve midpoint sits at the
+    threshold."""
+    from hpv_etl_code_spark.operators.dedup import lsh_params_for
+
+    prev_r = 0
+    for n in (10_000, 500_000, 50_000_000, 5_000_000_000):
+        num_hashes, bands = lsh_params_for(n, threshold=0.8,
+                                           baseline_jaccard=0.2)
+        r = num_hashes // bands
+        assert num_hashes == r * bands
+        assert r >= prev_r, (n, r, prev_r)
+        prev_r = r
+        # recall just above the threshold clears the floor
+        recall = 1 - (1 - 0.9**r) ** bands
+        assert recall >= 0.99, (n, r, bands, recall)
+        # FP budget honored
+        assert n * bands * 0.2**r <= 1.0 + 1e-9
+    # the sf10 rehearsal regime (393.5k tokset groups) needs r >= 8
+    nh, b = lsh_params_for(393_500, threshold=0.8, baseline_jaccard=0.2)
+    assert nh // b >= 8, (nh, b)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_params_for(1000, threshold=0.8, baseline_jaccard=0.9)
