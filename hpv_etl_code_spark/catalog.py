@@ -217,6 +217,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "bottomk_quantile_stream",
     "filter_funnel_report",
     "mixture_rebalance_plan",
+    # round 7, late (after this round's window was verified — first
+    # driver check lands in round 8):
+    "dedup_minhash_scaled",
     # -- (3) long tail --
     "incremental_matview_orders",
     "array_funcs_battery",

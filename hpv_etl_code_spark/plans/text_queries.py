@@ -330,6 +330,64 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.8)
 
 
+def dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-PARAMETER banding regime, oracle-certified:
+    num_hashes=32, bands=4 (r=8 rows/band) — the setting
+    ``operators/dedup.py::lsh_params_for`` converges toward as the
+    corpus grows, and the one the round-7 sf10 rehearsal measured
+    (SCALING.md: r=4 candidates grow FP-quadratically, 476M pairs at
+    sf10; r=8 cut them to 111M and connected components completed
+    end-to-end). Output differs from ``dedup_minhash_portable`` by
+    design — fewer chance-collision candidates ever reach the refine —
+    and the DuckDB twin unrolls the same 32-hash banding, so the
+    whole regime is hash-certified, not just argued."""
+    from ..operators.dedup import minhash_lsh_pairs_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        d, "doc_id", "text", threshold=0.8, num_hashes=32, bands=4
+    )
+
+
+def _minhash_portable_sql(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB twin of the portable MinHash banding, parameterized by
+    (num_hashes, rows_per_band) — defaults are the certification-scale
+    parameters every dedup entry pins; the scaled entry certifies the
+    r=8 production regime the round-7 sf10 rehearsal measured
+    (SCALING.md: constant-parameter banding is FP-quadratic; r=8 cut
+    sf10 candidates 476M -> 111M and un-blocked components)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+), h AS (
+  SELECT doc_id, s.seed,
+    MIN(('0x' || substr(md5(s.seed::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) s
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey
+  FROM h GROUP BY doc_id, seed // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+        greatest(len(ta.toks) + len(tb.toks)
+                 - len(list_intersect(ta.toks, tb.toks)), 1), 6) AS jaccard
+FROM cand
+JOIN toks ta ON ta.doc_id = cand.id_a
+JOIN toks tb ON tb.doc_id = cand.id_b
+WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+      greatest(len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks)), 1), 6) >= 0.8
+"""
+
+
 DEDUP_MINHASH_PORTABLE_SQL = """
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
@@ -1047,6 +1105,11 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("dedup_minhash_lsh", dedup_minhash_lsh, None, headline=True)
     register(
         "dedup_minhash_portable", dedup_minhash_portable, DEDUP_MINHASH_PORTABLE_SQL
+    )
+    register(
+        "dedup_minhash_scaled",
+        dedup_minhash_scaled,
+        _minhash_portable_sql(num_hashes=32, rows_per_band=8)
     )
     register("dedup_simhash", dedup_simhash, None)
     register(
