@@ -482,3 +482,17 @@ def test_lsh_params_for_scales_with_corpus():
 
     with _pytest.raises(ValueError):
         lsh_params_for(1000, threshold=0.8, baseline_jaccard=0.9)
+
+
+def test_minhash_oracle_builder_default_matches_literal():
+    """The parameterized oracle builder must reproduce the certification
+    literal exactly at its defaults — a drift here would silently change
+    what dedup_minhash_portable is checked against."""
+    from hpv_etl_code_spark.plans.text_queries import (
+        DEDUP_MINHASH_PORTABLE_SQL,
+        _minhash_portable_sql,
+    )
+
+    assert _minhash_portable_sql().strip() == DEDUP_MINHASH_PORTABLE_SQL.strip()
+    scaled = _minhash_portable_sql(num_hashes=32, rows_per_band=8)
+    assert "generate_series(0, 31)" in scaled and "seed // 8" in scaled
