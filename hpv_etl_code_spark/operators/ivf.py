@@ -293,8 +293,11 @@ def ivf_index_append(
     ).withColumn("norm", l2_norm(F.col("v")))
     if not centroids:
         # index built over an empty corpus has no centroids to assign
-        # against (and an unpartitioned empty cells file) — nothing in
-        # the batch can be placed; match the empty layout
+        # against — nothing in the batch can be placed, so append
+        # NOTHING (ADVICE r7: cell=NULL rows would be dead weight read
+        # back by every ivf_topk_indexed scan) and let the drift report
+        # come out empty-batch-shaped
+        assigned = assigned.filter(F.col("cell").isNotNull())
         assigned.write.mode("append").parquet(f"{path}/cells")
     else:
         assigned.write.mode("append").partitionBy("cell").parquet(

@@ -169,6 +169,10 @@ def pq_topk(
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
     )
+    # NULL vectors can't be encoded or ranked — drop them up front so
+    # the probe/seeds see only real rows (ADVICE r7: a NULL-first row
+    # must not empty a populated corpus)
+    base = base.filter(F.col("__v").isNotNull())
     head = base.select("__v").first()
     if head is None or head[0] is None:  # empty corpus: empty top-k
         return queries.select(
@@ -206,6 +210,7 @@ def build_pq_index(
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("__v")
     )
+    base = base.filter(F.col("__v").isNotNull())  # ADVICE r7, as in pq_topk
     head = base.select("__v").first()
     if head is None or head[0] is None:
         # empty corpus: schema-bearing empty artifacts so the indexed

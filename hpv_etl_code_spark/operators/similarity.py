@@ -86,10 +86,11 @@ def lsh_bucketed(
     seed: int = 42,
 ) -> DataFrame:
     """(id, vec, table, bucket) — one row per (vector, table)."""
-    sample = df.select(vec_col).first()
+    # Probe a NULL-FILTERED first row (ADVICE r7): a NULL vector that
+    # happens to scan first must not empty a populated corpus — only a
+    # truly empty / all-NULL side short-circuits.
+    sample = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     if sample is None or sample[0] is None:
-        # empty (or all-NULL) side: no buckets — downstream joins empty
-        # out instead of crashing on the dim probe
         return df.select(
             F.col(id_col).alias("id"),
             to_double_array(vec_col).alias("__v"),

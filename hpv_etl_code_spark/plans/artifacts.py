@@ -205,7 +205,10 @@ def _reuse_enabled() -> bool:
     artifact store outlives sessions on purpose (a cluster pointing
     ``SPARK_GRAFT_ARTIFACT_DIR`` at reliable shared storage) and keys
     honor the content-identity contract (they do: plan fingerprints
-    fold in plan text + input files; content_keys are caller-owned)."""
+    fold normalized analyzed-plan text + ``df.semanticHash()`` — see
+    :func:`_fingerprint`, which is immune to CacheManager substitution
+    unlike the retired inputFiles() component; content_keys are
+    caller-owned)."""
     return os.environ.get(_REUSE_ENV, "") == "1"
 
 
@@ -261,6 +264,9 @@ def _prune_dead_entries() -> None:
     with _CACHE_MUTEX:
         for key in dead:
             _CACHE.pop(key, None)
+            # lock hygiene (ADVICE r7): dead-session keys never rebuild
+            # under the same key, so their lock entry is pure leak
+            _KEY_LOCKS.pop(key, None)
 
 
 def clear_cache() -> None:
@@ -270,7 +276,12 @@ def clear_cache() -> None:
     with _CACHE_MUTEX:
         frames = list(_CACHE.values())
         _CACHE.clear()
-        _KEY_LOCKS.clear()
+        # _KEY_LOCKS deliberately survives clear_cache (ADVICE r7):
+        # clearing it while a builder holds a per-key lock mints a
+        # fresh lock for the same key and re-opens the double-build
+        # race the locks exist to prevent. Locks are tiny and
+        # idempotent; dead-session entries are pruned by
+        # _prune_dead_entries instead.
     for df in frames:
         try:
             df.unpersist()

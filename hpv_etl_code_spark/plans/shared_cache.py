@@ -30,13 +30,41 @@ from pyspark.sql import functions as F
 
 from ..operators import textops
 from .artifacts import stage_artifact
-from ..operators.dedup import minhash_signature
+from ..operators.dedup import minhash_signature, scaled_lsh_params
 from ..operators.textops import distinct_tokens
 from ..sources.registry import load_table
 
+# Width of the PORTABLE md5 signature the (16, 4)-pinned oracle entries
+# certify against (dedup_minhash_portable, llm_corpus_pipeline_portable
+# and their DuckDB twins unroll exactly 16 hashes / 4 bands). The
+# DEFAULT xxhash64 paths auto-size instead — see :func:`corpus_lsh_params`
+# (VERDICT r7 #1: fixed (16, 4) banding is FP-quadratic at scale).
 _NUM_HASHES = 16
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
+_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """``documents`` row count, one count job per (session, sf_dir) —
+    the input to banding auto-sizing. At 100 TB this is parquet
+    footer metadata, not a scan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COUNTS:
+        _COUNTS[key] = load_table(spark, sf_dir, "documents").count()
+    return _COUNTS[key]
+
+
+def corpus_lsh_params(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> tuple[int, int]:
+    """(num_hashes, bands) for the DEFAULT dedup paths, auto-sized from
+    the corpus count via ``operators/dedup.py::scaled_lsh_params``
+    (decade-rounded, so the regime is a step function of corpus
+    magnitude). At the bench scales: sf0.01 → (15, 3), sf0.1 → (35, 5),
+    sf1 → (63, 7), sf10 → (90, 9) — candidate growth stays ≈ linear
+    where the pinned (16, 4) was measured FP-quadratic (SCALING.md)."""
+    return scaled_lsh_params(corpus_count(spark, sf_dir), threshold)
 
 
 def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +75,12 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``fingerprint`` — normalized md5 (exact-dedup key)
     - ``fp`` — raw md5(text) (``build_corpus_index`` fingerprint)
     - ``toks`` — xxhash64-hashed distinct token set (long array)
-    - ``sig`` — 16-hash MinHash signature over ``toks``
+    - ``sig`` — MinHash signature over ``toks``, AUTO-SIZED to the
+      corpus magnitude (:func:`corpus_lsh_params` at the default 0.8
+      threshold). The seeded family has the prefix property (seeds
+      0..k-1), so any banding with num_hashes ≤ this width reads the
+      correct k-hash signature off the same persisted column — the
+      corpus pipeline's 0.9-threshold banding (narrower) shares it
     - ``gkey`` — identical-tokset group key (``xxhash64(array_sort(toks))``,
       the :func:`~..operators.dedup.tokset_groups` collapse key)
 
@@ -73,7 +106,12 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
                 ).alias("toks"),
             )
-            .withColumn("sig", minhash_signature(F.col("toks"), _NUM_HASHES))
+            .withColumn(
+                "sig",
+                minhash_signature(
+                    F.col("toks"), corpus_lsh_params(spark, sf_dir)[0]
+                ),
+            )
             .withColumn("gkey", F.xxhash64(F.array_sort("toks")))
         )
         _CACHE[key] = stage_artifact(base, "shared_enriched")
@@ -230,6 +268,37 @@ def incremental_grouped(
     return _CACHE[key]
 
 
+def scaled_portable_grouped_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Portable-family collapse with the AUTO-SIZED signature width
+    (VERDICT r7 #1 — the default components/cluster path): identical to
+    :func:`portable_grouped_corpus` except ``sig`` carries
+    ``corpus_lsh_params(...)[0]`` md5 min-hashes instead of the pinned
+    16. Kept as a separate cached frame so the (16, 4) oracle pins
+    (``dedup_minhash_portable``, ``llm_corpus_pipeline_portable``) keep
+    their exact certified signature while the scaled consumers
+    (``dedup_components_portable`` and the cluster readouts) band with
+    corpus-sized parameters."""
+    from ..operators.dedup import _portable_minhash_sig
+
+    key = (spark.sparkContext.applicationId, sf_dir, "spgroups")
+    if key not in _CACHE:
+        e = enriched_documents(spark, sf_dir)
+        members, _ = grouped_corpus(spark, sf_dir)
+        nh, _bands = corpus_lsh_params(spark, sf_dir)
+        spgroups = (
+            e.groupBy("gkey")
+            .agg(
+                F.count(F.lit(1)).alias("gn"),
+                F.first(distinct_tokens("text")).alias("toks"),
+            )
+            .withColumn("sig", _portable_minhash_sig("toks", nh))
+        )
+        _CACHE[key] = (members, stage_artifact(spgroups, "shared_spgroups"))
+    return _CACHE[key]
+
+
 def _prune_dead_entries() -> None:
     """Drop cache entries whose SparkSession has been stopped — a
     long-lived driver that cycles get_spark()/spark.stop() (repeated
@@ -259,3 +328,4 @@ def clear_cache() -> None:
             except Exception:  # noqa: BLE001 — session may already be gone
                 pass
     _CACHE.clear()
+    _COUNTS.clear()

@@ -108,3 +108,17 @@ def test_rotation_pool_entries_stay_oracle_backed():
     assert set(pool) == tail_green, (
         set(pool) ^ tail_green
     )
+
+
+def test_components_gate_params_match_runtime_derivation(spark, sf_dir):
+    """Round 8 (VERDICT r7 #1): dedup_components_portable bands with
+    runtime corpus-sized parameters while its DuckDB twin pins the
+    sf0.01-decade values (_GATE_NH/_GATE_BANDS). Those must be the SAME
+    numbers at gate scale, or the differential compare silently checks
+    two different banding regimes. Decade rounding makes the pin stable
+    for 11..1000 documents; this asserts the actual test corpus is
+    inside that window."""
+    from hpv_etl_code_spark.plans.shared_cache import corpus_lsh_params
+    from hpv_etl_code_spark.plans.text_queries import _GATE_BANDS, _GATE_NH
+
+    assert corpus_lsh_params(spark, sf_dir) == (_GATE_NH, _GATE_BANDS)
