@@ -148,7 +148,15 @@ def _ledger_last_checked() -> dict[str, int]:
     driver-level check of it (regardless of pass/fail — a failed check
     still ran; re-prioritizing failures is the builder's job, not the
     scheduler's). Entries absent from every ledger were NEVER
-    driver-checked."""
+    driver-checked.
+
+    Round 8 (VERDICT r7 #2): a FAMILY BATTERY check certifies every
+    granular sibling it unions (battery ≡ union-of-siblings, pinned in
+    tests/test_family_batteries.py), so a sibling inherits the round of
+    its battery's check. Without this the scheduler kept spending
+    rotation slots on already-battery-certified siblings while ~20
+    heavy granular entries (ANN index builds, graph family, pair
+    listings) never got their own CORRECTNESS row."""
     import json
 
     last: dict[str, int] = {}
@@ -160,6 +168,15 @@ def _ledger_last_checked() -> dict[str, int]:
             continue
         for name in recorded:
             last[name] = max(last.get(name, -1), n)
+    try:  # lazy: battery specs are plain data, but stay import-light
+        from .plans.battery_specs import BATTERY_SPECS
+
+        for bat, spec in BATTERY_SPECS.items():
+            if bat in last:
+                for sib in spec["siblings"]:
+                    last[sib] = max(last.get(sib, -1), last[bat])
+    except ImportError:  # pragma: no cover — partial checkout
+        pass
     return last
 
 
