@@ -18,6 +18,18 @@ The regression guard compares LIKE WITH LIKE: median vs a prior
 median-methodology record when one exists at the same sf, else this
 run's min vs the prior min-methodology record — a median-vs-min
 comparison would flag the systematic min→median shift as a regression.
+
+Round 8 (VERDICT r7 #8): the guard compares against the IMMEDIATELY
+PRECEDING round. The driver's BENCH_r{N}.json keeps only a ~2000-char
+tail of stdout, so the round-6/7 lines (queries + queries_min + delta ≈
+3 KB) were recorded unparsed and the guard silently skipped back to the
+last parseable round (r07 compared vs r05). Two fixes: (a) the stdout
+line is slimmed to metric/value/queries/delta_vs/regressions — under
+the tail cap, so the driver's ledger parses again; (b) every run also
+REWRITES its full record (queries_min, per-query delta included) into
+the committed ``BENCH_LOG.jsonl`` keyed by (round, sf), and
+``_load_prev_round`` reads BOTH sources, picking the latest round
+strictly before the current one.
 """
 
 from __future__ import annotations
@@ -32,6 +44,70 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _METHODOLOGY = "median-of-3-warm"
+
+
+def _time_one(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """Warm-up + SPARK_GRAFT_BENCH_RUNS timed materializations →
+    (median, min). The warm-up pays JVM/codegen/scan-cache AND any
+    shared-cache artifact build, so timed runs measure the steady
+    state."""
+    fn(spark, sf_dir).count()  # warm-up
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs: list[float] = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4), round(min(runs), 4)
+
+
+def _one_entry_main(name: str) -> None:
+    """``python bench.py --one <entry>`` — time one headline entry in a
+    FRESH session and print one JSON line. Child process of the
+    isolation pass (VERDICT r7 #4)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hpv_etl_code_spark import catalog
+    from hpv_etl_code_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_iso_{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = catalog.headline_queries()[name]
+    med, mn = _time_one(spark, fn, sf_dir)
+    print(json.dumps({"median": med, "min": mn}))
+    spark.stop()
+
+
+def _isolated_timing(name: str, sf_dir: str) -> tuple[float, float] | None:
+    """Re-time one entry in a subprocess session. Returns None on any
+    child failure (the in-session figure then stands)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_ISO_TIMEOUT", "1800")),
+        )
+        doc = json.loads(out.stdout.strip().splitlines()[-1])
+        return float(doc["median"]), float(doc["min"])
+    except Exception as exc:  # noqa: BLE001 — isolation is best-effort
+        print(f"bench: isolation of {name} failed: {exc}", file=sys.stderr)
+        return None
+
+
+# Entries slower than this re-run in their own subprocess session
+# (VERDICT r7 #4): in the shared session, accumulated persists from
+# EARLIER entries evict this entry's shared-cache artifacts mid-run —
+# ADJUDICATED.md measured the sf1 dedup_minhash_lsh median at 27.2 s in
+# sequence vs 12-13 s isolated on identical code. Isolating the >1 s
+# entries makes the MEDIAN trustworthy (its warm-up rebuilds the cache,
+# its timed runs share the JVM with nothing). Disable with
+# SPARK_GRAFT_BENCH_ISOLATE=0 (the isolated child itself runs with it
+# off implicitly — --one mode never recurses).
+_ISOLATE_THRESHOLD_SEC = 1.0
 
 
 def main() -> None:
@@ -49,34 +125,40 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     for name, fn in catalog.headline_queries().items():
         try:
-            fn(spark, sf_dir).count()  # warm-up
             # SPARK_GRAFT_BENCH_RUNS: timed-run count (default 3,
             # median recorded). The sf1 rehearsal uses 1 — its heavy
             # entries run minutes each, and the scaling exponents it
             # measures tolerate noise the per-round sf0.1 guard cannot.
-            n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-            runs: list[float] = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(runs), 4)
-            timings_min[name] = round(min(runs), 4)
+            timings[name], timings_min[name] = _time_one(spark, fn, sf_dir)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
             timings_min[name] = -1.0
 
+    isolated: list[str] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        for name, t in sorted(timings.items()):
+            if t > _ISOLATE_THRESHOLD_SEC:
+                iso = _isolated_timing(name, sf_dir)
+                if iso:
+                    timings[name], timings_min[name] = iso
+                    isolated.append(name)
+
     total = round(sum(timings.values()), 4)
+    # stdout line stays SLIM (VERDICT r7 #8): the driver records only a
+    # ~2 KB tail, and an unparseable line silently breaks the
+    # round-over-round guard chain. Full detail goes to BENCH_LOG.jsonl.
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_min": timings_min,
         "methodology": _METHODOLOGY,
         "sf": sf,
     }
+    record = dict(line)
+    record["queries_min"] = timings_min
+    record["isolated"] = isolated
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev = _load_prev_round(repo_dir, sf)
     violations: list[str] = []
@@ -85,7 +167,9 @@ def main() -> None:
         ours = timings if prev_is_median else timings_min
         line["delta_vs"] = prev_name
         line["delta_estimator"] = "median" if prev_is_median else "min"
-        line["delta"] = {
+        record["delta_vs"] = prev_name
+        record["delta_estimator"] = line["delta_estimator"]
+        record["delta"] = {
             q: round(t - prev_q[q], 4)
             for q, t in ours.items()
             if q in prev_q and t >= 0 and prev_q[q] >= 0
@@ -95,8 +179,10 @@ def main() -> None:
         )
         if violations:
             line["regressions"] = violations
+            record["regressions"] = violations
             for v in violations:
                 print(f"bench: REGRESSION {v}", file=sys.stderr)
+    _write_self_record(repo_dir, record)
     print(json.dumps(line))
     spark.stop()
     if violations and "--check" in sys.argv:
@@ -151,30 +237,126 @@ def _adjudicated_text(repo_dir: str) -> str:
         return ""
 
 
-def _load_prev_round(repo_dir: str, sf: float):
-    """Latest BENCH_r{N}.json at the same scale factor →
-    (name, queries, is_median). Prefers the latest MEDIAN-methodology
-    record (like-for-like comparison); falls back to the latest legacy
-    min-estimator record, in which case the guard compares this run's
-    min against it."""
+def _this_round(repo_dir: str) -> int:
+    """The current driver round (max CORRECTNESS_r{N}.json + 1) — the
+    round the in-flight bench run belongs to. Self-log records of THIS
+    round are this same session's earlier runs and must not serve as
+    the regression baseline (a run would compare against itself)."""
     import glob
+    import re as _re
 
-    latest_median = None
-    latest_any = None
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(ns) + 1 if ns else 0
+
+
+def _write_self_record(repo_dir: str, record: dict) -> None:
+    """Rewrite ``BENCH_LOG.jsonl`` with this run's FULL record replacing
+    any earlier record of the same (round, sf) — one authoritative line
+    per round per scale factor, committed, immune to the driver's
+    stdout-tail truncation (VERDICT r7 #8)."""
+    path = os.path.join(repo_dir, "BENCH_LOG.jsonl")
+    rec = dict(record)
+    rec["round"] = _this_round(repo_dir)
+    kept: list[dict] = []
+    try:
+        with open(path) as f:
+            for ln in f:
+                try:
+                    old = json.loads(ln)
+                except ValueError:
+                    continue
+                if (old.get("round"), old.get("sf")) != (rec["round"], rec["sf"]):
+                    kept.append(old)
+    except OSError:
+        pass
+    kept.append(rec)
+    kept.sort(key=lambda r: (r.get("round", -1), r.get("sf", -1)))
+    with open(path, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+
+
+def _candidate_records(repo_dir: str, sf: float):
+    """(round, source_name, queries, is_median) for every parseable
+    record at this sf — driver BENCH_r{N}.json files (round from the
+    filename) plus the self-maintained BENCH_LOG.jsonl (explicit round
+    field). Records of the current round are excluded — the baseline
+    must be a PRIOR round."""
+    import glob
+    import re as _re
+
+    this_round = _this_round(repo_dir)
+    out = []
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
             with open(path) as f:
                 doc = json.load(f)
-            parsed = doc.get("parsed", doc)
+            parsed = doc.get("parsed") or doc
             if parsed.get("sf") == sf and parsed.get("queries"):
-                rec = (os.path.basename(path), parsed["queries"])
-                latest_any = rec + (False,)
-                if parsed.get("methodology") == _METHODOLOGY:
-                    latest_median = rec + (True,)
+                out.append(
+                    (
+                        int(m.group(1)),
+                        os.path.basename(path),
+                        parsed["queries"],
+                        parsed.get("methodology") == _METHODOLOGY,
+                    )
+                )
         except Exception:  # noqa: BLE001 — a malformed record is not fatal
             continue
+    try:
+        with open(os.path.join(repo_dir, "BENCH_LOG.jsonl")) as f:
+            for ln in f:
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("sf") == sf and rec.get("queries") and "round" in rec:
+                    out.append(
+                        (
+                            int(rec["round"]),
+                            f"BENCH_LOG.jsonl:r{rec['round']}",
+                            rec["queries"],
+                            rec.get("methodology") == _METHODOLOGY,
+                        )
+                    )
+    except OSError:
+        pass
+    return [r for r in out if this_round <= 0 or r[0] < this_round]
+
+
+def _load_prev_round(repo_dir: str, sf: float):
+    """The IMMEDIATELY PRECEDING round's record at the same scale
+    factor → (name, queries, is_median). Among all parseable prior
+    records (driver files + self log), the latest MEDIAN-methodology
+    record wins (like-for-like comparison; driver file preferred over
+    the self log at the same round); with only legacy min records, the
+    latest of those is returned with is_median=False so the caller
+    compares mins."""
+    cands = _candidate_records(repo_dir, sf)
+    if not cands:
+        return None
+    # sort: round ASC, driver-file-after-selflog so that ties on round
+    # resolve to the driver's official record (it sorts later and wins
+    # the "latest" scan below)
+    cands.sort(key=lambda r: (r[0], not r[1].startswith("BENCH_LOG")))
+    latest_median = None
+    latest_any = None
+    for rnd, name, queries, is_median in cands:
+        latest_any = (name, queries, False)
+        if is_median:
+            latest_median = (name, queries, True)
     return latest_median or latest_any
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv:
+        _one_entry_main(sys.argv[sys.argv.index("--one") + 1])
+    else:
+        main()

@@ -219,6 +219,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "corpus_ops_battery",
     "image_battery",
     # -- (2) newest granular entries --
+    # round 8:
+    "embedding_neardup_scaled",
     # round 7:
     "video_mjpeg_frame_stats",
     "mixture_reweight_rounds",

@@ -612,6 +612,67 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters on the PRODUCTION hash family (round 8): the
+    xxhash64 signatures + group frame already persisted by the shared
+    cache (the same artifacts ``dedup_minhash_lsh`` mines pairs from)
+    feed rep-level banding and connected components directly — no md5
+    chain at all. This is the 100 TB components path; the md5
+    ``dedup_components_portable`` twin exists so DuckDB can certify the
+    same two-stage composition (its per-doc cost carries the portable
+    family's num_hashes·|toks| md5 calls, which is certification
+    overhead, not pipeline cost). Rows-only at the gate by the same
+    adjudication as ``dedup_minhash_lsh``; structural invariants
+    (labels are component minima; members ⊆ edge-touched ∪
+    identical-tokset groups) are test-locked in tests/test_dedup.py.
+
+    Scale shape: banding over ONE representative per distinct tokset,
+    candidates narrow, the exact refine behind the length-ratio
+    prefilter, label propagation over the contracted group graph
+    (edges smaller than member pairs by the product of group sizes).
+    """
+    from ..operators.components import connected_components
+    from ..operators.dedup import _lsh_pairs_uncollapsed
+    from .shared_cache import corpus_lsh_params, grouped_corpus
+
+    members, groups = grouped_corpus(spark, sf_dir)
+    nh, bands = corpus_lsh_params(spark, sf_dir)
+    rep_base = groups.select(
+        F.col("gkey").alias("id"), "toks", "sig", F.col("gn").alias("_w")
+    )
+    rep_pairs = _lsh_pairs_uncollapsed(
+        rep_base,
+        threshold=0.8,
+        num_hashes=nh,
+        bands=bands,
+        max_bucket=100_000,
+        hot_bucket_mode="chunk",
+        weight_col="_w",
+    ).select(F.col("id_a").alias("gkey_a"), F.col("id_b").alias("gkey_b"))
+    comps_g = connected_components(rep_pairs, src="gkey_a", dst="gkey_b")
+    gstats = members.groupBy("gkey").agg(
+        F.min("id").alias("gmin"), F.count(F.lit(1)).alias("gn")
+    )
+    nonempty = groups.select("gkey", (F.size("toks") > 0).alias("ne"))
+    glabel = (
+        gstats.join(nonempty, "gkey")
+        .join(comps_g, gstats.gkey == comps_g.id, "left")
+        .withColumn("gcomp", F.coalesce("component", "gkey"))
+        .filter(
+            F.col("component").isNotNull()
+            | ((F.col("gn") >= 2) & F.col("ne"))
+        )
+    )
+    comp_min = glabel.groupBy("gcomp").agg(F.min("gmin").alias("comp_doc"))
+    return (
+        members.join(glabel.select("gkey", "gcomp"), "gkey")
+        .join(comp_min, "gcomp")
+        .select(
+            F.col("id").alias("doc_id"), F.col("comp_doc").alias("component")
+        )
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-family size distribution — the operational readout on
     top of ``dedup_components_portable`` (how big are the near-dup
@@ -1170,6 +1231,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "dedup_components_portable", components_artifact, DEDUP_COMPONENTS_SQL
     )
+    register("dedup_components_fast", dedup_components_fast, None)
     register(
         "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
     )

@@ -102,9 +102,91 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefiltered near-dup pairs + exact refine — the approximate
     scale path (rows-only: recall < 1 on this isotropic-noise corpus by
     information-theoretic necessity; exact-equality on clustered data is
-    proven in tests/test_similarity.py)."""
+    proven in tests/test_similarity.py). The (4, 4) parameters are the
+    gate-scale certification pin; the production path auto-sizes nbits
+    with the corpus — see ``embedding_neardup_scaled``."""
     e = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs_lsh(e, threshold=0.4, nbits=4, ntables=4)
+
+
+def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED hyperplane-LSH near-dup path, oracle-certified
+    (VERDICT r7 #3 — the ANN analog of ``dedup_minhash_scaled``):
+    ``operators/similarity.py::scaled_ann_params`` sizes
+    nbits = ceil(log2(n/target_bucket)) from the decade-rounded corpus
+    count, holding bucket occupancy ≈ constant so candidate pairs stay
+    linear in n — the fixed-nbits regime this replaces was measured
+    FP-quadratic at sf10 (exponent 1.61, SCALING.md). Recall at the
+    weak 0.4 threshold falls as nbits grows (the documented
+    information-theoretic floor of sign LSH on isotropic data —
+    ann_params_for's docstring derives it); candidates-bounded is the
+    property that decides whether the job finishes at 100 TB, and the
+    exact refine keeps precision 1. The DuckDB twin embeds the SAME
+    seeded hyperplanes as literals at the gate-scale decade parameters
+    (asserted equal to the runtime derivation in
+    tests/test_catalog_oracle.py)."""
+    from ..operators.similarity import scaled_ann_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nbits, ntables = scaled_ann_params(e.count())
+    return neardup_pairs_lsh(e, threshold=0.4, nbits=nbits, ntables=ntables)
+
+
+# Gate-scale pin (the driver's sf0.01 embeddings table holds 500 rows;
+# decade rounding keeps (4, 4) stable for 11..1000 vectors).
+_ANN_GATE_NBITS, _ANN_GATE_NTABLES = 4, 4
+
+
+def _neardup_lsh_oracle_sql(
+    dim: int = 64,
+    nbits: int = _ANN_GATE_NBITS,
+    ntables: int = _ANN_GATE_NTABLES,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of the hyperplane-LSH near-dup pair miner: per-table
+    sign-pattern buckets from the SAME seeded hyperplanes (embedded as
+    literals — the generator is numpy RandomState(42), reproduced at
+    import), bucket-join candidates (id_a < id_b, distinct), exact
+    cosine refine. The sequential-fold dot product is bit-exact vs
+    list_dot_product (proven by ann_lsh_topk since round 2)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, ntables, seed=42)
+
+    def bucket_expr(table: int) -> str:
+        terms = []
+        for i in range(nbits):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[table][i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM d"
+        for t in range(ntables)
+    )
+    cos = (
+        "list_dot_product(da.v, db.v) / "
+        "(sqrt(list_dot_product(da.v, da.v)) * "
+        "sqrt(list_dot_product(db.v, db.v)))"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buck AS (
+{per_table}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND({cos}, 6) AS cosine
+FROM cand
+JOIN d da ON da.vec_id = cand.id_a
+JOIN d db ON db.vec_id = cand.id_b
+WHERE {cos} >= {threshold}
+"""
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +634,11 @@ def register_entries(register) -> None:  # noqa: ANN001
         "embedding_neardup_blocked", embedding_neardup_blocked, EMBEDDING_NEARDUP_SQL
     )
     register("embedding_neardup_lsh", embedding_neardup_lsh, None)
+    register(
+        "embedding_neardup_scaled",
+        embedding_neardup_scaled,
+        _neardup_lsh_oracle_sql(),
+    )
     register("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle_sql())
     register(
         "embedding_quantize_int8",

@@ -122,3 +122,19 @@ def test_components_gate_params_match_runtime_derivation(spark, sf_dir):
     from hpv_etl_code_spark.plans.text_queries import _GATE_BANDS, _GATE_NH
 
     assert corpus_lsh_params(spark, sf_dir) == (_GATE_NH, _GATE_BANDS)
+
+
+def test_ann_gate_params_match_runtime_derivation(spark, sf_dir):
+    """Round 8 (VERDICT r7 #3): embedding_neardup_scaled buckets with
+    runtime corpus-sized hyperplane parameters while its DuckDB twin
+    embeds the gate-scale decade values as plane literals. Same-number
+    assertion as the components pin."""
+    from hpv_etl_code_spark.operators.similarity import scaled_ann_params
+    from hpv_etl_code_spark.plans.vector_queries import (
+        _ANN_GATE_NBITS,
+        _ANN_GATE_NTABLES,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert scaled_ann_params(n) == (_ANN_GATE_NBITS, _ANN_GATE_NTABLES)

@@ -504,7 +504,7 @@ def test_scaled_lsh_params_decade_steps():
     from hpv_etl_code_spark.operators.dedup import scaled_lsh_params
 
     # stable within a decade
-    assert scaled_lsh_params(11) == scaled_lsh_params(1000)
+    assert scaled_lsh_params(101) == scaled_lsh_params(1000)
     assert scaled_lsh_params(1001) == scaled_lsh_params(10_000)
     # pinned bench-scale regimes (sf0.01 / sf0.1 / sf1 / sf10)
     assert scaled_lsh_params(500) == (15, 3)
@@ -529,3 +529,22 @@ def test_minhash_oracle_builder_default_matches_literal():
     assert _minhash_portable_sql().strip() == DEDUP_MINHASH_PORTABLE_SQL.strip()
     scaled = _minhash_portable_sql(num_hashes=32, rows_per_band=8)
     assert "generate_series(0, 31)" in scaled and "seed // 8" in scaled
+
+
+def test_fast_components_equal_member_graph(spark, sf_dir):
+    """dedup_components_fast (round 8 — the xxhash64 production
+    components path over the shared-cache group frame) must equal
+    connected components over the member pair list mined at the SAME
+    corpus-sized parameters (dedup_minhash_lsh's output) — group
+    contraction preserves connectivity and min-doc labels."""
+    import hpv_etl_code_spark.plans.text_queries as tq
+    from hpv_etl_code_spark.operators.components import connected_components
+
+    grouped = tq.dedup_components_fast(spark, sf_dir)
+    member_pairs = tq.dedup_minhash_lsh(spark, sf_dir)
+    flat = connected_components(member_pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    got = rows(grouped)
+    assert got == rows(flat) and got

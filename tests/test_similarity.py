@@ -484,3 +484,32 @@ def test_ivf_append_drift_flags_out_of_distribution_batch(clustered, tmp_path):
     report = ivf_index_append(far, path).collect()
     ratios = [r.drift_ratio for r in report if r.n_new > 0 and r.drift_ratio]
     assert ratios and max(ratios) > 10, ratios
+
+
+def test_ann_params_for_bounds_occupancy():
+    """VERDICT r7 #3: nbits grows as log2(n/target_bucket), so expected
+    bucket occupancy — n / 2^nbits — stays ≤ target_bucket at every
+    scale (candidates per table ≈ n·occupancy/2, linear in n), while
+    the fixed-nbits regime's occupancy grows ∝ n."""
+    from hpv_etl_code_spark.operators.similarity import (
+        ann_params_for,
+        scaled_ann_params,
+    )
+
+    prev_nbits = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        nbits, ntables = ann_params_for(n, target_bucket=64, ntables=4)
+        assert n / (1 << nbits) <= 64 + 1e-9, (n, nbits)
+        assert nbits >= prev_nbits
+        prev_nbits = nbits
+        assert ntables == 4
+    # decade stepping: stable within a decade, pinned bench regimes
+    assert scaled_ann_params(101) == scaled_ann_params(1_000)
+    assert scaled_ann_params(500) == (4, 4)    # sf0.001 / sf0.01 gate
+    assert scaled_ann_params(2_000) == (8, 4)  # sf0.1
+    assert scaled_ann_params(20_000) == (11, 4)   # sf1
+    assert scaled_ann_params(200_000) == (14, 4)  # sf10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ann_params_for(1_000, threshold=1.5)
