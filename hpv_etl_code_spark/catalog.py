@@ -221,6 +221,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     # -- (2) newest granular entries --
     # round 8:
     "embedding_neardup_scaled",
+    "corpus_epoch_shuffle_bucketed",
+    "video_codec_census",
     # round 7:
     "video_mjpeg_frame_stats",
     "mixture_reweight_rounds",

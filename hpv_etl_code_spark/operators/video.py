@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -282,4 +283,136 @@ def frame_pixel_sums(
 
     return df.select(id_col, frame_idx_col, frame_col).mapInPandas(
         sums, FRAME_SUMS_SCHEMA
+    )
+
+
+CENSUS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec_class", StringType()),
+    ]
+)
+
+
+def render_doc_video_mixed(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mixed-decodability video corpus for the codec census (VERDICT r7
+    #7) — class is a pure function of doc_id (mod 3), so an exact SQL
+    oracle knows the truth without parsing a byte:
+
+    - ``doc_id % 3 == 0`` → 2-frame Motion-JPEG AVI — fully decodable
+      by the stdlib demux + baseline JPEG decoder;
+    - ``doc_id % 3 == 1`` → AVI whose stream fourcc is ``H264`` and
+      whose frame payloads are raw md5 bytes (no still-image magic) —
+      the CONTAINER demuxes stdlib-real, the frame codec needs
+      PyAV/ffmpeg;
+    - ``doc_id % 3 == 2`` → an MP4-shaped blob (ftyp/mdat boxes) — the
+      container itself is beyond the stdlib RIFF demux.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_gray_coeffs
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                cls = int(i) % 3
+                if cls == 0:
+                    frames = []
+                    for f in range(2):
+                        dc = hashlib.md5(f"{t}|f{f}:dc".encode()).digest()[0] - 128
+                        c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                        c[0, 0, 0, 0] = dc
+                        frames.append(encode_jpeg_gray_coeffs(c))
+                    payloads.append(mux_avi_mpng(frames, 8, 8, fourcc=b"MJPG"))
+                elif cls == 1:
+                    frames = [
+                        hashlib.md5(f"{t}|h264:{f}".encode()).digest()
+                        for f in range(2)
+                    ]
+                    payloads.append(mux_avi_mpng(frames, 8, 8, fourcc=b"H264"))
+                else:
+                    mdat = hashlib.md5(f"{t}|mp4".encode()).digest()
+                    ftyp = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+                    payloads.append(
+                        ftyp
+                        + struct.pack(">I", 8 + len(mdat))
+                        + b"mdat"
+                        + mdat
+                    )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(render, AVI_RENDER_SCHEMA)
+
+
+def video_codec_census(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload decodability classification (VERDICT r7 #7 — turns
+    the permissive decoder's silent drop into an observable report): a
+    100 TB ingest runs this census FIRST, so 'N payloads need a codec
+    this cluster lacks' is a number in a table, not a missing-rows
+    mystery. Classes, decided by ATTEMPTING the real pipeline per
+    payload (never by trusting metadata):
+
+    - ``decoded``        — container demuxed AND the first frame
+                           decoded by a stdlib codec (Motion-PNG /
+                           Motion-JPEG AVI; PNG/JPEG stills);
+    - ``container_only`` — the RIFF/AVI demux yielded frames but no
+                           stdlib codec decodes them (H.264 & friends —
+                           the PyAV gate, see README);
+    - ``needs_codec``    — the container itself is unsupported
+                           (MP4/MKV/elementary streams) or the payload
+                           is corrupt.
+
+    One narrow map (mapInPandas) + one tiny hash aggregate — the census
+    costs a single scan at any scale.
+    """
+    from .jpeg_codec import decode_jpeg_gray
+    from .png_codec import decode_png
+
+    def frame_decodes(b: bytes) -> bool:
+        try:
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                decode_png(b)
+                return True
+            if b[:2] == b"\xff\xd8":
+                decode_jpeg_gray(b)
+                return True
+        except Exception:  # noqa: BLE001 — a failed decode is a census fact
+            return False
+        return False
+
+    def classify(b) -> str:
+        try:
+            b = bytes(b)
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                frames = demux_avi_frames(b)
+                if frames and frame_decodes(frames[0]):
+                    return "decoded"
+                return "container_only"
+            if frame_decodes(b):
+                return "decoded"  # a bare still IS frame 0
+            return "needs_codec"
+        except Exception:  # noqa: BLE001 — corrupt container counts too
+            return "needs_codec"
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "codec_class": [classify(b) for b in pdf[payload_col]],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    labeled = df.select(id_col, payload_col).mapInPandas(census, CENSUS_SCHEMA)
+    return labeled.groupBy("codec_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads")
     )

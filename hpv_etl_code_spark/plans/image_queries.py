@@ -338,6 +338,33 @@ FROM p
 """
 
 
+def video_codec_census_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decodability census over a MIXED video corpus (VERDICT r7 #7 —
+    the permissive decoder's silent drop made observable): payload
+    class is a pure function of doc_id (mod 3 — MJPEG AVI / H264-fourcc
+    AVI / MP4 blob, operators/video.py::render_doc_video_mixed), while
+    the Spark side classifies by ATTEMPTING the real demux + frame
+    decode per payload (operators/video.py::video_codec_census). The
+    oracle knows the exact truth from doc_id arithmetic, so a hash
+    match certifies that the census reports decoded / container_only /
+    needs_codec EXACTLY — at 100 TB this report runs before any decode
+    job, turning 'rows silently vanished' into 'N payloads need PyAV'
+    (compressed-codec decode remains the documented gate, README)."""
+    from ..operators.video import render_doc_video_mixed, video_codec_census
+
+    d = load_table(spark, sf_dir, "documents")
+    return video_codec_census(render_doc_video_mixed(d))
+
+
+VIDEO_CODEC_CENSUS_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'decoded'
+                       WHEN 1 THEN 'container_only'
+                       ELSE 'needs_codec' END AS codec_class,
+  COUNT(*)::BIGINT AS n_payloads
+FROM documents GROUP BY 1
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("jpeg_coeff_roundtrip", jpeg_coeff_roundtrip, JPEG_COEFF_SQL)
     register("jpeg_dc_pixel_stats", jpeg_dc_pixel_stats, JPEG_DC_PIXEL_SQL)
@@ -349,4 +376,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("video_frame_stats", video_frame_stats, VIDEO_FRAME_STATS_SQL)
     register(
         "video_mjpeg_frame_stats", video_mjpeg_frame_stats, VIDEO_MJPEG_SQL
+    )
+    register(
+        "video_codec_census", video_codec_census_entry, VIDEO_CODEC_CENSUS_SQL
     )

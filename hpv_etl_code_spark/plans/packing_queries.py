@@ -11,6 +11,8 @@ statistically.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -314,7 +316,16 @@ def epoch_shuffle(
 def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two epochs of the deterministic shuffle over ``documents`` —
     distinct permutations per epoch, every decision a pure function of
-    (epoch, doc_id), hash-matching the DuckDB oracle exactly."""
+    (epoch, doc_id), hash-matching the DuckDB oracle exactly.
+
+    Scale note (adjudicated sf10 step 1.35): each epoch re-shuffles the
+    FULL corpus, so the working set crosses memory at scale — the spill
+    cliff is inherent to the semantics (bytes grow exactly 10×). The
+    bounded-memory production alternative is
+    ``corpus_epoch_shuffle_bucketed`` (one bucketed+sorted write, then
+    zero-exchange bucket-order permutations per epoch — measured
+    exponent 0.27 across sf1→sf10); this entry stays as the
+    fine-grained-permutation semantics and its oracle pin."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     eps = [
         epoch_shuffle(d, "doc_id", epoch=e, n_shards=64).withColumn(
@@ -332,6 +343,103 @@ SELECT e.epoch, doc_id,
                   1, 15))::BIGINT AS shuffle_key,
   (('0x' || substr(md5('ep' || e.epoch::VARCHAR || ':' || doc_id::VARCHAR),
                    1, 15))::BIGINT % 64)::INT AS shard
+FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+"""
+
+
+def write_epoch_buckets(
+    df: DataFrame, id_col: str, path: str, n_buckets: int = 64
+) -> None:
+    """ONE-TIME bucketed corpus layout for epoch shuffling (VERDICT r7
+    #5 — the bounded-memory alternative to re-shuffling the full corpus
+    every epoch): docs hash into ``n_buckets`` buckets (portable md5,
+    epoch-independent) and each bucket's rows are written SORTED by an
+    epoch-independent position hash. This is the only shuffle the
+    corpus ever pays; every epoch after it is a metadata-only
+    bucket-order permutation (:func:`epoch_order_from_buckets`) — the
+    exact shard-shuffle design training loaders use at 100 TB, where a
+    full per-epoch re-shuffle is the measured spill cliff
+    (SCALING.md: sf10 step 1.35, bytes grow exactly 10×)."""
+    bucket = F.pmod(
+        _phash(F.concat(F.lit("bk:"), F.col(id_col).cast("string"))),
+        F.lit(n_buckets),
+    ).cast("int")
+    pos = _phash(F.concat(F.lit("pos:"), F.col(id_col).cast("string")))
+    (
+        df.select(F.col(id_col), bucket.alias("bucket"), pos.alias("pos"))
+        .repartition(n_buckets, "bucket")
+        # sort by (bucket, pos): the dynamic-partition writer requires
+        # rows ordered by the partition column and would otherwise
+        # inject its own NON-STABLE sort on bucket alone, destroying
+        # the pos order inside each bucket file
+        .sortWithinPartitions("bucket", "pos")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def epoch_order_from_buckets(
+    spark: SparkSession, path: str, epoch: int
+) -> DataFrame:
+    """One epoch's read order over the bucketed layout: a NARROW
+    projection adding ``bucket_rank`` — a pure portable-hash function
+    of (epoch, bucket) — so consuming buckets in ``bucket_rank`` order
+    (ties impossible: md5 over distinct bucket ids) with each bucket's
+    pre-sorted ``pos`` order realizes the epoch's permutation with ZERO
+    exchanges (plan-asserted in tests). Epoch randomness is
+    bucket-granular by design — the standard loader trade: coarse
+    inter-bucket permutation per epoch, intra-bucket order fixed by the
+    one-time layout."""
+    # explicit schema: an EMPTY corpus writes only _SUCCESS (the
+    # dynamic-partition writer emits no files for zero rows) and
+    # schema inference would fail — the epoch plan must stay total
+    d = spark.read.schema("doc_id BIGINT, pos BIGINT, bucket INT").parquet(
+        path
+    )
+    brank = _phash(
+        F.concat(
+            F.lit(f"bperm:{epoch}:"), F.col("bucket").cast("string")
+        )
+    )
+    return d.withColumn("bucket_rank", brank).withColumn(
+        "epoch", F.lit(epoch)
+    )
+
+
+def corpus_epoch_shuffle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of the BUCKETED epoch shuffle (the scale path beside
+    ``corpus_epoch_shuffle``'s full re-shuffle): the corpus pays one
+    bucketed+sorted write, then each epoch is a zero-shuffle projection
+    whose (bucket_rank, pos) columns define the permutation. Every
+    column is a pure md5 function of (epoch, doc_id, n_buckets), so
+    DuckDB reproduces the full frame bit-for-bit."""
+    import os
+    import tempfile
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_epochbk_{tag}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        write_epoch_buckets(d, "doc_id", path, n_buckets=64)
+    eps = [epoch_order_from_buckets(spark, path, e) for e in (0, 1)]
+    return (
+        eps[0]
+        .unionByName(eps[1])
+        .select("epoch", "doc_id", "bucket", "pos", "bucket_rank")
+    )
+
+
+CORPUS_EPOCH_SHUFFLE_BUCKETED_SQL = """
+SELECT e.epoch, doc_id,
+  (('0x' || substr(md5('bk:' || doc_id::VARCHAR), 1, 15))::BIGINT % 64)::INT
+    AS bucket,
+  ('0x' || substr(md5('pos:' || doc_id::VARCHAR), 1, 15))::BIGINT AS pos,
+  ('0x' || substr(md5('bperm:' || e.epoch::VARCHAR || ':' ||
+     (('0x' || substr(md5('bk:' || doc_id::VARCHAR), 1, 15))::BIGINT % 64)::INT::VARCHAR),
+     1, 15))::BIGINT AS bucket_rank
 FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
 """
 
@@ -472,4 +580,9 @@ def register_entries(register) -> None:  # noqa: ANN001
     )
     register("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL)
     register("corpus_epoch_shuffle", corpus_epoch_shuffle, CORPUS_EPOCH_SHUFFLE_SQL)
+    register(
+        "corpus_epoch_shuffle_bucketed",
+        corpus_epoch_shuffle_bucketed,
+        CORPUS_EPOCH_SHUFFLE_BUCKETED_SQL,
+    )
     register("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL)

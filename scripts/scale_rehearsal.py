@@ -39,6 +39,7 @@ SCALE_CRITICAL = (
     "dedup_incremental",
     "dedup_incremental_fast",
     "dedup_components_portable",
+    "dedup_components_fast",
     "dedup_cluster_sizes_indexed",
     # text analysis at corpus scale
     "text_winnowing",
@@ -49,6 +50,7 @@ SCALE_CRITICAL = (
     "llm_corpus_pipeline",
     "sequence_packing",
     "corpus_epoch_shuffle",
+    "corpus_epoch_shuffle_bucketed",
     "mixture_reweight_rounds",
     # ANN / embeddings (banded & indexed paths)
     "ann_lsh_topk",
@@ -57,6 +59,7 @@ SCALE_CRITICAL = (
     "ann_ivf_append",
     "ann_pq_topk",
     "embedding_neardup_lsh",
+    "embedding_neardup_scaled",
     # graph health (bounded-cost variants)
     "clustering_coefficient_sampled",
     "bfs_hops_copurchase",
