@@ -81,10 +81,12 @@ SCALE_CRITICAL = (
 # cause — printed into the report so the table shows WHY, not a hole.
 EXCLUDE = {
     ("embedding_neardup_lsh", "sf10"):
-        "fixed nbits=4 (calibrated for the sf0.01 oracle) keeps the "
-        "bucket count constant, so occupancy ∝ n and candidate pairs "
-        "∝ n² — a cluster run sizes nbits ≈ log2(n/target_bucket) to "
-        "stay linear; measured 0.1→1 here, quadratic by design beyond",
+        "fixed nbits=4 (the gate-scale oracle pin) keeps the bucket "
+        "count constant, so occupancy ∝ n and candidate pairs ∝ n² — "
+        "the PRODUCTION path is embedding_neardup_scaled (round 8: "
+        "scaled_ann_params sizes nbits = ceil(log2(n/64)); measured "
+        "sf10 exponent 0.89, in this sweep), same adjudication class "
+        "as dedup_minhash_portable's (16, 4) pin below",
     ("dedup_minhash_portable", "sf10"):
         "the CERTIFICATION twin materializes every per-band full-"
         "signature row for the DuckDB hash-compare (~n·bands wide rows "
