@@ -223,6 +223,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "embedding_neardup_scaled",
     "corpus_epoch_shuffle_bucketed",
     "video_codec_census",
+    "dedup_minhash_shingles",
     # round 7:
     "video_mjpeg_frame_stats",
     "mixture_reweight_rounds",

@@ -37,6 +37,27 @@ def distinct_tokens(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def shingles(col: Column | str, w: int = 3) -> Column:
+    """Distinct w-token shingles (Broder's w-shingling — the canonical
+    near-dup unit: token ORDER matters inside a shingle, so reordered
+    or partially-overlapping documents stop colliding the way bags of
+    unigrams do). Documents shorter than w tokens have no shingle.
+    Built entirely from codegen'd array expressions (split / slice /
+    concat_ws / transform) — no UDF; the DuckDB twin is a list
+    comprehension over the same split (see text_queries)."""
+    tk = tokens(col)
+    n = F.size(tk)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(w - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, w)),
+    )
+    # guard: Spark's sequence(1, m) DESCENDS for m < 1 — short docs
+    # must yield the empty set, not phantom reversed indices
+    return F.array_distinct(
+        F.when(n >= w, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

@@ -375,9 +375,20 @@ def _minhash_portable_sql(num_hashes: int = 16, rows_per_band: int = 4) -> str:
     r=8 production regime the round-7 sf10 rehearsal measured
     (SCALING.md: constant-parameter banding is FP-quadratic; r=8 cut
     sf10 candidates 476M -> 111M and un-blocked components)."""
+    return _minhash_portable_sql_over(
+        "list_distinct(string_split(text, ' '))", num_hashes, rows_per_band
+    )
+
+
+def _minhash_portable_sql_over(
+    toks_expr: str, num_hashes: int, rows_per_band: int, threshold: float = 0.8
+) -> str:
+    """The portable banding SQL over an arbitrary DuckDB shingling
+    expression (round 8 — the w-shingle entry swaps only this one
+    expression, exactly mirroring the Spark side's ``tokens`` param)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, {toks_expr} AS toks FROM documents
 ), e AS (
   SELECT doc_id, unnest(toks) AS tok FROM toks
 ), h AS (
@@ -403,7 +414,7 @@ JOIN toks ta ON ta.doc_id = cand.id_a
 JOIN toks tb ON tb.doc_id = cand.id_b
 WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
       greatest(len(ta.toks) + len(tb.toks)
-               - len(list_intersect(ta.toks, tb.toks)), 1), 6) >= 0.8
+               - len(list_intersect(ta.toks, tb.toks)), 1), 6) >= {threshold}
 """
 
 
@@ -610,6 +621,38 @@ WITH RECURSIVE pairs AS (
 SELECT node AS doc_id, MIN(label) AS component
 FROM reach GROUP BY node
 """
+
+
+def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder w-SHINGLE MinHash+LSH near-dup pairs (round 8 — the
+    canonical shingle→minhash→band→bucket-join pipeline, where the
+    set element is an ORDERED 3-token window instead of a bag-of-
+    unigrams token): reordered or topically-similar documents that
+    share vocabulary but not phrasing stop colliding, which is exactly
+    why production near-dup uses shingles. Same portable md5 hash
+    family, banding, candidate join and exact shingle-Jaccard refine as
+    ``dedup_minhash_portable`` — the DuckDB twin swaps ONE expression
+    (a list comprehension over the same split), so the whole shingle
+    pipeline is hash-certified. Shingling is pure codegen'd array
+    expressions (``operators/textops.py::shingles``); scale shape is
+    identical to the unigram entry (shingle sets are ~|tokens| long)."""
+    from ..operators.textops import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        d, "doc_id", "text", threshold=0.8, tokens=shingles("text", 3)
+    )
+
+
+_SHINGLE_TOKS_SQL = (
+    "list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ') "
+    "FOR i IN generate_series(1, greatest(len(string_split(text, ' ')) - 2, "
+    "0))])"
+)
+
+DEDUP_MINHASH_SHINGLES_SQL = _minhash_portable_sql_over(
+    _SHINGLE_TOKS_SQL, 16, 4
+)
 
 
 def dedup_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,6 +1275,11 @@ def register_entries(register) -> None:  # noqa: ANN001
         "dedup_components_portable", components_artifact, DEDUP_COMPONENTS_SQL
     )
     register("dedup_components_fast", dedup_components_fast, None)
+    register(
+        "dedup_minhash_shingles",
+        dedup_minhash_shingles,
+        DEDUP_MINHASH_SHINGLES_SQL,
+    )
     register(
         "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
     )

@@ -35,6 +35,7 @@ SCALE_CRITICAL = (
     "dedup_exact_content",
     "dedup_minhash_portable",
     "dedup_minhash_lsh",
+    "dedup_minhash_shingles",
     "dedup_simhash_portable",
     "dedup_incremental",
     "dedup_incremental_fast",

@@ -548,3 +548,26 @@ def test_fast_components_equal_member_graph(spark, sf_dir):
     rows = lambda df: {tuple(r) for r in df.collect()}
     got = rows(grouped)
     assert got == rows(flat) and got
+
+
+def test_shingles_expression(spark):
+    """w-shingling edge cases: order preserved inside shingles, docs
+    shorter than w yield the EMPTY set (Spark's descending-sequence
+    trap), duplicates collapse."""
+    from hpv_etl_code_spark.operators.textops import shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b"),          # shorter than w=3 -> no shingle
+            (3, "x y x y x y"),  # repeated shingles collapse
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []
+    assert got[3] == ["x y x", "y x y"]
