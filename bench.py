@@ -46,19 +46,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _METHODOLOGY = "median-of-3-warm"
 
 
+def _n_runs() -> int:
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
 def _time_one(spark, fn, sf_dir: str) -> tuple[float, float]:
     """Warm-up + SPARK_GRAFT_BENCH_RUNS timed materializations →
     (median, min). The warm-up pays JVM/codegen/scan-cache AND any
     shared-cache artifact build, so timed runs measure the steady
     state."""
     fn(spark, sf_dir).count()  # warm-up
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     runs: list[float] = []
-    for _ in range(n_runs):
+    for _ in range(_n_runs()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
     return round(statistics.median(runs), 4), round(min(runs), 4)
+
+
+def _probe_one(spark, fn, sf_dir: str) -> float:
+    """Warm-up + ONE timed run — enough to decide whether the entry
+    crosses the isolation threshold without paying the full
+    median-of-N in a session whose numbers would then be discarded."""
+    fn(spark, sf_dir).count()  # warm-up
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
 
 
 def _one_entry_main(name: str) -> None:
@@ -121,28 +134,48 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    pending_iso: list[str] = []
     for name, fn in catalog.headline_queries().items():
         try:
             # SPARK_GRAFT_BENCH_RUNS: timed-run count (default 3,
             # median recorded). The sf1 rehearsal uses 1 — its heavy
             # entries run minutes each, and the scaling exponents it
             # measures tolerate noise the per-round sf0.1 guard cannot.
-            timings[name], timings_min[name] = _time_one(spark, fn, sf_dir)
+            # Isolation candidates are DECIDED on a single probe run —
+            # their in-session numbers would be discarded anyway, so
+            # the remaining median-of-N executions happen only in the
+            # subprocess (saves ~(N-1)× the heaviest entries' wall).
+            if isolate:
+                probe = _probe_one(spark, fn, sf_dir)
+                if probe > _ISOLATE_THRESHOLD_SEC:
+                    timings[name] = round(probe, 4)  # fallback figure
+                    timings_min[name] = round(probe, 4)
+                    pending_iso.append(name)
+                    continue
+                t0 = time.perf_counter()
+                runs = [probe]
+                for _ in range(_n_runs() - 1):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    runs.append(time.perf_counter() - t0)
+                timings[name] = round(statistics.median(runs), 4)
+                timings_min[name] = round(min(runs), 4)
+            else:
+                timings[name], timings_min[name] = _time_one(spark, fn, sf_dir)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
             timings_min[name] = -1.0
 
     isolated: list[str] = []
-    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
-        for name, t in sorted(timings.items()):
-            if t > _ISOLATE_THRESHOLD_SEC:
-                iso = _isolated_timing(name, sf_dir)
-                if iso:
-                    timings[name], timings_min[name] = iso
-                    isolated.append(name)
+    for name in pending_iso:
+        iso = _isolated_timing(name, sf_dir)
+        if iso:
+            timings[name], timings_min[name] = iso
+            isolated.append(name)
 
     total = round(sum(timings.values()), 4)
     # stdout line stays SLIM (VERDICT r7 #8): the driver records only a
@@ -275,9 +308,14 @@ def _write_self_record(repo_dir: str, record: dict) -> None:
         pass
     kept.append(rec)
     kept.sort(key=lambda r: (r.get("round", -1), r.get("sf", -1)))
-    with open(path, "w") as f:
+    # atomic replace: a crash mid-write must never truncate the
+    # committed guard-chain file (concurrent same-(round,sf) writers
+    # are last-wins, which is the dedupe semantic anyway)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         for r in kept:
             f.write(json.dumps(r) + "\n")
+    os.replace(tmp, path)
 
 
 def _candidate_records(repo_dir: str, sf: float):

@@ -292,11 +292,19 @@ def ivf_index_append(
         "v",
     ).withColumn("norm", l2_norm(F.col("v")))
     if not centroids:
-        # index built over an empty corpus has no centroids to assign
-        # against — nothing in the batch can be placed, so append
-        # NOTHING (ADVICE r7: cell=NULL rows would be dead weight read
-        # back by every ivf_topk_indexed scan) and let the drift report
-        # come out empty-batch-shaped
+        # An index with no centroids cannot PLACE anything. ADVICE r7
+        # removed the old cell=NULL dead-weight append; the round-8
+        # review then flagged the replacement as SILENT data loss — so
+        # a non-empty batch now raises (the caller must rebuild the
+        # index first), and only the vacuous empty-batch-into-empty-
+        # index case proceeds (no rows, empty drift report).
+        if batch.limit(1).count() > 0:
+            raise ValueError(
+                "ivf_index_append: the index at this path has no "
+                "centroids (built over an empty corpus) — appending "
+                "would silently drop the batch; rebuild the index "
+                "with build_ivf_index over a non-empty corpus first"
+            )
         assigned = assigned.filter(F.col("cell").isNotNull())
         assigned.write.mode("append").parquet(f"{path}/cells")
     else:

@@ -127,10 +127,11 @@ def scaled_ann_params(
     stay hash-green under small test-corpus drift. At this repo's
     bench scales (dim-64 embeddings): 500 vecs → (4, 4); 2k → (8, 4);
     20k → (11, 4); 200k → (14, 4)."""
-    decade = 10
-    while decade < max(n_vecs, 1):
-        decade *= 10
-    return ann_params_for(decade, threshold, target_bucket, ntables)
+    from .dedup import _next_decade
+
+    return ann_params_for(
+        _next_decade(n_vecs), threshold, target_bucket, ntables
+    )
 
 
 def lsh_bucketed(

@@ -267,6 +267,33 @@ def _prune_dead_entries() -> None:
             # lock hygiene (ADVICE r7): dead-session keys never rebuild
             # under the same key, so their lock entry is pure leak
             _KEY_LOCKS.pop(key, None)
+        # round-8 review: keys cleared by clear_cache BEFORE their
+        # session died are unreachable through _CACHE above — reclaim
+        # locks whose applicationId provably belongs to a DEAD session
+        # (key[0] is the appId; a dead app never builds again, so no
+        # thread can be between fetching and acquiring such a lock —
+        # pruning merely-unheld locks of LIVE sessions would re-open
+        # the double-build race through exactly that window)
+        try:
+            from pyspark.sql import SparkSession
+
+            # getActiveSession is THREAD-local (None in worker
+            # threads); _instantiatedSession is process-global — check
+            # both so liveness never misreads a builder thread
+            active = (
+                SparkSession.getActiveSession()
+                or SparkSession._instantiatedSession
+            )
+            live = {active.sparkContext.applicationId} if active else set()
+        except Exception:  # noqa: BLE001 — no JVM ⇒ nothing is live
+            live = set()
+        live |= {k[0] for k in _CACHE}
+        for key in [
+            k
+            for k, lk in _KEY_LOCKS.items()
+            if k[0] not in live and not lk.locked()
+        ]:
+            _KEY_LOCKS.pop(key, None)
 
 
 def clear_cache() -> None:

@@ -380,7 +380,7 @@ def write_epoch_buckets(
 
 
 def epoch_order_from_buckets(
-    spark: SparkSession, path: str, epoch: int
+    spark: SparkSession, path: str, epoch: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """One epoch's read order over the bucketed layout: a NARROW
     projection adding ``bucket_rank`` — a pure portable-hash function
@@ -391,10 +391,11 @@ def epoch_order_from_buckets(
     bucket-granular by design — the standard loader trade: coarse
     inter-bucket permutation per epoch, intra-bucket order fixed by the
     one-time layout."""
-    # explicit schema: an EMPTY corpus writes only _SUCCESS (the
-    # dynamic-partition writer emits no files for zero rows) and
-    # schema inference would fail — the epoch plan must stay total
-    d = spark.read.schema("doc_id BIGINT, pos BIGINT, bucket INT").parquet(
+    # explicit schema (mirroring write_epoch_buckets' id_col): an EMPTY
+    # corpus writes only _SUCCESS (the dynamic-partition writer emits
+    # no files for zero rows) and schema inference would fail — the
+    # epoch plan must stay total
+    d = spark.read.schema(f"{id_col} BIGINT, pos BIGINT, bucket INT").parquet(
         path
     )
     brank = _phash(
@@ -407,6 +408,38 @@ def epoch_order_from_buckets(
     )
 
 
+def _epoch_bucket_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the bucketed layout path for a corpus.
+
+    CONTENT-keyed (round-8 review): keying on sf_dir alone served a
+    STALE layout after the test corpus regenerated under the same
+    path — a cheap content fingerprint (count + id span, one tiny agg
+    job) is folded into the directory name so a different corpus can
+    never alias. Concurrent builders are safe: each writes its own tmp
+    dir, the first rename wins, losers clean up and read the winner."""
+    import os
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt, lo, hi = d.agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")
+    ).first()
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_epochbk_{tag}_{cnt}_{lo}_{hi}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        write_epoch_buckets(d, "doc_id", tmp, n_buckets=64)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another builder won the race — use its layout
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def corpus_epoch_shuffle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two epochs of the BUCKETED epoch shuffle (the scale path beside
     ``corpus_epoch_shuffle``'s full re-shuffle): the corpus pays one
@@ -414,16 +447,7 @@ def corpus_epoch_shuffle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     whose (bucket_rank, pos) columns define the permutation. Every
     column is a pure md5 function of (epoch, doc_id, n_buckets), so
     DuckDB reproduces the full frame bit-for-bit."""
-    import os
-    import tempfile
-
-    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_epochbk_{tag}"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        d = load_table(spark, sf_dir, "documents").select("doc_id")
-        write_epoch_buckets(d, "doc_id", path, n_buckets=64)
+    path = _epoch_bucket_layout(spark, sf_dir)
     eps = [epoch_order_from_buckets(spark, path, e) for e in (0, 1)]
     return (
         eps[0]

@@ -45,13 +45,15 @@ _CACHE: dict[tuple[str, str], DataFrame] = {}
 _COUNTS: dict[tuple[str, str], int] = {}
 
 
-def corpus_count(spark: SparkSession, sf_dir: str) -> int:
-    """``documents`` row count, one count job per (session, sf_dir) —
-    the input to banding auto-sizing. At 100 TB this is parquet
-    footer metadata, not a scan."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def corpus_count(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> int:
+    """Row count of a corpus table, one count job per (session, sf_dir,
+    table) — the input to banding/hyperplane auto-sizing. At 100 TB
+    this is parquet footer metadata, not a scan."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     if key not in _COUNTS:
-        _COUNTS[key] = load_table(spark, sf_dir, "documents").count()
+        _COUNTS[key] = load_table(spark, sf_dir, table).count()
     return _COUNTS[key]
 
 
@@ -142,6 +144,23 @@ def grouped_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return _CACHE[key]
 
 
+def _portable_groups_of(e: DataFrame, num_hashes: int) -> DataFrame:
+    """One row per distinct tokset with the STRING token set and an
+    md5 min-hash signature of the given width — the single builder
+    behind every portable group frame (round-8 review: three verbatim
+    copies diverge silently on the next fix)."""
+    from ..operators.dedup import _portable_minhash_sig
+
+    return (
+        e.groupBy("gkey")
+        .agg(
+            F.count(F.lit(1)).alias("gn"),
+            F.first(distinct_tokens("text")).alias("toks"),
+        )
+        .withColumn("sig", _portable_minhash_sig("toks", num_hashes))
+    )
+
+
 def portable_grouped_corpus(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -153,20 +172,11 @@ def portable_grouped_corpus(
     chain (num_hashes md5 calls per token) computed once per distinct
     tokset instead of once per document. Persisted: the LSH plan reads
     it from several branches."""
-    from ..operators.dedup import _portable_minhash_sig
-
     key = (spark.sparkContext.applicationId, sf_dir, "pgroups")
     if key not in _CACHE:
         e = enriched_documents(spark, sf_dir)
         members, _ = grouped_corpus(spark, sf_dir)
-        pgroups = (
-            e.groupBy("gkey")
-            .agg(
-                F.count(F.lit(1)).alias("gn"),
-                F.first(distinct_tokens("text")).alias("toks"),
-            )
-            .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
-        )
+        pgroups = _portable_groups_of(e, _NUM_HASHES)
         _CACHE[key] = (members, stage_artifact(pgroups, "shared_pgroups"))
     return _CACHE[key]
 
@@ -218,20 +228,11 @@ def pipeline_portable_grouped(
     over one md5 signature per distinct surviving tokset. Same
     structure as :func:`portable_grouped_corpus`, subset to the
     pipeline's ed frame."""
-    from ..operators.dedup import _portable_minhash_sig
-
     key = (spark.sparkContext.applicationId, sf_dir, "pipeline_pgroups")
     if key not in _CACHE:
         ed = pipeline_exact_deduped(spark, sf_dir)
         members = ed.select(F.col("doc_id").alias("id"), "gkey")
-        pgroups = (
-            ed.groupBy("gkey")
-            .agg(
-                F.count(F.lit(1)).alias("gn"),
-                F.first(distinct_tokens("text")).alias("toks"),
-            )
-            .withColumn("sig", _portable_minhash_sig("toks", _NUM_HASHES))
-        )
+        pgroups = _portable_groups_of(ed, _NUM_HASHES)
         _CACHE[key] = (members, stage_artifact(pgroups, "shared_pipeline_pgroups"))
     return _CACHE[key]
 
@@ -280,21 +281,12 @@ def scaled_portable_grouped_corpus(
     their exact certified signature while the scaled consumers
     (``dedup_components_portable`` and the cluster readouts) band with
     corpus-sized parameters."""
-    from ..operators.dedup import _portable_minhash_sig
-
     key = (spark.sparkContext.applicationId, sf_dir, "spgroups")
     if key not in _CACHE:
         e = enriched_documents(spark, sf_dir)
         members, _ = grouped_corpus(spark, sf_dir)
         nh, _bands = corpus_lsh_params(spark, sf_dir)
-        spgroups = (
-            e.groupBy("gkey")
-            .agg(
-                F.count(F.lit(1)).alias("gn"),
-                F.first(distinct_tokens("text")).alias("toks"),
-            )
-            .withColumn("sig", _portable_minhash_sig("toks", nh))
-        )
+        spgroups = _portable_groups_of(e, nh)
         _CACHE[key] = (members, stage_artifact(spgroups, "shared_spgroups"))
     return _CACHE[key]
 

@@ -128,11 +128,9 @@ def test_bucketed_epoch_shuffle_properties(spark, sf_dir):
     diff = ranks.filter(F.col("0") != F.col("1")).count()
     assert diff > 0
     # (a) zero exchanges in the per-epoch plan
-    import re as _re
-    import tempfile
+    from hpv_etl_code_spark.plans.packing_queries import _epoch_bucket_layout
 
-    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_epochbk_{tag}")
+    path = _epoch_bucket_layout(spark, sf_dir)
     plan = (
         epoch_order_from_buckets(spark, path, 0)
         ._jdf.queryExecution()
