@@ -224,6 +224,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "corpus_epoch_shuffle_bucketed",
     "video_codec_census",
     "dedup_minhash_shingles",
+    "embedding_dedup_survivors",
+    "embedding_dedup_survivors_scaled",
     # round 7:
     "video_mjpeg_frame_stats",
     "mixture_reweight_rounds",

@@ -89,6 +89,171 @@ WHERE list_dot_product(a.v, b.v) /
 """
 
 
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end (round 8 — closes the embedding-dedup
+    loop the way ``dedup_components_portable`` closes the text loop):
+    exact cosine near-dup pairs (block-pair partitioned — no broadcast,
+    no cartesian task) → connected components over the similarity graph
+    (min-label propagation + pointer jumping) → one KEEPER per semantic
+    cluster (minimum vec_id), non-keepers dropped. Returns every vector
+    with its cluster label and keeper flag — the per-vector decision
+    record an LLM data pipeline audits (who survived, who was folded
+    into whom), hash-certified against an exact-pairs + recursive-CTE
+    oracle. Scale: the pair kernel is the audited block-pair layout;
+    components contract at vector granularity; the final labeling is
+    two broadcast-joinable aggregates."""
+    from ..operators.components import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_blocked(e, threshold=0.4, n_blocks=8)
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    labeled = e.select("vec_id").join(comps, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("cluster")
+    )
+    keepers = labeled.groupBy("cluster").agg(F.min("vec_id").alias("keeper"))
+    return labeled.join(keepers, "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") == F.col("keeper")).cast("int").alias("is_keeper"),
+    )
+
+
+EMBEDDING_DEDUP_SURVIVORS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), comps AS (
+  SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster
+  FROM embeddings e LEFT JOIN comps c ON c.vec_id = e.vec_id
+), keep AS (
+  SELECT cluster, MIN(vec_id) AS keeper FROM labeled GROUP BY cluster
+)
+SELECT l.vec_id, l.cluster,
+  (l.vec_id = k.keeper)::INT AS is_keeper
+FROM labeled l JOIN keep k ON k.cluster = l.cluster
+"""
+
+
+def embedding_dedup_survivors_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION semantic-dedup pipeline (round 8): the same
+    pairs → components → keeper composition as
+    ``embedding_dedup_survivors``, but the pair kernel is the
+    AUTO-SIZED hyperplane LSH (``scaled_ann_params`` — candidates
+    linear in n) instead of the exact-quadratic block-pair listing, so
+    the whole pipeline survives the 100× scale-up the exact pin cannot
+    (its kernel is adjudicated exact-quadratic in SCALING.md). The
+    DuckDB twin embeds the gate-decade hyperplanes and runs the same
+    candidate → refine → recursive-closure → keeper chain, so the
+    scaled pipeline is hash-certified END-TO-END, not argued."""
+    from ..operators.components import connected_components
+    from ..operators.similarity import scaled_ann_params
+    from .shared_cache import corpus_count
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nbits, ntables = scaled_ann_params(corpus_count(spark, sf_dir, "embeddings"))
+    pairs = neardup_pairs_lsh(e, threshold=0.4, nbits=nbits, ntables=ntables)
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    labeled = e.select("vec_id").join(comps, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("cluster")
+    )
+    keepers = labeled.groupBy("cluster").agg(F.min("vec_id").alias("keeper"))
+    return labeled.join(keepers, "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") == F.col("keeper")).cast("int").alias("is_keeper"),
+    )
+
+
+def _dedup_survivors_scaled_sql(
+    dim: int = 64,
+    nbits: int = 4,
+    ntables: int = 4,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of the scaled semantic-dedup pipeline: hyperplane
+    buckets (same seeded literals as the Spark side), candidate pairs,
+    exact cosine refine, recursive min-label closure, keeper flags.
+    Defaults pin the gate-decade parameters (see the ann gate-pin
+    test)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, ntables, seed=42)
+
+    def bucket_expr(table: int) -> str:
+        terms = []
+        for i in range(nbits):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[table][i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bucket FROM d"
+        for t in range(ntables)
+    )
+    cos = (
+        "list_dot_product(da.v, db.v) / "
+        "(sqrt(list_dot_product(da.v, da.v)) * "
+        "sqrt(list_dot_product(db.v, db.v)))"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buck AS (
+{per_table}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN d da ON da.vec_id = cand.id_a
+  JOIN d db ON db.vec_id = cand.id_b
+  WHERE {cos} >= {threshold}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), comps AS (
+  SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster
+  FROM embeddings e LEFT JOIN comps c ON c.vec_id = e.vec_id
+), keep AS (
+  SELECT cluster, MIN(vec_id) AS keeper FROM labeled GROUP BY cluster
+)
+SELECT l.vec_id, l.cluster,
+  (l.vec_id = k.keeper)::INT AS is_keeper
+FROM labeled l JOIN keep k ON k.cluster = l.cluster
+"""
+
+
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-shaped EXACT near-dup pairs: block-pair partitioned all-pairs
     — same output as embedding_neardup_pairs (the oracle is the identical
@@ -641,6 +806,16 @@ def register_entries(register) -> None:  # noqa: ANN001
         "embedding_neardup_scaled",
         embedding_neardup_scaled,
         _neardup_lsh_oracle_sql(),
+    )
+    register(
+        "embedding_dedup_survivors",
+        embedding_dedup_survivors,
+        EMBEDDING_DEDUP_SURVIVORS_SQL,
+    )
+    register(
+        "embedding_dedup_survivors_scaled",
+        embedding_dedup_survivors_scaled,
+        _dedup_survivors_scaled_sql(),
     )
     register("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle_sql())
     register(

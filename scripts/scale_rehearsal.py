@@ -61,6 +61,7 @@ SCALE_CRITICAL = (
     "ann_pq_topk",
     "embedding_neardup_lsh",
     "embedding_neardup_scaled",
+    "embedding_dedup_survivors_scaled",
     # graph health (bounded-cost variants)
     "clustering_coefficient_sampled",
     "bfs_hops_copurchase",

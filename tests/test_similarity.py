@@ -513,3 +513,46 @@ def test_ann_params_for_bounds_occupancy():
 
     with _pytest.raises(ValueError):
         ann_params_for(1_000, threshold=1.5)
+
+
+def test_embedding_dedup_survivor_invariants(spark, sf_dir):
+    """Both semantic-dedup survivor pipelines (exact pin + scaled
+    production): every vector labeled exactly once, exactly one keeper
+    per cluster and it is the cluster minimum, and the scaled variant's
+    clusters REFINE the exact ones (LSH candidates ⊆ exact pairs, so a
+    scaled cluster can never merge vectors the exact graph separates)."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.plans.vector_queries import (
+        embedding_dedup_survivors,
+        embedding_dedup_survivors_scaled,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    exact = embedding_dedup_survivors(spark, sf_dir)
+    scaled = embedding_dedup_survivors_scaled(spark, sf_dir)
+    for df in (exact, scaled):
+        assert df.count() == n
+        assert df.select("vec_id").distinct().count() == n
+        per_cluster = df.groupBy("cluster").agg(
+            F.sum("is_keeper").alias("nk"),
+            F.min("vec_id").alias("lo"),
+            F.max(F.when(F.col("is_keeper") == 1, F.col("vec_id"))).alias(
+                "kid"
+            ),
+        )
+        bad = per_cluster.filter(
+            (F.col("nk") != 1) | (F.col("kid") != F.col("lo"))
+        ).count()
+        assert bad == 0
+    # refinement: scaled cluster -> exact cluster is a function
+    # (two vectors sharing a scaled cluster share the exact cluster)
+    joined = scaled.alias("s").join(exact.alias("x"), "vec_id")
+    split = (
+        joined.groupBy(F.col("s.cluster"))
+        .agg(F.countDistinct(F.col("x.cluster")).alias("nx"))
+        .filter(F.col("nx") > 1)
+        .count()
+    )
+    assert split == 0
