@@ -67,11 +67,23 @@ def main() -> None:
     exact = gated.join(keepers, "doc_id", "left_semi")
 
     # 5. incremental near-dedup: treat every 5th doc as "today's batch"
-    #    against the rest as the accumulated corpus
+    #    against the rest as the accumulated corpus. Banding is SIZED
+    #    FROM THE CORPUS (round 8): fixed parameters are FP-quadratic
+    #    in candidates at scale — scaled_lsh_params keeps them linear.
+    from hpv_etl_code_spark.operators.dedup import scaled_lsh_params
+
     new_batch = exact.filter(F.col("doc_id") % 5 == 0)
     corpus = exact.filter(F.col("doc_id") % 5 != 0)
+    nh, bands = scaled_lsh_params(corpus.count())
     survivors = dedup_incremental_survivors(
-        new_batch, corpus, "doc_id", "text", threshold=0.8, hash_family="fast"
+        new_batch,
+        corpus,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        hash_family="fast",
+        num_hashes=nh,
+        bands=bands,
     )
     clean = corpus.select("doc_id", "text").unionByName(survivors.select("id", "text").toDF("doc_id", "text"))
 

@@ -69,6 +69,38 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.dedup",
             "minhash_lsh_pairs",
         ),
+        "lsh_params_for": (
+            "hpv_etl_code_spark.operators.dedup",
+            "lsh_params_for",
+        ),
+        "scaled_lsh_params": (
+            "hpv_etl_code_spark.operators.dedup",
+            "scaled_lsh_params",
+        ),
+        "ann_params_for": (
+            "hpv_etl_code_spark.operators.similarity",
+            "ann_params_for",
+        ),
+        "scaled_ann_params": (
+            "hpv_etl_code_spark.operators.similarity",
+            "scaled_ann_params",
+        ),
+        "shingles": (
+            "hpv_etl_code_spark.operators.textops",
+            "shingles",
+        ),
+        "video_codec_census": (
+            "hpv_etl_code_spark.operators.video",
+            "video_codec_census",
+        ),
+        "write_epoch_buckets": (
+            "hpv_etl_code_spark.plans.packing_queries",
+            "write_epoch_buckets",
+        ),
+        "epoch_order_from_buckets": (
+            "hpv_etl_code_spark.plans.packing_queries",
+            "epoch_order_from_buckets",
+        ),
         "lsh_dedup_keepers": (
             "hpv_etl_code_spark.operators.dedup",
             "lsh_dedup_keepers",

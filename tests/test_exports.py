@@ -27,6 +27,9 @@ def test_all_flat_exports_resolve():
         "global_row_index", "morton_z16", "zorder_layout",
         "lint_plan", "assert_scalable", "split_assign", "data_quality_report",
         "table_diff", "diff_summary", "build_corpus_index", "stream_ingest_dedup",
+        "lsh_params_for", "scaled_lsh_params", "ann_params_for",
+        "scaled_ann_params", "shingles", "video_codec_census",
+        "write_epoch_buckets", "epoch_order_from_buckets",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name
