@@ -655,6 +655,38 @@ DEDUP_MINHASH_SHINGLES_SQL = _minhash_portable_sql_over(
 )
 
 
+def dedup_shingles_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION w-shingle near-dup path (round 8 — the shingle
+    analog of ``dedup_minhash_lsh``): xxhash64-hashed shingles,
+    identical-shingleset collapse, corpus-magnitude-scaled banding,
+    hot-bucket chunking. Rows-only at the gate;
+    ``dedup_minhash_shingles`` (portable md5, (16, 4)) is the oracle
+    pin and tests/test_twin_certification.py pins this machinery
+    against it."""
+    from ..operators.dedup import minhash_lsh_pairs_grouped, tokset_groups
+    from ..operators.dedup import minhash_signature
+    from ..operators.textops import shingles
+    from .shared_cache import corpus_lsh_params
+
+    d = load_table(spark, sf_dir, "documents")
+    nh, bands = corpus_lsh_params(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(shingles("text", 3), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sig", minhash_signature(F.col("toks"), nh))
+    members, groups = tokset_groups(base)
+    return minhash_lsh_pairs_grouped(
+        members,
+        groups,
+        threshold=0.8,
+        num_hashes=nh,
+        bands=bands,
+        max_bucket=100_000,
+    )
+
+
 def dedup_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters on the PRODUCTION hash family (round 8): the
     xxhash64 signatures + group frame already persisted by the shared
@@ -1280,6 +1312,7 @@ def register_entries(register) -> None:  # noqa: ANN001
         dedup_minhash_shingles,
         DEDUP_MINHASH_SHINGLES_SQL,
     )
+    register("dedup_shingles_fast", dedup_shingles_fast, None)
     register(
         "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
     )

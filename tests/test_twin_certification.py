@@ -44,6 +44,10 @@ Rows-only coverage map (where each entry's certification lives):
 - approx_sketches          → inherently approximate: error-envelope
                              tests vs exact (test_sketches) are its
                              certification, plus mergeability tests
+- dedup_shingles_fast      → shingle machinery test here (fed portable
+                             signatures ≡ the oracle-certified
+                             portable shingle miner at the same
+                             scaled parameters)
 """
 
 from __future__ import annotations
@@ -219,3 +223,52 @@ def test_simhash_banding_is_lossless_vs_brute_force(spark, sf_dir):
         .collect()
     }
     assert banded == brute and banded
+
+
+def test_fast_shingle_machinery_reproduces_portable_output(spark, sf_dir):
+    """dedup_shingles_fast's machinery (xxhash64 shingles, grouped
+    collapse, scaled banding) fed the PORTABLE md5 signatures over the
+    SAME string shingles must equal minhash_lsh_pairs_portable with
+    shingle tokens at the same parameters — the shingle analog of the
+    unigram machinery pin."""
+    from hpv_etl_code_spark.operators.dedup import (
+        _portable_minhash_sig,
+        minhash_lsh_pairs_grouped,
+        minhash_lsh_pairs_portable,
+    )
+    from hpv_etl_code_spark.operators.textops import shingles
+    from hpv_etl_code_spark.plans.shared_cache import corpus_lsh_params
+
+    nh, bands = corpus_lsh_params(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    portable = minhash_lsh_pairs_portable(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=nh,
+        bands=bands,
+        tokens=shingles("text", 3),
+    ).select("id_a", "id_b", "jaccard")
+
+    keyed = d.select(
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("toks")
+    ).withColumn("gkey", F.xxhash64(F.array_sort("toks")))
+    members = keyed.select("id", "gkey")
+    groups = (
+        keyed.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("gn"), F.first("toks").alias("toks"))
+        .withColumn("sig", _portable_minhash_sig("toks", nh))
+    )
+    fast_machinery = minhash_lsh_pairs_grouped(
+        members,
+        groups,
+        threshold=0.8,
+        num_hashes=nh,
+        bands=bands,
+        max_bucket=100_000,
+    ).select("id_a", "id_b", "jaccard")
+
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    got, want = rows(fast_machinery), rows(portable)
+    assert got == want and got, (len(got), len(want))
