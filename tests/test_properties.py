@@ -515,3 +515,43 @@ def test_interval_union_matches_bruteforce(spark_session_holder, tmp_path_factor
     r = interval_union_length(spark, str(d)).collect()[0]
     assert r.n_spans == len(spans)
     assert r.covered_secs == sum(e - s for s, e in spans)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab xyz\t.é"),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    w=st.integers(min_value=2, max_value=4),
+)
+def test_shingles_match_python_reference(spark, texts, w):
+    """operators/textops.py::shingles vs a direct Python reference over
+    adversarial text (repeated separators, tabs, unicode, empties):
+    the Spark expression must produce the same DISTINCT w-gram SET as
+    python's split-on-single-space — the exact contract the DuckDB
+    shingle oracle assumes (string_split semantics: consecutive
+    separators yield empty tokens)."""
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.textops import shingles
+
+    def ref(t: str) -> set[str]:
+        tk = t.split(" ")  # NOT split() — single-space, like the engines
+        return {
+            " ".join(tk[i : i + w]) for i in range(0, max(len(tk) - w + 1, 0))
+        }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", shingles("text", w).alias("sh")).collect()
+    }
+    want = {i: ref(t) for i, t in enumerate(texts)}
+    assert got == want
