@@ -30,6 +30,35 @@ REWRITES its full record (queries_min, per-query delta included) into
 the committed ``BENCH_LOG.jsonl`` keyed by (round, sf), and
 ``_load_prev_round`` reads BOTH sources, picking the latest round
 strictly before the current one.
+
+Round 9 (VERDICT r8 #3 — ambient-load robustness): the round-8 driver
+run flagged 9 "regressions" that were uniform container-load inflation
+on UNTOUCHED code (+9–75% across every query including ones whose plan
+files had not changed; the builder's same-commit run matched round 7).
+Wall time under a shared, occasionally-loaded host is a PAIRED
+measurement problem, so the guard now self-calibrates: the run-wide
+``load_index`` — the median of this-run/prev-run ratios across ALL
+common queries — estimates the ambient inflation (a REAL regression is
+one query moving, which barely shifts a 20+-query median; uniform load
+moves them all). The per-query regression threshold scales by the
+load_index (capped at 2.0 so a genuine everything-regressed change
+cannot fully self-excuse — it still reports, and the cap plus the
+``--check`` shuffle-bytes budget, which is load-independent, catch it).
+The load_index is emitted in the stdout line and the log record, so a
+loaded run self-adjudicates in the driver's ledger.
+
+Round 9 (ADVICE r8): entries whose isolation subprocess failed are now
+labeled ``unisolated`` in the record and EXCLUDED from the regression
+guard — their fallback figure is a single shared-session probe, not a
+median, and comparing it against true medians flagged (or masked)
+spurious deltas for exactly the heaviest entries.
+
+``--check`` additionally enforces the SHUFFLE-BYTES budget (VERDICT r8
+#8): every headline query is profiled at the committed PROFILE.json's
+scale factor and a >2× shuffle_bytes step without an ADJUDICATED.md
+entry fails the gate. Shuffle volume is load-independent (unlike wall
+time) and is THE scale currency — this is the guard that catches a
+plan regression a loaded wall-clock run would hide.
 """
 
 from __future__ import annotations
@@ -171,11 +200,17 @@ def main() -> None:
             timings_min[name] = -1.0
 
     isolated: list[str] = []
+    unisolated: list[str] = []
     for name in pending_iso:
         iso = _isolated_timing(name, sf_dir)
         if iso:
             timings[name], timings_min[name] = iso
             isolated.append(name)
+        else:
+            # fallback figure is a 1-run shared-session probe, NOT the
+            # advertised median — label it and keep it out of the
+            # regression guard (ADVICE r8)
+            unisolated.append(name)
 
     total = round(sum(timings.values()), 4)
     # stdout line stays SLIM (VERDICT r7 #8): the driver records only a
@@ -192,6 +227,7 @@ def main() -> None:
     record = dict(line)
     record["queries_min"] = timings_min
     record["isolated"] = isolated
+    record["unisolated"] = unisolated
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev = _load_prev_round(repo_dir, sf)
     violations: list[str] = []
@@ -207,8 +243,15 @@ def main() -> None:
             for q, t in ours.items()
             if q in prev_q and t >= 0 and prev_q[q] >= 0
         }
+        load_index = _load_index(ours, prev_q)
+        line["load_index"] = load_index
+        record["load_index"] = load_index
         violations = regression_violations(
-            ours, prev_q, _adjudicated_text(repo_dir)
+            ours,
+            prev_q,
+            _adjudicated_text(repo_dir),
+            load_index=load_index,
+            exclude=set(unisolated),
         )
         if violations:
             line["regressions"] = violations
@@ -218,7 +261,12 @@ def main() -> None:
     _write_self_record(repo_dir, record)
     print(json.dumps(line))
     spark.stop()
-    if violations and "--check" in sys.argv:
+    shuffle_viol: list[str] = []
+    if "--check" in sys.argv:
+        shuffle_viol = shuffle_budget_violations(repo_dir)
+        for v in shuffle_viol:
+            print(f"bench: SHUFFLE BUDGET {v}", file=sys.stderr)
+    if (violations or shuffle_viol) and "--check" in sys.argv:
         sys.exit(1)
 
 
@@ -231,10 +279,37 @@ _REGRESSION_RATIO = 1.25
 _REGRESSION_FLOOR_SEC = 0.15
 
 
+# Self-calibration bounds (round 9): the load_index only ever RELAXES
+# the guard (≥ 1.0 — a faster-than-before run must not tighten it into
+# flagging noise) and is capped at 2.0 (an everything-slowed code change
+# cannot fully self-excuse).
+_LOAD_INDEX_CAP = 2.0
+_LOAD_INDEX_MIN_QUERIES = 5
+
+
+def _load_index(timings: dict[str, float], prev_q: dict[str, float]) -> float:
+    """Run-wide ambient-load estimate: the median of this-run/prev-run
+    wall ratios over all common queries. A single genuine regression
+    barely moves a 20+-query median; uniform container load moves every
+    ratio together — which is exactly the round-8 false-flag class."""
+    ratios = sorted(
+        t / prev_q[q]
+        for q, t in timings.items()
+        if q in prev_q and t > 0 and prev_q[q] > 0
+    )
+    if len(ratios) < _LOAD_INDEX_MIN_QUERIES:
+        return 1.0
+    return round(
+        min(max(1.0, statistics.median(ratios)), _LOAD_INDEX_CAP), 4
+    )
+
+
 def regression_violations(
     timings: dict[str, float],
     prev_q: dict[str, float],
     adjudicated_text: str,
+    load_index: float = 1.0,
+    exclude: set[str] | None = None,
 ) -> list[str]:
     out = []
     waived = _adjudicated_names(adjudicated_text)
@@ -242,10 +317,73 @@ def regression_violations(
         p = prev_q.get(q, -1.0)
         if p <= 0 or t < 0:
             continue
-        if t > p * _REGRESSION_RATIO and t - p > _REGRESSION_FLOOR_SEC:
+        if exclude and q in exclude:
+            continue
+        budget = p * _REGRESSION_RATIO * max(load_index, 1.0)
+        if t > budget and t - p > _REGRESSION_FLOOR_SEC:
             if q in waived:
                 continue
-            out.append(f"{q}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%)")
+            out.append(
+                f"{q}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%"
+                f", load_index {load_index:.2f})"
+            )
+    return out
+
+
+# shuffle-bytes budget (VERDICT r8 #8): >2× growth per query at the
+# committed PROFILE.json's scale factor fails --check unless the query
+# is adjudicated. The 1 MiB absolute floor keeps AQE/compression jitter
+# on small exchanges from tripping it.
+_SHUFFLE_RATIO = 2.0
+_SHUFFLE_FLOOR_BYTES = 1 << 20
+
+
+def shuffle_budget_violations(repo_dir: str) -> list[str]:
+    """Profile every headline query at the committed PROFILE.json's
+    sf_dir and compare shuffle_bytes against the committed record —
+    the LOAD-INDEPENDENT complement to the wall-time guard (shuffle
+    volume doesn't care how busy the host is). On a clean pass the
+    fresh numbers REPLACE PROFILE.json (the record tracks the code);
+    on a violation the old record is kept so the step stays visible
+    until fixed or adjudicated in ADJUDICATED.md."""
+    from hpv_etl_code_spark import catalog
+    from hpv_etl_code_spark.plans.profile import execute_and_profile
+    from hpv_etl_code_spark.session import get_spark
+
+    path = os.path.join(repo_dir, "PROFILE.json")
+    try:
+        with open(path) as f:
+            committed = json.load(f)
+    except (OSError, ValueError):
+        committed = None
+    sf_dir = (committed or {}).get("sf_dir", "/root/testdata/sf0.01")
+    old_q = (committed or {}).get("queries", {})
+
+    spark = get_spark(app_name="bench_shuffle_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    fresh: dict[str, dict] = {}
+    for name, fn in catalog.headline_queries().items():
+        try:
+            fresh[name] = execute_and_profile(fn(spark, sf_dir)).as_dict()
+        except Exception as exc:  # noqa: BLE001 — report, don't crash the gate
+            print(f"bench: shuffle check {name} failed: {exc}", file=sys.stderr)
+    spark.stop()
+
+    waived = _adjudicated_names(_adjudicated_text(repo_dir))
+    out: list[str] = []
+    for name, prof in fresh.items():
+        old = old_q.get(name, {}).get("shuffle_bytes")
+        if old is None or name in waived:
+            continue
+        new = prof.get("shuffle_bytes", 0)
+        if new - old > _SHUFFLE_FLOOR_BYTES and new > max(old, 1) * _SHUFFLE_RATIO:
+            out.append(
+                f"{name}: shuffle {old:,}B -> {new:,}B "
+                f"(x{new / max(old, 1):.1f})"
+            )
+    if not out and fresh:
+        with open(path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": fresh}, f, indent=1)
     return out
 
 

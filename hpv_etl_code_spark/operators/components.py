@@ -28,8 +28,19 @@ recursive-CTE oracle (plans/text_queries.py::DEDUP_COMPONENTS_SQL).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Checkpoint blocks go to DISK_ONLY (round 9, VERDICT r8 #2): the frames
+# are narrow (2-3 longs per row — disk reads per round are trivial), but
+# memory-level checkpoint blocks COMPETE with execution memory in the
+# unified pool, and the expensive step of a components run is evaluating
+# the caller's edge plan (LSH banding + wide-payload Jaccard refine)
+# INTO the first checkpoint — at the 10⁶-doc decade with 32 concurrent
+# tasks in one JVM that contention was a 16 GiB heap floor
+# (UNABLE_TO_ACQUIRE_MEMORY in the refine sort at 8 GiB; SCALING.md ‡).
+_CKPT_LEVEL = StorageLevel.DISK_ONLY
 
 
 def connected_components(
@@ -57,13 +68,13 @@ def connected_components(
     # components consumer.
     base = edges.select(
         F.col(src).cast("long").alias("e_src"), F.col(dst).cast("long").alias("e_dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     sym = base.union(
         base.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
     )
     labels = (
         sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
 
     for _ in range(max_iter):
         # one shuffle: min neighbor label per node
@@ -86,7 +97,7 @@ def connected_components(
         # checkpoint the frame BOTH consumers read: deriving the changed
         # count from the un-checkpointed `jumped` re-ran the round's two
         # joins a second time (round-5 fix — halved per-round cost)
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = jumped.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         changed = jumped.filter(F.col("label") != F.col("old")).count()
         labels = jumped.select("id", "label")
         if changed == 0:

@@ -29,13 +29,14 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_pipeline.py, incl. the pairwise-non-duplicate
     guarantee of the survivor set.
 
-    Runs from the session-cached enriched frame (plans/shared_cache.py):
-    quality/token/fingerprint scores AND the hashed-token/MinHash
-    signature columns are computed once per session and shared with
-    ``dedup_minhash_lsh`` / ``dedup_incremental_fast`` — the narrow
-    gates and both dedup stages here are filters and joins over that
-    signed base, so the per-entry cost is the join topology, not a
-    corpus re-tokenization.
+    Runs from the session-cached frames (plans/shared_cache.py), shared
+    with ``dedup_minhash_lsh`` / ``dedup_incremental_fast``: the NARROW
+    per-document frame (scalars + gkey — no signature payload, round 9)
+    feeds the gates/exact-dedup/survivor stages, and the per-distinct-
+    tokset group frame carries the MinHash signatures only into the
+    banding stage — so per-entry cost is the join topology, not a
+    corpus re-tokenization, and no stage moves signature bytes it
+    doesn't band with.
     """
     from ..operators.dedup import minhash_lsh_pairs_grouped
     from .shared_cache import (

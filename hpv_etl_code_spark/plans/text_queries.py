@@ -28,7 +28,6 @@ from ..operators.dedup import (
     simhash_near_pairs_portable,
 )
 from ..sources.registry import load_table
-from .shared_cache import enriched_documents as enriched_documents_cache
 
 _STOP_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"

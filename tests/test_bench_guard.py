@@ -33,6 +33,65 @@ def test_new_and_failed_queries_skipped():
     assert got == []
 
 
+def test_load_index_is_median_ratio_clamped():
+    """Round 9 (VERDICT r8 #3): uniform ambient inflation is estimated
+    by the median this/prev ratio, floored at 1.0 (a fast run must not
+    tighten the guard) and capped at 2.0 (an everything-regressed code
+    change cannot fully self-excuse)."""
+    from bench import _load_index
+
+    prev = {f"q{i}": 1.0 for i in range(6)}
+    # uniform +40% load
+    now = {f"q{i}": 1.4 for i in range(6)}
+    assert _load_index(now, prev) == 1.4
+    # faster run: floored to 1.0, never < 1
+    assert _load_index({f"q{i}": 0.5 for i in range(6)}, prev) == 1.0
+    # 3x everything: capped at 2.0
+    assert _load_index({f"q{i}": 3.0 for i in range(6)}, prev) == 2.0
+    # too few common queries -> no calibration
+    assert _load_index({"q0": 3.0}, prev) == 1.0
+
+
+def test_load_index_excuses_uniform_inflation_not_outliers():
+    """The round-8 false-flag class: +40% on EVERYTHING is ambient load
+    (no flags once normalized); one query at +200% while the rest sit
+    at +40% is a real regression and still flags."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    uniform = {f"q{i}": 1.4 for i in range(10)}
+    from bench import _load_index
+
+    li = _load_index(uniform, prev)
+    assert regression_violations(uniform, prev, "", load_index=li) == []
+    outlier = dict(uniform, q0=3.0)
+    li = _load_index(outlier, prev)
+    got = regression_violations(outlier, prev, "", load_index=li)
+    assert len(got) == 1 and got[0].startswith("q0:")
+
+
+def test_unisolated_entries_excluded_from_guard():
+    """ADVICE r8: an entry whose isolation subprocess failed carries a
+    1-run probe, not a median — it must not be compared against true
+    medians."""
+    got = regression_violations(
+        {"q": 1.0}, {"q": 0.5}, "", exclude={"q"}
+    )
+    assert got == []
+
+
+def test_shuffle_budget_math(tmp_path):
+    """The shuffle guard flags >2x steps over the 1 MiB floor and
+    waives adjudicated queries — exercised through the same helpers
+    the runtime path uses (the profiling run itself is covered by
+    tests/test_profile.py)."""
+    from bench import _SHUFFLE_FLOOR_BYTES, _SHUFFLE_RATIO, _adjudicated_names
+
+    old, new = 2 << 20, 5 << 20  # 2 MiB -> 5 MiB: x2.5 over the floor
+    assert new - old > _SHUFFLE_FLOOR_BYTES and new > old * _SHUFFLE_RATIO
+    small_old, small_new = 1000, 5000  # x5 but under the absolute floor
+    assert not (small_new - small_old > _SHUFFLE_FLOOR_BYTES)
+    assert "q" in _adjudicated_names("## q\nshuffle grew by design\n")
+
+
 def test_prev_round_prefers_median_methodology_record(tmp_path):
     """VERDICT r5 #1: the guard compares like with like — a
     median-of-3 record at the same sf wins over a newer legacy min
