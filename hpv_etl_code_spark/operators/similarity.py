@@ -82,6 +82,7 @@ def ann_params_for(
     threshold: float = 0.9,
     target_bucket: int = 64,
     ntables: int = 4,
+    min_recall: float | None = None,
 ) -> tuple[int, int]:
     """Size (nbits, ntables) for hyperplane LSH over a corpus — the
     VERDICT r7 #3 analog of ``dedup.lsh_params_for``: FIXED nbits keeps
@@ -104,13 +105,38 @@ def ann_params_for(
     the exact blocked path or IVF is the right tool there). This
     helper optimizes for bounded candidates, the property that decides
     whether the job FINISHES at 100 TB; callers needing recall floors
-    raise ``ntables`` (amplification) and pay linearly.
+    pass ``min_recall`` and pay linearly in tables.
+
+    ``threshold`` + ``min_recall`` (ADVICE r8 — threshold used to be
+    accepted but ignored): with ``min_recall`` set, ``ntables`` is
+    RAISED (never lowered below the given ``ntables``) to the
+    amplification count that clears the floor for pairs at cosine ≥
+    ``threshold`` — ``ceil(log(1 − R) / log(1 − p^nbits))`` with
+    p = 1 − arccos(t)/π. With ``min_recall=None`` (default) the given
+    ``ntables`` passes through unchanged and ``threshold`` only gates
+    validation — the compatibility mode every pinned oracle entry sizes
+    under. An unreachable floor (p^nbits so small the table count
+    explodes) raises instead of silently returning a 1000-table plan.
     """
     import math
 
     if not 0 < threshold < 1:
         raise ValueError("need 0 < threshold < 1")
     nbits = max(2, math.ceil(math.log2(max(n_vecs, 2) / target_bucket)))
+    if min_recall is not None:
+        if not 0 < min_recall < 1:
+            raise ValueError("need 0 < min_recall < 1")
+        p_bit = 1.0 - math.acos(threshold) / math.pi
+        p_table = p_bit**nbits
+        needed = math.ceil(math.log(1 - min_recall) / math.log(1 - p_table))
+        if needed > 64:
+            raise ValueError(
+                f"recall floor {min_recall} at threshold {threshold} needs "
+                f"{needed} tables at nbits={nbits} (table recall "
+                f"{p_table:.4f}) — an amplification count past any "
+                "candidate budget; use IVF or the exact blocked path"
+            )
+        ntables = max(ntables, needed)
     return nbits, ntables
 
 
@@ -119,6 +145,7 @@ def scaled_ann_params(
     threshold: float = 0.9,
     target_bucket: int = 64,
     ntables: int = 4,
+    min_recall: float | None = None,
 ) -> tuple[int, int]:
     """:func:`ann_params_for` with the corpus count rounded UP to the
     next power of ten — the decade-stepped seam matching
@@ -130,7 +157,7 @@ def scaled_ann_params(
     from .dedup import _next_decade
 
     return ann_params_for(
-        _next_decade(n_vecs), threshold, target_bucket, ntables
+        _next_decade(n_vecs), threshold, target_bucket, ntables, min_recall
     )
 
 

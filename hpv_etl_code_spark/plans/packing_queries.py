@@ -411,28 +411,48 @@ def epoch_order_from_buckets(
 def _epoch_bucket_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the bucketed layout path for a corpus.
 
-    CONTENT-keyed (round-8 review): keying on sf_dir alone served a
-    STALE layout after the test corpus regenerated under the same
-    path — a cheap content fingerprint (count + id span, one tiny agg
-    job) is folded into the directory name so a different corpus can
-    never alias. Concurrent builders are safe: each writes its own tmp
-    dir, the first rename wins, losers clean up and read the winner."""
+    CONTENT-keyed (round-8 review; tightened per ADVICE r8): keying on
+    sf_dir alone served a STALE layout after the test corpus
+    regenerated under the same path, and the first fingerprint
+    (count + id span) did not uniquely identify the ID SET — two
+    corpora with equal count and span but different interior ids would
+    alias. The key is now count + an order-independent ``bit_xor`` of
+    per-id md5 hashes (one tiny agg job; distinct ids, so xor
+    cancellation needs an md5 collision). A target dir that exists
+    WITHOUT ``_SUCCESS`` (e.g. a manually half-deleted layout) is
+    removed before the rename — previously the rename failed forever
+    and every call rebuilt into tmp, deleted it, and returned the
+    broken path. Concurrent builders are safe: each writes its own tmp
+    dir, the first rename wins, losers clean up and read the winner
+    (the rmtree re-checks ``_SUCCESS`` immediately before acting, so
+    it only ever targets a genuinely broken dir)."""
     import os
     import shutil
     import tempfile
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    cnt, lo, hi = d.agg(
-        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")
+    cnt, idhash = d.agg(
+        F.count(F.lit(1)),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint))"
+        ),
     ).first()
     tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.strip("/"))
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_epochbk_{tag}_{cnt}_{lo}_{hi}",
+        f"spark_graft_epochbk_{tag}_{cnt}_{idhash}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.build.{os.getpid()}"
         write_epoch_buckets(d, "doc_id", tmp, n_buckets=64)
+        # a dir without _SUCCESS is a broken layout blocking the rename;
+        # re-check right before removing so a racing winner's fresh
+        # layout (which has _SUCCESS) is never touched
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(tmp, path)
         except OSError:  # another builder won the race — use its layout

@@ -83,6 +83,47 @@ def test_epoch_shuffle_permutations_differ_and_range_partition(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_epoch_layout_keyed_on_id_set_and_recovers_broken_dir(spark, sf_dir):
+    """ADVICE r8: (a) the layout cache key must identify the ID SET —
+    two corpora with identical count and id span but different interior
+    ids get DIFFERENT layout paths; (b) a layout dir missing _SUCCESS
+    (half-deleted) is rebuilt in place instead of failing the rename
+    forever and returning the broken path."""
+    import os
+    import shutil
+
+    from hpv_etl_code_spark.plans.packing_queries import _epoch_bucket_layout
+
+    path = _epoch_bucket_layout(spark, sf_dir)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # (a) same count, same span, different interior ids -> different key
+    #     (exercised through the same agg the builder runs)
+    from pyspark.sql import functions as F
+
+    def fp(ids):
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(cast(doc_id as "
+                    "string)), 1, 15), 16, 10) as bigint))"
+                ),
+            ).first()
+        )
+
+    assert fp([1, 2, 9]) != fp([1, 3, 9])  # count 3, span 1..9 both
+    assert fp([1, 2, 9]) == fp([9, 2, 1])  # order-independent
+    # (b) break the layout (drop _SUCCESS) -> next call rebuilds it
+    os.remove(os.path.join(path, "_SUCCESS"))
+    path2 = _epoch_bucket_layout(spark, sf_dir)
+    assert path2 == path and os.path.exists(os.path.join(path, "_SUCCESS"))
+    # and a fully missing dir also rebuilds
+    shutil.rmtree(path)
+    path3 = _epoch_bucket_layout(spark, sf_dir)
+    assert path3 == path and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def test_bucketed_epoch_shuffle_properties(spark, sf_dir):
     """VERDICT r7 #5: the bucketed epoch shuffle pays ONE layout write;
     each epoch after it is a zero-exchange projection. Pins:

@@ -325,6 +325,64 @@ def test_incremental_dedup_with_prebuilt_index_round_trip(spark, sf_dir, tmp_pat
     assert prebuilt.count() > 0
 
 
+def test_incremental_rejects_narrower_index_than_banding(spark, sf_dir, tmp_path):
+    """ADVICE r8: banding with num_hashes WIDER than the persisted
+    index's signature must raise at runtime, not silently truncate band
+    keys (degraded recall). Narrower-than-index banding stays exact via
+    the prefix property (covered by the round-trip test above)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from hpv_etl_code_spark.operators.dedup import (
+        build_corpus_index,
+        dedup_incremental_survivors,
+        incremental_survivors_grouped,
+        tokset_groups,
+    )
+    from hpv_etl_code_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    narrow = build_corpus_index(corpus, "doc_id", "text", num_hashes=8)
+    with pytest.raises(SparkRuntimeException, match="signature width"):
+        dedup_incremental_survivors(
+            batch, None, "doc_id", "text",
+            num_hashes=16, bands=4, corpus_index=narrow,
+        ).count()
+
+    # grouped path: 8-wide group signatures, 16-hash banding -> raise
+    def signed(df):
+        from hpv_etl_code_spark.operators.dedup import minhash_signature
+        from hpv_etl_code_spark.operators.textops import distinct_tokens
+
+        return df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
+            ).alias("toks"),
+        ).withColumn("sig", minhash_signature(F.col("toks"), 8))
+
+    _, bg = tokset_groups(signed(batch))
+    _, cg = tokset_groups(signed(corpus))
+    new_docs = batch.select(
+        F.col("doc_id").alias("id"), "text",
+        F.md5("text").alias("fp"),
+        F.xxhash64(F.array_sort(F.array_distinct(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.xxhash64(t)
+            )
+        ))).alias("gkey"),
+    )
+    with pytest.raises(SparkRuntimeException, match="signature width"):
+        incremental_survivors_grouped(
+            new_docs, bg, corpus.select(F.md5("text").alias("fp")), cg,
+            num_hashes=16, bands=4,
+        ).count()
+
+
 def test_grouped_paths_match_flat_on_empty_toksets(spark, sf_dir):
     """ADVICE r4: the flat path computes jaccard([],[]) = 0 (via
     greatest(union,1)) and drops empty-tokset pairs for threshold > 0;

@@ -515,6 +515,41 @@ def test_ann_params_for_bounds_occupancy():
         ann_params_for(1_000, threshold=1.5)
 
 
+def test_ann_params_min_recall_sizes_ntables():
+    """ADVICE r8: `threshold` must actually influence sizing — with a
+    `min_recall` floor, ntables is raised by the amplification formula
+    (1 − (1 − p^nbits)^ntables ≥ R at cosine = threshold); without it,
+    defaults are byte-identical to the pinned compatibility mode."""
+    import math
+
+    import pytest as _pytest
+
+    from hpv_etl_code_spark.operators.similarity import ann_params_for
+
+    # compatibility mode unchanged
+    assert ann_params_for(1_000_000) == ann_params_for(
+        1_000_000, min_recall=None
+    ) == (14, 4)
+    nbits, ntables = ann_params_for(
+        1_000_000, threshold=0.95, min_recall=0.9
+    )
+    assert nbits == 14 and ntables > 4
+    # the returned count genuinely clears the floor
+    p = (1 - math.acos(0.95) / math.pi) ** nbits
+    assert 1 - (1 - p) ** ntables >= 0.9
+    # and the count just below it would not (minimality)
+    assert 1 - (1 - p) ** (ntables - 1) < 0.9
+    # an already-sufficient explicit ntables is never lowered
+    assert ann_params_for(
+        1_000, threshold=0.99, ntables=4, min_recall=0.5
+    )[1] == 4
+    # a floor no hyperplane scheme reaches fails loudly
+    with _pytest.raises(ValueError, match="tables"):
+        ann_params_for(1_000_000, threshold=0.4, min_recall=0.9)
+    with _pytest.raises(ValueError, match="min_recall"):
+        ann_params_for(1_000, min_recall=1.5)
+
+
 def test_embedding_dedup_survivor_invariants(spark, sf_dir):
     """Both semantic-dedup survivor pipelines (exact pin + scaled
     production): every vector labeled exactly once, exactly one keeper
