@@ -89,6 +89,14 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.textops",
             "shingles",
         ),
+        "dedup": (
+            "hpv_etl_code_spark.operators.frontdoor",
+            "dedup",
+        ),
+        "resolve_dedup_method": (
+            "hpv_etl_code_spark.operators.frontdoor",
+            "resolve_dedup_method",
+        ),
         "video_codec_census": (
             "hpv_etl_code_spark.operators.video",
             "video_codec_census",
@@ -123,6 +131,10 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
         ),
         "ann_topk": ("hpv_etl_code_spark.operators.similarity", "ann_topk"),
         "ivf_topk": ("hpv_etl_code_spark.operators.ivf", "ivf_topk"),
+        "ivf_index_append_autorebuild": (
+            "hpv_etl_code_spark.operators.ivf",
+            "ivf_index_append_autorebuild",
+        ),
         "neardup_pairs_blocked": (
             "hpv_etl_code_spark.operators.similarity",
             "neardup_pairs_blocked",

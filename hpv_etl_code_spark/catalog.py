@@ -219,6 +219,10 @@ _ROTATION_POOL: tuple[str, ...] = (
     "corpus_ops_battery",
     "image_battery",
     # -- (2) newest granular entries --
+    # round 9:
+    "dedup_shingles_scaled",
+    "dedup_auto_survivors",
+    "ann_ivf_autorebuild",
     # round 8:
     "embedding_neardup_scaled",
     "corpus_epoch_shuffle_bucketed",

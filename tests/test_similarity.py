@@ -451,6 +451,101 @@ def test_ivf_append_rebuild_equivalence_on_clustered_fixture(clustered, tmp_path
     assert got == want
 
 
+def test_ivf_autorebuild_trigger_and_exact_rebuild_equivalence(
+    clustered, tmp_path
+):
+    """Round 9 (VERDICT r8 #7): a triggered autorebuild retrains over
+    base ∪ batch with the same seeded k-means, so the post-swap search
+    is BIT-identical to building the index over the union directly —
+    and the non-trigger path leaves the frozen index untouched (no
+    pointer, no generation)."""
+    import os
+
+    from hpv_etl_code_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_append_autorebuild,
+        ivf_topk_indexed,
+    )
+
+    spark = clustered.sparkSession
+    base = clustered.filter(F.col("vec_id") < 60)
+    batch = clustered.filter(F.col("vec_id") >= 60)
+    q = clustered.filter(F.col("vec_id") < 5)
+
+    # non-trigger: generous thresholds -> frozen index, report flagged 0
+    p_frozen = str(tmp_path / "frozen_idx")
+    build_ivf_index(base, p_frozen, n_cells=5, iterations=3)
+    rep = ivf_index_append_autorebuild(
+        batch, p_frozen, n_cells=5, iterations=3,
+        drift_threshold=1e9, new_mass_cap=0.99,
+    )
+    assert {r.rebuilt for r in rep.collect()} == {0}
+    assert not os.path.exists(os.path.join(p_frozen, "CURRENT"))
+
+    # trigger: tiny mass cap -> retrain + atomic publish
+    p_auto = str(tmp_path / "auto_idx")
+    build_ivf_index(base, p_auto, n_cells=5, iterations=3)
+    rep = ivf_index_append_autorebuild(
+        batch, p_auto, n_cells=5, iterations=3, new_mass_cap=0.01
+    )
+    assert {r.rebuilt for r in rep.collect()} == {1}
+    assert os.path.exists(os.path.join(p_auto, "CURRENT"))
+    got = {
+        tuple(r)
+        for r in ivf_topk_indexed(spark, p_auto, q, k=5, nprobe=2).collect()
+    }
+    p_full = str(tmp_path / "full_idx")
+    build_ivf_index(clustered, p_full, n_cells=5, iterations=3)
+    want = {
+        tuple(r)
+        for r in ivf_topk_indexed(spark, p_full, q, k=5, nprobe=2).collect()
+    }
+    assert got == want  # bit-identical, not just same neighbors
+
+
+def test_ivf_generation_pointer_restart_safety(clustered, tmp_path):
+    """The swap protocol under crashes: a pointer at an INCOMPLETE
+    generation (killed mid-build) must fall back; a complete generation
+    without a pointer (killed between build and publish) is served as
+    the newest complete state; and a direct root rebuild sweeps stale
+    generations so they can never recapture readers."""
+    import os
+    import shutil
+
+    from hpv_etl_code_spark.operators.ivf import (
+        _resolve_index_dir,
+        build_ivf_index,
+        ivf_index_append_autorebuild,
+    )
+
+    p = str(tmp_path / "idx")
+    base = clustered.filter(F.col("vec_id") < 60)
+    build_ivf_index(base, p, n_cells=5, iterations=3)
+
+    # crash mid-build: pointer names a gen whose cells never finished
+    os.makedirs(os.path.join(p, "gen-7", "centroids"))
+    open(os.path.join(p, "gen-7", "centroids", "_SUCCESS"), "w").close()
+    with open(os.path.join(p, "CURRENT"), "w") as f:
+        f.write("gen-7")
+    assert _resolve_index_dir(p) == p  # incomplete -> legacy root
+    shutil.rmtree(os.path.join(p, "gen-7"))
+    os.remove(os.path.join(p, "CURRENT"))
+
+    # crash between build and publish: complete gen, no pointer
+    batch = clustered.filter(F.col("vec_id") >= 60)
+    ivf_index_append_autorebuild(
+        batch, p, n_cells=5, iterations=3, new_mass_cap=0.01
+    )
+    gen = open(os.path.join(p, "CURRENT")).read().strip()
+    os.remove(os.path.join(p, "CURRENT"))  # simulate pre-publish crash
+    assert _resolve_index_dir(p) == os.path.join(p, gen)
+
+    # root rebuild re-bases: stale generations are swept
+    build_ivf_index(base, p, n_cells=5, iterations=3)
+    assert _resolve_index_dir(p) == p
+    assert not any(d.startswith("gen-") for d in os.listdir(p))
+
+
 def test_ivf_append_drift_flags_out_of_distribution_batch(clustered, tmp_path):
     """A batch far from every centroid must push drift_ratio well past
     the rebuild threshold — the signal the maintenance loop acts on."""
