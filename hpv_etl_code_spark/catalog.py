@@ -220,6 +220,8 @@ _ROTATION_POOL: tuple[str, ...] = (
     "image_battery",
     # -- (2) newest granular entries --
     # round 9:
+    "bpe_train_merges",
+    "bpe_token_counts",
     "dedup_shingles_scaled",
     "dedup_auto_survivors",
     "ann_ivf_autorebuild",

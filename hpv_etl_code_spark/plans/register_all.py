@@ -40,6 +40,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         survival_queries,
         temporal_graph_queries,
         text_queries,
+        tokenizer_queries,
         timeseries_queries,
         tpch_queries,
         tpch_queries2,
@@ -80,6 +81,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     ops_queries.register_entries(register)
     mleval_queries.register_entries(register)
     survival_queries.register_entries(register)
+    tokenizer_queries.register_entries(register)
     timeseries_queries.register_entries(register)
     robust_queries.register_entries(register)
     # family batteries LAST — they compose the granular entries above

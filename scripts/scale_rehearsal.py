@@ -28,6 +28,11 @@ SF_DIRS = (
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", "/root/repo/.scratch/sf1"),
     ("sf10", "/root/repo/.scratch/sf10"),
+    # third-decade spot check (VERDICT r8 #5): sf30 is a 3x step from
+    # sf10, so its per-DECADE exponent is log(t30/t10)/log10(3). Only
+    # visited when explicitly asked for via SPARK_GRAFT_SCALES=sf30
+    # (or sf10,sf30) — the default sweep stays two decades.
+    ("sf30", "/root/repo/.scratch/sf30"),
 )
 
 SCALE_CRITICAL = (
@@ -133,6 +138,8 @@ def main() -> int:
     for label, sf_dir in SF_DIRS:
         if scales and label not in scales:
             continue
+        if label == "sf30" and label not in scales:
+            continue  # opt-in only — see SF_DIRS comment
         if not os.path.isdir(sf_dir):
             print(f"missing {sf_dir} — run scripts/make_sf1.py first")
             return 1
