@@ -93,6 +93,14 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.frontdoor",
             "dedup",
         ),
+        "bpe_train": (
+            "hpv_etl_code_spark.operators.bpe",
+            "bpe_train",
+        ),
+        "bpe_token_counts": (
+            "hpv_etl_code_spark.operators.bpe",
+            "bpe_token_counts",
+        ),
         "resolve_dedup_method": (
             "hpv_etl_code_spark.operators.frontdoor",
             "resolve_dedup_method",

@@ -69,7 +69,13 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def initial_symbols(word_col: Column | str = "word") -> Column:
     """Character-level symbol string for a word: chars joined by two
-    spaces, one-space padding (`` a  b  c ``)."""
+    spaces, one-space padding (`` a  b  c ``).
+
+    Both Spark's ``split(w, '')`` (Java regex, code-point boundaries)
+    and the oracle's ``w[i]`` (DuckDB, UTF-8 character indexing) split
+    at Unicode code points, so the twins agree beyond ASCII; combining
+    sequences (e.g. e + U+0301) are two symbols in both engines.
+    """
     chars = F.split(F.col(word_col) if isinstance(word_col, str) else word_col, "")
     return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
 
@@ -127,13 +133,12 @@ def bpe_train(
         .select(initial_symbols("word").alias("sym"), "freq")
         .persist()
     )
-    sym = F.col("sym")
     merges: list[tuple[int, str, str, str, int]] = []
     current = base
     try:
         for rank in range(1, num_merges + 1):
             top = (
-                _pair_counts(current.select(sym.alias("sym"), "freq"))
+                _pair_counts(current)
                 .orderBy(F.desc("cnt"), F.asc("pair"))
                 .limit(1)
                 .collect()

@@ -103,19 +103,78 @@ EXCLUDE = {
 }
 
 
+def _run_isolated(name: str, sf_dir: str) -> tuple[float | None, int | None, str]:
+    """Run one (entry, scale) leg in its own subprocess/JVM.
+
+    A heap-OOM at the largest scale kills the whole JVM, and a dead
+    py4j gateway cannot be revived in-process (the round-9 sf30 sweep
+    lost its remaining legs to 'stopped SparkContext' cascades) — so
+    the third-decade legs each get a fresh process. Timing includes
+    plan+execute but NOT session startup (timed inside the child).
+    """
+    import subprocess
+
+    code = (
+        "import sys, time, json\n"
+        "sys.path.insert(0, %r)\n"
+        "from hpv_etl_code_spark import catalog\n"
+        "from hpv_etl_code_spark.session import get_spark\n"
+        "spark = get_spark(app_name='scale_leg')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "t0 = time.perf_counter()\n"
+        "rows = catalog.entries()[%r].fn(spark, %r).count()\n"
+        "print('LEG_RESULT ' + json.dumps({'dt': time.perf_counter() - t0, 'rows': rows}))\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name, sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEG_RESULT "):
+            import json as _json
+
+            d = _json.loads(line[len("LEG_RESULT "):])
+            return d["dt"], d["rows"], ""
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return None, None, tail[-1][:160] if tail else f"exit {proc.returncode}"
+
+
+def _sweep_stale_spark_scratch() -> None:
+    """Remove orphaned /tmp/blockmgr-* and /tmp/spark-* left by
+    heap-OOM'd JVMs (no shutdown hook runs, so tens of GB of shuffle
+    spill survive the crash — a later leg then dies on ENOSPC, which is
+    exactly what took down the first round-9 sf30 control pass).
+    Only sweeps when NO java process is alive, so a concurrent Spark
+    session never loses live shuffle files."""
+    import glob
+    import shutil
+    import subprocess
+
+    alive = subprocess.run(
+        ["pgrep", "-x", "java"], capture_output=True
+    ).returncode == 0
+    if alive:
+        return
+    for p in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def main() -> int:
+    _sweep_stale_spark_scratch()
     only = set(sys.argv[1:])
     names = [n for n in SCALE_CRITICAL if not only or n in only]
     scales = set(
         s for s in os.environ.get("SPARK_GRAFT_SCALES", "").split(",") if s
     )
+    isolate = os.environ.get("SPARK_GRAFT_ISOLATE") == "1"
 
     from hpv_etl_code_spark import catalog
     from hpv_etl_code_spark.plans import artifacts, shared_cache
     from hpv_etl_code_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_rehearsal")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = None
+    if not isolate:
+        spark = get_spark(app_name="scale_rehearsal")
+        spark.sparkContext.setLogLevel("ERROR")
     es = catalog.entries()
 
     def ensure_spark(s):
@@ -147,6 +206,17 @@ def main() -> int:
             if (name, label) in EXCLUDE:
                 print(f"{label:6s} {name:34s} SKIP (adjudicated: "
                       f"{EXCLUDE[(name, label)]})")
+                continue
+            if isolate:
+                dt, rows, err = _run_isolated(name, sf_dir)
+                if dt is None:
+                    results.setdefault(name, {})[label] = None
+                    print(f"{label:6s} {name:34s} ERROR {err}")
+                else:
+                    results.setdefault(name, {})[label] = round(dt, 2)
+                    results[name][f"{label}_rows"] = rows
+                    print(f"{label:6s} {name:34s} {dt:8.2f}s rows={rows} "
+                          f"(isolated)")
                 continue
             spark = ensure_spark(spark)
             t0 = time.perf_counter()

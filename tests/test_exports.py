@@ -31,6 +31,7 @@ def test_all_flat_exports_resolve():
         "scaled_ann_params", "shingles", "video_codec_census",
         "write_epoch_buckets", "epoch_order_from_buckets",
         "dedup", "resolve_dedup_method", "ivf_index_append_autorebuild",
+        "bpe_train", "bpe_token_counts",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name
