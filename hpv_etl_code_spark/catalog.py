@@ -220,6 +220,9 @@ _ROTATION_POOL: tuple[str, ...] = (
     "image_battery",
     # -- (2) newest granular entries --
     # round 9:
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "pca_top_component",
     "bpe_train_merges",
     "bpe_token_counts",
     "dedup_shingles_scaled",

@@ -118,14 +118,18 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 8,
     checkpoint_every: int = 64,
+    strict: bool = True,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges over a corpus.
 
     Returns the merge table (merge_rank, lhs, rhs, merged, pair_count)
     — K rows, driver-materialized (one LIMIT-1 row per round; metadata-
-    sized by construction). Raises if the corpus runs out of pairs
-    before ``num_merges`` rounds (a degenerate corpus — the caller
-    should lower K rather than receive a silently short table).
+    sized by construction). With ``strict`` (the default), raises if
+    the corpus runs out of pairs before ``num_merges`` rounds (a
+    degenerate corpus — the caller should lower K rather than receive a
+    silently short table); ``strict=False`` instead stops early and
+    returns the merges found so far (empty corpus → empty table), the
+    behavior a scheduled backfill wants on an empty partition.
     """
     spark = docs.sparkSession
     base = (
@@ -144,10 +148,12 @@ def bpe_train(
                 .collect()
             )
             if not top:
-                raise ValueError(
-                    f"corpus exhausted after {rank - 1} merges; "
-                    f"requested {num_merges}"
-                )
+                if strict:
+                    raise ValueError(
+                        f"corpus exhausted after {rank - 1} merges; "
+                        f"requested {num_merges}"
+                    )
+                break
             pair, cnt = top[0]["pair"], top[0]["cnt"]
             lhs, rhs = pair.split(" ", 1)
             merges.append((rank, lhs, rhs, lhs + rhs, cnt))

@@ -41,6 +41,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         temporal_graph_queries,
         text_queries,
         tokenizer_queries,
+        train_queries,
         timeseries_queries,
         tpch_queries,
         tpch_queries2,
@@ -82,6 +83,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     mleval_queries.register_entries(register)
     survival_queries.register_entries(register)
     tokenizer_queries.register_entries(register)
+    train_queries.register_entries(register)
     timeseries_queries.register_entries(register)
     robust_queries.register_entries(register)
     # family batteries LAST — they compose the granular entries above

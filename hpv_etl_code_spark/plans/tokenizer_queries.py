@@ -75,7 +75,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     only driver traffic is one LIMIT-1 row per round.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_train(docs, num_merges=N_MERGES).orderBy("merge_rank")
+    return bpe.bpe_train(docs, num_merges=N_MERGES, strict=False).orderBy(
+        "merge_rank"
+    )
 
 
 BPE_TRAIN_SQL = (
@@ -100,7 +102,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the exploded corpus on word (AQE broadcasts it when it fits).
     """
     docs = load_table(spark, sf_dir, "documents")
-    learned = bpe.bpe_train(docs, num_merges=N_MERGES).collect()
+    learned = bpe.bpe_train(docs, num_merges=N_MERGES, strict=False).collect()
     merges = [(r["lhs"], r["rhs"]) for r in sorted(learned, key=lambda r: r["merge_rank"])]
     return bpe.bpe_token_counts(docs, merges).orderBy("doc_id")
 

@@ -1,0 +1,312 @@
+"""Catalog entries for distributed model training (operators/mlprims.py):
+a trained document-quality classifier (full-batch logistic regression)
+and top-principal-component PCA over the embeddings table — each
+hash-certified against an UNROLLED DuckDB twin, the same certification
+pattern as the unrolled-kmeans IVF oracle (plans/vector_queries.py) and
+the unrolled-BPE oracle (plans/tokenizer_queries.py).
+
+Why these certify bitwise (see operators/mlprims.py header): per-row
+math is IEEE-exact doubles in fixed left-to-right association (the SQL
+text and the Column expression tree fold identically), cross-row
+reduction is exact DECIMAL(38,18), and the sigmoid is the exp-free
+rational form — so the oracle can replay every gradient/power step as a
+CTE chain and land on the same doubles before the final ROUND(.., 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import mlprims
+from ..sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# trained quality classifier: is-English from cheap surface features
+# ---------------------------------------------------------------------------
+
+#: (name, DuckDB SQL expression) — the Spark twin in _features() MUST
+#: fold the same ops in the same order. ' the '/' and ' occurrence
+#: rates are the classic cheap English signal; length and space-ratio
+#: give the model a rejectable nuisance dimension.
+_FEATS: tuple[tuple[str, str], ...] = (
+    (
+        "x_the",
+        "(length(text) - length(replace(text, ' the ', ''))) / 5.0"
+        " * 100.0 / (length(text) + 1.0)",
+    ),
+    (
+        "x_and",
+        "(length(text) - length(replace(text, ' and ', ''))) / 5.0"
+        " * 100.0 / (length(text) + 1.0)",
+    ),
+    ("x_len", "length(text) / 1000.0"),
+    (
+        "x_space",
+        "(length(text) - length(replace(text, ' ', '')))"
+        " / (length(text) + 1.0)",
+    ),
+)
+_FEAT_NAMES = [n for n, _ in _FEATS]
+_W_NAMES = ["w_bias", "w_the", "w_and", "w_len", "w_space"]
+_LABEL_SQL = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+_ITERS = 4
+_LR = 1.0
+
+
+def _occ_rate(sub: str) -> F.Column:
+    """Occurrences of ``sub`` per 100 chars — mirrors the SQL text."""
+    ln = F.length("text")
+    return (
+        (ln - F.length(F.replace(F.col("text"), F.lit(sub), F.lit(""))))
+        / F.lit(float(len(sub)))
+        * F.lit(100.0)
+        / (ln + F.lit(1.0))
+    )
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    ln = F.length("text")
+    return docs.select(
+        "lang",
+        _occ_rate(" the ").alias("x_the"),
+        _occ_rate(" and ").alias("x_and"),
+        (ln / F.lit(1000.0)).alias("x_len"),
+        (
+            (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            / (ln + F.lit(1.0))
+        ).alias("x_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _sig_sql(z: str) -> str:
+    return f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+
+
+def _logreg_chain(iters: int) -> str:
+    """WITH-clause body: f (features+label) then ``iters`` gradient
+    stages. w{i} carries the weights after i updates."""
+    feat_sql = ",\n         ".join(f"{sql} AS {n}" for n, sql in _FEATS)
+    stages = [
+        f"""f AS (
+  SELECT lang,
+         {feat_sql},
+         {_LABEL_SQL} AS y
+  FROM documents
+)""",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS {w}" for w in _W_NAMES)
+        + ")",
+    ]
+    z_sql = " + ".join(
+        ["w_bias"] + [f"{w} * {x}" for w, x in zip(_W_NAMES[1:], _FEAT_NAMES)]
+    )
+    resid = f"(y - {_sig_sql('z')})"
+    for i in range(1, iters + 1):
+        grads = [
+            f"SUM(({resid})::DECIMAL(38,18))::DOUBLE / COUNT(*) AS g0"
+        ] + [
+            f"SUM(({resid} * {x})::DECIMAL(38,18))::DOUBLE / COUNT(*)"
+            f" AS g{j + 1}"
+            for j, x in enumerate(_FEAT_NAMES)
+        ]
+        updates = ", ".join(
+            f"{w} + {_LR!r} * g{j} AS {w}" for j, w in enumerate(_W_NAMES)
+        )
+        grads_sql = ",\n         ".join(grads)
+        stages.append(
+            f"""g{i} AS (
+  SELECT {grads_sql}
+  FROM (SELECT f.*, ({z_sql}) AS z FROM f CROSS JOIN w{i - 1})
+),
+w{i} AS (SELECT {updates} FROM w{i - 1} CROSS JOIN g{i})"""
+        )
+    return ",\n".join(stages)
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality/language classifier trained on the
+    documents corpus: 4 full-batch GD rounds over 4 surface features,
+    labels = (lang = 'en').
+
+    Scale: each round is one narrow scan with a 5-column decimal
+    aggregate (map-side combinable — shuffle is #partitions rows); the
+    model is a single metadata row per round. At 100 TB this is 4
+    sequential scans and nothing else.
+    """
+    feats = _features(load_table(spark, sf_dir, "documents"))
+    w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
+    z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
+    out = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.avg(
+                F.when((z > F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("train_acc"),
+    )
+    for name, val in zip(_W_NAMES, w):
+        out = out.withColumn(name, F.round(F.lit(val), 6))
+    return out.select("n_docs", "n_pos", *_W_NAMES, "train_acc")
+
+
+_Z_FINAL = " + ".join(
+    ["w_bias"] + [f"{w} * {x}" for w, x in zip(_W_NAMES[1:], _FEAT_NAMES)]
+)
+
+QUALITY_TRAIN_SQL = (
+    "WITH "
+    + _logreg_chain(_ITERS)
+    + f"""
+SELECT s.n_docs, s.n_pos, {", ".join(f"ROUND({w}, 6) AS {w}" for w in _W_NAMES)},
+       s.train_acc
+FROM (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         SUM(y)::BIGINT AS n_pos,
+         ROUND(AVG(CASE WHEN (z > 0.0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6)
+           AS train_acc
+  FROM (SELECT f.*, ({_Z_FINAL}) AS z FROM f CROSS JOIN w{_ITERS})
+) s CROSS JOIN w{_ITERS}
+"""
+)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier and report the
+    per-language mean score and predicted-English rate — the monitoring
+    view a corpus pipeline would emit after a trained-filter pass.
+
+    The scoring pass is a pure narrow projection (no shuffle until the
+    per-language aggregate); the mean uses an exact decimal sum so the
+    report is partitioning-independent.
+    """
+    feats = _features(load_table(spark, sf_dir, "documents"))
+    w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
+    scored = mlprims.logreg_score(feats, w, _FEAT_NAMES)
+    z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
+    return (
+        scored.withColumn("pred_en", F.when(z > F.lit(0.0), 1.0).otherwise(0.0))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.avg("pred_en"), 6).alias("pred_en_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_SCORE_SQL = (
+    "WITH "
+    + _logreg_chain(_ITERS)
+    + f"""
+SELECT lang,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(SUM(({_sig_sql("z")})::DECIMAL(38,18))::DOUBLE / COUNT(*), 6)
+         AS mean_score,
+       ROUND(AVG(CASE WHEN z > 0.0 THEN 1.0 ELSE 0.0 END), 6) AS pred_en_rate
+FROM (SELECT f.*, ({_Z_FINAL}) AS z FROM f CROSS JOIN w{_ITERS})
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+# ---------------------------------------------------------------------------
+# PCA: top principal component of the embeddings table
+# ---------------------------------------------------------------------------
+
+#: Pinned like tokenizer_queries.N_MERGES: the testdata embedding width.
+_DIM = 64
+_PCA_ITERS = 3
+_V0 = 1.0 / 8.0  # 1/sqrt(64), exactly representable
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coordinate mean and top-principal-component loading of the
+    embeddings table (power iteration, no d×d covariance materialized),
+    plus the Rayleigh eigenvalue estimate.
+
+    Scale: ``_PCA_ITERS + 1`` scans, each a dim-wide decimal aggregate;
+    driver state is one dim-length vector per round. Works unchanged at
+    any corpus size because nothing per-row ever leaves the executors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = mlprims.pca_power_iteration(emb, "embedding", _DIM, _PCA_ITERS)
+    schema = "dim_idx INT, mu DOUBLE, loading DOUBLE, eigval DOUBLE"
+    if fit["n"] == 0:  # empty corpus: empty report, not 64 fabricated rows
+        return spark.createDataFrame([], schema)
+    rows = [
+        (j + 1, round(fit["mu"][j], 6), round(fit["v"][j], 6), round(fit["eigval"], 6))
+        for j in range(_DIM)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _pca_chain(iters: int) -> str:
+    dims = range(_DIM)
+    mu_sums = ",\n         ".join(
+        f"SUM((embedding[{j + 1}])::DECIMAL(38,18))::DOUBLE / COUNT(*) AS mu{j}"
+        for j in dims
+    )
+    stages = [f"m AS (\n  SELECT {mu_sums}\n  FROM embeddings\n)"]
+    d_expr = " + ".join(f"c{j} * vv{j}" for j in dims)
+    for i in range(1, iters + 1):
+        centered = ", ".join(
+            f"(embedding[{j + 1}])::DOUBLE - mu{j} AS c{j}" for j in dims
+        )
+        if i == 1:
+            vv = ", ".join(f"{_V0!r} AS vv{j}" for j in dims)
+            src = f"SELECT {centered}, {vv} FROM embeddings CROSS JOIN m"
+        else:
+            src = (
+                f"SELECT {centered}, v{i - 1}.* FROM embeddings"
+                f" CROSS JOIN m CROSS JOIN v{i - 1}"
+            )
+        u_sums = ",\n         ".join(
+            f"SUM((c{j} * d)::DECIMAL(38,18))::DOUBLE / COUNT(*) AS u{j}"
+            for j in dims
+        )
+        norm = " + ".join(f"u{j} * u{j}" for j in dims)
+        stages.append(
+            f"""b{i} AS (
+  SELECT *, ({d_expr}) AS d FROM ({src})
+),
+u{i} AS (
+  SELECT {u_sums}
+  FROM b{i}
+),
+v{i} AS (
+  SELECT {", ".join(f"u{j} / nn AS vv{j}" for j in dims)}, nn
+  FROM u{i} CROSS JOIN (SELECT sqrt({norm}) AS nn FROM u{i})
+)"""
+        )
+    return ",\n".join(stages)
+
+
+PCA_SQL = (
+    "WITH "
+    + _pca_chain(_PCA_ITERS)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {j + 1} AS dim_idx, ROUND(mu{j}, 6) AS mu,"
+        f" ROUND(vv{j}, 6) AS loading, ROUND(nn, 6) AS eigval"
+        f" FROM m CROSS JOIN v{_PCA_ITERS}"
+        for j in range(_DIM)
+    )
+    + "\nORDER BY dim_idx"
+)
+
+
+def register_entries(register) -> None:  # noqa: ANN001
+    register("quality_classifier_train", quality_classifier_train, QUALITY_TRAIN_SQL)
+    register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
+    register("pca_top_component", pca_top_component, PCA_SQL)
