@@ -223,6 +223,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_score",
     "pca_top_component",
+    "pca_projection_hist",
     "bpe_train_merges",
     "bpe_token_counts",
     "dedup_shingles_scaled",

@@ -306,7 +306,69 @@ PCA_SQL = (
 )
 
 
+#: Histogram bucket width for the projection report. Projections of the
+#: centered testdata embeddings land in roughly [-3, 3]; 0.25 gives a
+#: few dozen buckets at any sf (the report stays metadata-sized).
+_BUCKET = 0.25
+
+
+def pca_projection_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fitted top component: project every embedding onto it
+    and report the projection histogram — the 'did the transform do
+    anything' monitoring view after a PCA fit.
+
+    The projection pass is a pure narrow map (no shuffle until the
+    bucket count); floor on bitwise-identical doubles buckets
+    identically in both engines, and the per-bucket mean is an exact
+    decimal sum. Empty corpus → empty report.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = mlprims.pca_power_iteration(emb, "embedding", _DIM, _PCA_ITERS)
+    schema = "bucket BIGINT, n_vecs BIGINT, mean_proj DOUBLE"
+    if fit["n"] == 0:
+        return spark.createDataFrame([], schema)
+    x = [F.element_at("embedding", j + 1).cast("double") for j in range(_DIM)]
+    p = (x[0] - F.lit(fit["mu"][0])) * F.lit(fit["v"][0])
+    for j in range(1, _DIM):
+        p = p + (x[j] - F.lit(fit["mu"][j])) * F.lit(fit["v"][j])
+    return (
+        emb.select(F.floor(p / F.lit(_BUCKET)).alias("bucket"), p.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_proj"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PROJ_EXPR = " + ".join(
+    f"((embedding[{j + 1}])::DOUBLE - mu{j}) * vv{j}" for j in range(_DIM)
+)
+
+PCA_PROJ_SQL = (
+    "WITH "
+    + _pca_chain(_PCA_ITERS)
+    + f"""
+SELECT floor(p / {_BUCKET!r})::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_vecs,
+       ROUND(SUM(p::DECIMAL(38,18))::DOUBLE / COUNT(*), 6) AS mean_proj
+FROM (
+  SELECT ({_PROJ_EXPR}) AS p
+  FROM embeddings CROSS JOIN m CROSS JOIN v{_PCA_ITERS}
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+)
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("quality_classifier_train", quality_classifier_train, QUALITY_TRAIN_SQL)
     register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
     register("pca_top_component", pca_top_component, PCA_SQL)
+    register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
