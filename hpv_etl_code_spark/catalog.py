@@ -222,6 +222,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     # round 9:
     "quality_classifier_train",
     "quality_classifier_score",
+    "classifier_gated_corpus",
     "pca_top_component",
     "pca_projection_hist",
     "bpe_train_merges",

@@ -69,6 +69,7 @@ def _features(docs: DataFrame) -> DataFrame:
     ln = F.length("text")
     return docs.select(
         "lang",
+        "source",
         _occ_rate(" the ").alias("x_the"),
         _occ_rate(" and ").alias("x_and"),
         (ln / F.lit(1000.0)).alias("x_len"),
@@ -91,6 +92,7 @@ def _logreg_chain(iters: int) -> str:
     stages = [
         f"""f AS (
   SELECT lang,
+         source,
          {feat_sql},
          {_LABEL_SQL} AS y
   FROM documents
@@ -219,6 +221,49 @@ GROUP BY lang
 ORDER BY lang
 """
 )
+
+def classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained filter wired into the corpus pipeline: keep documents
+    the classifier scores as English (z > 0) and report per-source
+    retention — the audit table a data curator reads after swapping a
+    heuristic gate for a trained one.
+
+    Filter + count is one narrow pass after the (metadata-sized)
+    training rounds; retention is exact-integer division so the report
+    hashes identically everywhere.
+    """
+    feats = _features(load_table(spark, sf_dir, "documents"))
+    w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
+    z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
+    return (
+        feats.withColumn("kept", F.when(z > F.lit(0.0), 1).otherwise(0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(
+                F.sum("kept").cast("double") / F.count(F.lit(1)), 6
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+CLASSIFIER_GATE_SQL = (
+    "WITH "
+    + _logreg_chain(_ITERS)
+    + f"""
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ROUND(SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS retention
+FROM (SELECT f.*, ({_Z_FINAL}) AS z FROM f CROSS JOIN w{_ITERS})
+GROUP BY source
+ORDER BY source
+"""
+)
+
 
 # ---------------------------------------------------------------------------
 # PCA: top principal component of the embeddings table
@@ -370,5 +415,6 @@ ORDER BY bucket
 def register_entries(register) -> None:  # noqa: ANN001
     register("quality_classifier_train", quality_classifier_train, QUALITY_TRAIN_SQL)
     register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
+    register("classifier_gated_corpus", classifier_gated_corpus, CLASSIFIER_GATE_SQL)
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
