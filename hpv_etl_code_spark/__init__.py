@@ -101,6 +101,18 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.bpe",
             "bpe_token_counts",
         ),
+        "logreg_train": (
+            "hpv_etl_code_spark.operators.mlprims",
+            "logreg_train",
+        ),
+        "logreg_score": (
+            "hpv_etl_code_spark.operators.mlprims",
+            "logreg_score",
+        ),
+        "pca_power_iteration": (
+            "hpv_etl_code_spark.operators.mlprims",
+            "pca_power_iteration",
+        ),
         "resolve_dedup_method": (
             "hpv_etl_code_spark.operators.frontdoor",
             "resolve_dedup_method",

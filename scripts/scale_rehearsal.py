@@ -72,6 +72,12 @@ SCALE_CRITICAL = (
     "bfs_hops_copurchase",
     "pagerank_orders_graph",
     "market_basket_rules",
+    # trained-model primitives (round 9: fixed-pass scans — measured to
+    # certify the linear story, not because a blow-up is plausible)
+    "quality_classifier_train",
+    "classifier_gated_corpus",
+    "pca_top_component",
+    "pca_projection_hist",
     # relational backbone
     "global_index_orders",
     "pricing_summary",

@@ -32,6 +32,7 @@ def test_all_flat_exports_resolve():
         "write_epoch_buckets", "epoch_order_from_buckets",
         "dedup", "resolve_dedup_method", "ivf_index_append_autorebuild",
         "bpe_train", "bpe_token_counts",
+        "logreg_train", "logreg_score", "pca_power_iteration",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name
