@@ -225,6 +225,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "classifier_gated_corpus",
     "pca_top_component",
     "pca_projection_hist",
+    "kmeans_cluster_profile",
     "bpe_train_merges",
     "bpe_token_counts",
     "dedup_shingles_scaled",

@@ -431,26 +431,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=5, n_cells=8, nprobe=2)
 
 
-def _ann_ivf_oracle_sql(
-    dim: int = 64,
-    k: int = 5,
-    n_cells: int = 8,
-    nprobe: int = 2,
-    iterations: int = 4,
+def _kmeans_ctes(
+    dim: int,
+    n_cells: int,
+    iterations: int,
     train_where: str = "",
-    member_where: str = "",
-) -> str:
-    """Render the DuckDB twin of ann_ivf_topk by unrolling the
-    fixed-iteration k-means: each round is an assign CTE (argmin squared
-    distance, ties → lowest cell) + a centroid CTE (decimal-exact
-    elementwise means, empty cells carry the previous centroid).
-    ``train_where`` restricts the k-means corpus (seeds + iterations);
-    ``member_where`` restricts the searchable membership — the append
-    entry trains on the base corpus but searches base ∪ batch."""
+) -> tuple[list[str], str, str, str]:
+    """Shared unrolled-Lloyd's CTE chain (seed = k lowest-id vectors,
+    assign = argmin squared distance with lowest-cell tie-break,
+    recenter = decimal-exact elementwise means, empty cells carry the
+    previous centroid) — the exact semantics of operators/ivf.py
+    kmeans_fit. Returns (parts, final_centroid_cte, dist_expr,
+    train_where_sql) so callers append their own consumption CTEs."""
     diff = f"list_transform(range(1, {dim + 1}), i -> d.v[i] - c.c[i])"
     dist = f"list_dot_product({diff}, {diff})"
     tw = f"WHERE {train_where} " if train_where else ""
-    mw = f"WHERE {member_where} " if member_where else ""
 
     parts = [
         "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -480,7 +475,28 @@ def _ann_ivf_oracle_sql(
     ) GROUP BY cell
   ) m ON m.cell = c.cell
 )""")
-    final = f"cent{iterations}"
+    return parts, f"cent{iterations}", dist, tw
+
+
+def _ann_ivf_oracle_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 4,
+    train_where: str = "",
+    member_where: str = "",
+) -> str:
+    """Render the DuckDB twin of ann_ivf_topk by unrolling the
+    fixed-iteration k-means: each round is an assign CTE (argmin squared
+    distance, ties → lowest cell) + a centroid CTE (decimal-exact
+    elementwise means, empty cells carry the previous centroid).
+    ``train_where`` restricts the k-means corpus (seeds + iterations);
+    ``member_where`` restricts the searchable membership — the append
+    entry trains on the base corpus but searches base ∪ batch."""
+    parts, final, dist, tw = _kmeans_ctes(dim, n_cells, iterations, train_where)
+    mw = f"WHERE {member_where} " if member_where else ""
+
     parts.append(f"""corpus AS (
   SELECT vec_id, v, cell FROM (
     SELECT d.vec_id, d.v, c.cell,
@@ -516,6 +532,55 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rk FROM (
                        ORDER BY cos DESC, neighbor_id ASC)::INT AS rk
   FROM scored
 ) WHERE rk <= {k}
+"""
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering as a first-class capability (not buried inside IVF):
+    k-means over the embeddings, then the cluster × ground-truth-label
+    contingency table — the domain-discovery report a corpus curator
+    reads to name the clusters (reference has no analog; extension
+    surface per the round brief).
+
+    Scale: the fit is operators/ivf.py kmeans_fit (k metadata rows per
+    round); the profile pass broadcasts k centroids and shuffles only
+    the (cell, label) partial counts. Certified against the shared
+    unrolled-Lloyd's oracle chain (_kmeans_ctes).
+    """
+    from ..operators import ivf as ivf_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_ops.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=4)
+    if not cents:
+        return spark.createDataFrame([], "cell INT, label INT, n_vecs BIGINT")
+    base = emb.select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    assigned = ivf_ops._assign(base, spark, cents, "v")
+    return (
+        assigned.groupBy(F.col("cell").cast("int").alias("cell"), "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("cell", "label")
+    )
+
+
+def _kmeans_profile_sql(dim: int = 64, n_cells: int = 8, iterations: int = 4) -> str:
+    parts, final, dist, _tw = _kmeans_ctes(dim, n_cells, iterations)
+    parts.append(f"""assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY {dist} ASC, c.cell ASC) AS rk
+    FROM d CROSS JOIN {final} c
+  ) WHERE rk = 1
+)""")
+    ctes = ",\n".join(parts[1:])
+    return f"""{parts[0]},
+{ctes}
+SELECT a.cell::INT AS cell, e.label, COUNT(*)::BIGINT AS n_vecs
+FROM assigned a JOIN embeddings e USING (vec_id)
+GROUP BY a.cell, e.label
+ORDER BY cell, label
 """
 
 
@@ -828,6 +893,7 @@ def register_entries(register) -> None:  # noqa: ANN001
             train_where="vec_id >= 50", member_where="d.vec_id >= 10"
         ),
     )
+    register("kmeans_cluster_profile", kmeans_cluster_profile, _kmeans_profile_sql())
     register("vector_stats", vector_stats, VECTOR_STATS_SQL)
     register("knn_graph", knn_graph, KNN_GRAPH_SQL)
     register("knn_brute_force", knn_brute_force, KNN_BRUTE_FORCE_SQL, headline=True)
