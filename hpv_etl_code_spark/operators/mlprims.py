@@ -83,8 +83,15 @@ def logreg_train(
     """
     d = len(feature_cols)
     w = [0.0] * (d + 1)
+    spark = df.sparkSession
     for _ in range(iterations):
-        z = affine(w, [F.col(c) for c in feature_cols])
+        # weights travel as a broadcast one-row column, not embedded
+        # literals, so every round reuses the same generated code (see
+        # the codegen-cache note in pca_power_iteration)
+        wrow = spark.createDataFrame([(list(w),)], "__w array<double>")
+        z = F.element_at("__w", 1)
+        for i, c in enumerate(feature_cols):
+            z = z + F.element_at("__w", i + 2) * F.col(c)
         resid = F.col(label_col).cast("double") - rational_sigmoid(z)
         aggs = [
             (
@@ -101,7 +108,7 @@ def logreg_train(
                     / F.count(F.lit(1))
                 ).alias(f"g{i + 1}")
             )
-        row = df.agg(*aggs).collect()[0]
+        row = df.crossJoin(F.broadcast(wrow)).agg(*aggs).collect()[0]
         if any(row[f"g{j}"] is None for j in range(d + 1)):
             break  # empty input / all-null features: keep current weights
         # mirror the SQL twin's `w + lr*g` association exactly
@@ -159,30 +166,61 @@ def pca_power_iteration(
 
     v = [1.0 / math.sqrt(dim)] * dim
     eigval = 0.0
-    for _ in range(iterations):
-        c = [x[j] - F.lit(mu[j]) for j in range(dim)]
-        d_expr = c[0] * F.lit(v[0])
-        for j in range(1, dim):
-            d_expr = d_expr + c[j] * F.lit(v[j])
-        row = df.agg(
-            *[
-                (
-                    F.sum((c[j] * d_expr).cast("decimal(38,18)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias(f"u{j}")
-                for j in range(dim)
-            ]
-        ).collect()[0]
-        u = [row[f"u{j}"] for j in range(dim)]
-        if any(x is None for x in u):  # all-null vectors: keep direction
-            break
-        sq = 0.0
-        for j in range(dim):
-            sq = sq + u[j] * u[j]
-        norm = math.sqrt(sq)
-        if norm == 0.0:  # degenerate (constant column): keep direction
-            eigval = 0.0
-            break
-        v = [u[j] / norm for j in range(dim)]
-        eigval = norm
+    # Two plan-cost guards (measured at dim=64, sf0.1):
+    # 1. Name the centered coordinates and the dot product as projection
+    #    columns instead of inlining — re-inlining the dim-term dot
+    #    product into each of the dim aggregate columns makes an
+    #    O(dim²) expression tree.
+    # 2. Feed the per-iteration vector v through a BROADCAST ONE-ROW
+    #    FRAME (element_at, not F.lit): embedded literals change every
+    #    round, so each round paid a fresh ~5 s whole-stage-codegen
+    #    compile of the 64-decimal-sum stage; with v as a column the
+    #    generated code is iteration-invariant and the codegen cache
+    #    hits (same plan re-run: 0.29 s). Same doubles either way —
+    #    element_at reads the exact stored value.
+    # The centered frame is iteration-invariant (mu is fixed), so
+    # persist it for the duration of the power loop.
+    spark = df.sparkSession
+    centered = df.select(
+        *[(x[j] - F.lit(mu[j])).alias(f"c{j}") for j in range(dim)]
+    ).persist()
+    try:
+        for _ in range(iterations):
+            vrow = spark.createDataFrame([(list(v),)], "__v array<double>")
+            d_expr = F.col("c0") * F.element_at("__v", 1)
+            for j in range(1, dim):
+                d_expr = d_expr + F.col(f"c{j}") * F.element_at("__v", j + 1)
+            row = (
+                centered.crossJoin(F.broadcast(vrow))
+                .withColumn("d", d_expr)
+                .drop("__v")
+                .agg(
+                    *[
+                        (
+                            F.sum(
+                                (F.col(f"c{j}") * F.col("d")).cast(
+                                    "decimal(38,18)"
+                                )
+                            ).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias(f"u{j}")
+                        for j in range(dim)
+                    ]
+                )
+                .collect()[0]
+            )
+            u = [row[f"u{j}"] for j in range(dim)]
+            if any(x is None for x in u):  # all-null vectors: keep direction
+                break
+            sq = 0.0
+            for j in range(dim):
+                sq = sq + u[j] * u[j]
+            norm = math.sqrt(sq)
+            if norm == 0.0:  # degenerate (constant column): keep direction
+                eigval = 0.0
+                break
+            v = [u[j] / norm for j in range(dim)]
+            eigval = norm
+    finally:
+        centered.unpersist()
     return {"mu": mu, "v": v, "eigval": eigval, "n": n_rows}
