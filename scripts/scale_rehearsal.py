@@ -78,6 +78,7 @@ SCALE_CRITICAL = (
     "classifier_gated_corpus",
     "pca_top_component",
     "pca_projection_hist",
+    "kmeans_cluster_profile",
     # relational backbone
     "global_index_orders",
     "pricing_summary",
