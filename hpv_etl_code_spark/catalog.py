@@ -223,6 +223,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_score",
     "classifier_gated_corpus",
+    "lang_classifier_confusion",
     "pca_top_component",
     "pca_projection_hist",
     "kmeans_cluster_profile",

@@ -40,6 +40,7 @@ __all__ = [
     "rational_sigmoid",
     "affine",
     "logreg_train",
+    "logreg_train_multi",
     "logreg_score",
     "pca_power_iteration",
 ]
@@ -113,6 +114,65 @@ def logreg_train(
             break  # empty input / all-null features: keep current weights
         # mirror the SQL twin's `w + lr*g` association exactly
         w = [w[j] + lr * row[f"g{j}"] for j in range(d + 1)]
+    return w
+
+
+def logreg_train_multi(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_cols: list[str],
+    iterations: int = 4,
+    lr: float = 1.0,
+) -> list[list[float]]:
+    """One-vs-rest logistic regression for C classes trained in ONE
+    scan per gradient round: the C·(d+1) gradient sums share the same
+    pass (map-side combinable), so training C models costs the same
+    I/O as training one. Returns one ``[bias, w1..wd]`` per class, in
+    ``label_cols`` order.
+
+    Same determinism contract as :func:`logreg_train` — the flattened
+    weight matrix travels as a broadcast one-row array column so every
+    round reuses the same generated code.
+    """
+    d = len(feature_cols)
+    n_cls = len(label_cols)
+    w = [[0.0] * (d + 1) for _ in range(n_cls)]
+    spark = df.sparkSession
+    for _ in range(iterations):
+        flat = [x for row_ in w for x in row_]
+        wrow = spark.createDataFrame([(flat,)], "__w array<double>")
+        aggs = []
+        for c, label in enumerate(label_cols):
+            z = F.element_at("__w", c * (d + 1) + 1)
+            for j, fc in enumerate(feature_cols):
+                z = z + F.element_at("__w", c * (d + 1) + j + 2) * F.col(fc)
+            resid = F.col(label).cast("double") - rational_sigmoid(z)
+            aggs.append(
+                (
+                    F.sum(resid.cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(f"g{c}_0")
+            )
+            for j, fc in enumerate(feature_cols):
+                aggs.append(
+                    (
+                        F.sum((resid * F.col(fc)).cast("decimal(38,18)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    ).alias(f"g{c}_{j + 1}")
+                )
+        row = df.crossJoin(F.broadcast(wrow)).agg(*aggs).collect()[0]
+        if any(
+            row[f"g{c}_{j}"] is None
+            for c in range(n_cls)
+            for j in range(d + 1)
+        ):
+            break  # empty input / all-null features: keep current weights
+        w = [
+            [w[c][j] + lr * row[f"g{c}_{j}"] for j in range(d + 1)]
+            for c in range(n_cls)
+        ]
     return w
 
 

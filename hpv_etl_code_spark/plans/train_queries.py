@@ -351,6 +351,144 @@ PCA_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# multiclass: one-vs-rest language classifier, trained in one scan/round
+# ---------------------------------------------------------------------------
+
+#: Pinned like _DIM: the testdata language set, sorted. The CASE
+#: tie-break order below follows this tuple in BOTH engines.
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _features_multi(docs: DataFrame) -> DataFrame:
+    out = _features(docs)
+    for lang in _LANGS:
+        out = out.withColumn(
+            f"y_{lang}", F.when(F.col("lang") == lang, 1.0).otherwise(0.0)
+        )
+    return out
+
+
+def _logreg_multi_chain(iters: int) -> tuple[str, str]:
+    """Unrolled one-vs-rest chain: w{i} carries the flattened C×(d+1)
+    weight matrix (w_c{c}_{j}, j=0 bias), each g{i} computes all
+    C·(d+1) gradient means from ONE pass over f."""
+    feat_sql = ",\n         ".join(f"{sql} AS {n}" for n, sql in _FEATS)
+    y_sql = ",\n         ".join(
+        f"CASE WHEN lang = '{lang}' THEN 1.0 ELSE 0.0 END AS y_{lang}"
+        for lang in _LANGS
+    )
+    n_cls = len(_LANGS)
+    d = len(_FEAT_NAMES)
+    wnames = [f"w_c{c}_{j}" for c in range(n_cls) for j in range(d + 1)]
+    stages = [
+        f"""f AS (
+  SELECT lang,
+         source,
+         {feat_sql},
+         {y_sql}
+  FROM documents
+)""",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS {w}" for w in wnames) + ")",
+    ]
+    z_exprs = ",\n           ".join(
+        "("
+        + " + ".join(
+            [f"w_c{c}_0"]
+            + [f"w_c{c}_{j + 1} * {x}" for j, x in enumerate(_FEAT_NAMES)]
+        )
+        + f") AS z{c}"
+        for c in range(n_cls)
+    )
+    for i in range(1, iters + 1):
+        grads = []
+        for c, lang in enumerate(_LANGS):
+            resid = f"(y_{lang} - {_sig_sql(f'z{c}')})"
+            grads.append(
+                f"SUM(({resid})::DECIMAL(38,18))::DOUBLE / COUNT(*)"
+                f" AS g{c}_0"
+            )
+            grads.extend(
+                f"SUM(({resid} * {x})::DECIMAL(38,18))::DOUBLE / COUNT(*)"
+                f" AS g{c}_{j + 1}"
+                for j, x in enumerate(_FEAT_NAMES)
+            )
+        updates = ", ".join(
+            f"w_c{c}_{j} + {_LR!r} * g{c}_{j} AS w_c{c}_{j}"
+            for c in range(n_cls)
+            for j in range(d + 1)
+        )
+        grads_sql = ",\n         ".join(grads)
+        stages.append(
+            f"""g{i} AS (
+  SELECT {grads_sql}
+  FROM (SELECT f.*,
+           {z_exprs}
+        FROM f CROSS JOIN w{i - 1})
+),
+w{i} AS (SELECT {updates} FROM w{i - 1} CROSS JOIN g{i})"""
+        )
+    return ",\n".join(stages), z_exprs
+
+
+def lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest language classifier and its confusion matrix.
+
+    The distributed-design point: all C per-class gradient vectors are
+    aggregated in the SAME scan each round (C·(d+1) map-side-combinable
+    decimal sums), so training C models costs the I/O of one. The
+    prediction is argmax_c z_c with class-order tie-break, expressed
+    identically in both engines (greatest + ordered CASE on
+    bitwise-identical doubles).
+    """
+    feats = _features_multi(load_table(spark, sf_dir, "documents"))
+    ws = mlprims.logreg_train_multi(
+        feats, _FEAT_NAMES, [f"y_{lang}" for lang in _LANGS], _ITERS, _LR
+    )
+    zs = [
+        mlprims.affine(ws[c], [F.col(x) for x in _FEAT_NAMES])
+        for c in range(len(_LANGS))
+    ]
+    m = F.greatest(*zs)
+    pred = F.when(zs[0] == m, _LANGS[0])
+    for c in range(1, len(_LANGS)):
+        pred = pred.when(zs[c] == m, _LANGS[c])
+    return (
+        feats.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_confusion_sql(iters: int) -> str:
+    chain, z_exprs = _logreg_multi_chain(iters)
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN z{c} = m THEN '{lang}'" for c, lang in enumerate(_LANGS)
+        )
+        + " END"
+    )
+    greatest = ", ".join(f"z{c}" for c in range(len(_LANGS)))
+    return (
+        "WITH "
+        + chain
+        + f"""
+SELECT lang, {pred} AS pred_lang, COUNT(*)::BIGINT AS n_docs
+FROM (
+  SELECT *, greatest({greatest}) AS m FROM (
+    SELECT f.lang,
+           {z_exprs}
+    FROM f CROSS JOIN w{iters}
+  )
+)
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+    )
+
+
 #: Histogram bucket width for the projection report. Projections of the
 #: centered testdata embeddings land in roughly [-3, 3]; 0.25 gives a
 #: few dozen buckets at any sf (the report stays metadata-sized).
@@ -416,5 +554,10 @@ def register_entries(register) -> None:  # noqa: ANN001
     register("quality_classifier_train", quality_classifier_train, QUALITY_TRAIN_SQL)
     register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
     register("classifier_gated_corpus", classifier_gated_corpus, CLASSIFIER_GATE_SQL)
+    register(
+        "lang_classifier_confusion",
+        lang_classifier_confusion,
+        _lang_confusion_sql(_ITERS),
+    )
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)

@@ -48,6 +48,20 @@ def test_logreg_partitioning_invariance_bitwise(spark):
     assert w1 == w7  # exact equality: decimal sums are order-independent
 
 
+def test_logreg_multi_equals_per_class_training(spark):
+    """The shared-scan multiclass trainer must produce BITWISE the same
+    weights as training each class alone — the one-scan-per-round
+    optimization cannot change a single ulp."""
+    df = _separable(spark, 240).withColumn(
+        "y2", F.when((F.col("x2") > 0) & (F.col("x1") < 0.3), 1.0).otherwise(0.0)
+    )
+    multi = mlprims.logreg_train_multi(df, ["x1", "x2"], ["y", "y2"], 4)
+    solo_y = mlprims.logreg_train(df, ["x1", "x2"], "y", 4)
+    solo_y2 = mlprims.logreg_train(df, ["x1", "x2"], "y2", 4)
+    assert multi[0] == solo_y
+    assert multi[1] == solo_y2
+
+
 def test_logreg_empty_input_keeps_zero_weights(spark):
     df = _separable(spark).limit(0)
     w = mlprims.logreg_train(df, ["x1", "x2"], "y", 3)
