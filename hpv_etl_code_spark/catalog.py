@@ -224,6 +224,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "quality_classifier_score",
     "classifier_gated_corpus",
     "lang_classifier_confusion",
+    "quality_scores_stream_final",
     "pca_top_component",
     "pca_projection_hist",
     "kmeans_cluster_profile",

@@ -23,29 +23,35 @@ from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 _REPLAY_COLS = ("event_id", "ts", "event_type", "user_id", "value")
 
 
-def _events_replay_stream(spark: SparkSession, sf_dir: str, cols) -> DataFrame:
-    """ONE shared 4-file parquet replay copy of ``events`` per
+def _table_replay_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    superset_cols: tuple,
+    cols,
+) -> DataFrame:
+    """ONE shared 4-file parquet replay copy of ``table`` per
     (session, sf_dir), consumed by every streaming-execution entry as an
     availableNow file stream with ``maxFilesPerTrigger=1`` (4 real
     micro-batches). Round 6 shipped three per-entry copies (two extra
-    writes per session — VERDICT r6 #4); the copy now carries the
-    column SUPERSET and each entry projects its subset, which is sound
-    because all three stateful operators are arrival-order-free (exact
-    integer sums / mergeable bottom-k). Keyed by md5(sf_dir) — the
-    repo's portable content-key convention — instead of the
+    writes per session — VERDICT r6 #4); the copy carries the column
+    SUPERSET and each entry projects its subset, which is sound because
+    the stateful operators fed from it are arrival-order-free (exact
+    integer/decimal sums / mergeable bottom-k). Keyed by md5(sf_dir) —
+    the repo's portable content-key convention — instead of the
     PYTHONHASHSEED-dependent ``abs(hash(sf_dir))``."""
     import os
 
     from .artifacts import _key_digest, _key_lock, _scratch_dir
 
     src = os.path.join(
-        _scratch_dir(spark), f"events_replay_{_key_digest(sf_dir)}"
+        _scratch_dir(spark), f"{table}_replay_{_key_digest(sf_dir)}"
     )
-    with _key_lock((spark.sparkContext.applicationId, "events_replay", src)):
+    with _key_lock((spark.sparkContext.applicationId, f"{table}_replay", src)):
         if not os.path.exists(os.path.join(src, "_SUCCESS")):
             (
-                load_table(spark, sf_dir, "events")
-                .select(*_REPLAY_COLS)
+                load_table(spark, sf_dir, table)
+                .select(*superset_cols)
                 .repartition(4)
                 .write.mode("overwrite")
                 .parquet(src)
@@ -58,6 +64,10 @@ def _events_replay_stream(spark: SparkSession, sf_dir: str, cols) -> DataFrame:
         .load(src)
         .select(*cols)
     )
+
+
+def _events_replay_stream(spark: SparkSession, sf_dir: str, cols) -> DataFrame:
+    return _table_replay_stream(spark, sf_dir, "events", _REPLAY_COLS, cols)
 
 
 def ab_stats_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -351,6 +351,56 @@ PCA_SQL = (
 )
 
 
+def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train offline, score online: the trained classifier applied to
+    ``documents`` replayed as a 4-file availableNow stream, with the
+    per-language report aggregated BY THE STREAMING ENGINE
+    (complete-mode state: exact decimal score sums + exact counts).
+
+    Because scoring is a deterministic narrow projection and the
+    aggregate state is exact (order-independent), the final streaming
+    result is BIT-IDENTICAL to the batch ``quality_classifier_score`` —
+    so this entry is hash-certified by the SAME DuckDB oracle, making
+    it the trained-model family's end-to-end streaming-execution
+    correctness probe.
+    """
+    import uuid
+
+    from ..streaming.stream import run_to_memory_sink
+    from .stream_queries import _table_replay_stream
+
+    feats_b = _features(load_table(spark, sf_dir, "documents"))
+    w = mlprims.logreg_train(feats_b, _FEAT_NAMES, "y", _ITERS, _LR)
+
+    stream = _table_replay_stream(
+        spark, sf_dir, "documents", ("doc_id", "text", "lang", "source"),
+        ("text", "lang", "source"),
+    )
+    feats_s = _features(stream)
+    scored = mlprims.logreg_score(feats_s, w, _FEAT_NAMES)
+    z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
+    agg = (
+        scored.withColumn("pred_en", F.when(z > F.lit(0.0), 1.0).otherwise(0.0))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.avg("pred_en"), 6).alias("pred_en_rate"),
+        )
+    )
+    sink = f"quality_scores_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, sink, output_mode="complete")
+    return (
+        spark.table(sink)
+        .select("lang", "n_docs", "mean_score", "pred_en_rate")
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multiclass: one-vs-rest language classifier, trained in one scan/round
 # ---------------------------------------------------------------------------
@@ -558,6 +608,10 @@ def register_entries(register) -> None:  # noqa: ANN001
         "lang_classifier_confusion",
         lang_classifier_confusion,
         _lang_confusion_sql(_ITERS),
+    )
+    # streaming execution, same oracle: bit-identical to the batch twin
+    register(
+        "quality_scores_stream_final", quality_scores_stream_final, QUALITY_SCORE_SQL
     )
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
