@@ -225,6 +225,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "classifier_gated_corpus",
     "lang_classifier_confusion",
     "quality_scores_stream_final",
+    "ols_normal_equations",
     "pca_top_component",
     "pca_projection_hist",
     "kmeans_cluster_profile",

@@ -351,6 +351,140 @@ PCA_SQL = (
 )
 
 
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multivariate OLS (price ~ quantity + discount over
+    lineitem) by normal equations + Cramer's rule — exact distributed
+    linear algebra with NO driver round-trips at all: one scan
+    accumulates the 10 sufficient statistics as exact decimal sums, and
+    the 3×3 solve is ordinary Column arithmetic on the single aggregate
+    row. Deterministic for the usual reasons (exact sums, fixed-
+    association IEEE doubles), so the full fit hashes identically in
+    DuckDB.
+
+    At 100 TB this is ONE map-side-combinable pass; the d×d normal
+    matrix stays closed-form practical through d≈3–4 (beyond that,
+    gradient descent — logreg_train's machinery — is the scale path).
+    Production note: raw second moments of large values overflow
+    DECIMAL(38,18)'s 20 integer digits around 10²⁰ — center/scale
+    features first at extreme row counts (the sf10 sweep is ~10¹⁷).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(y).alias("sy"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+        dsum(y * y).alias("syy"),
+    )
+    nd, s1, s2 = F.col("nd"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    # Cramer expansions — SAME text/association as the SQL twin below
+    det = (
+        nd * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        nd * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        nd * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    solved = s.select(
+        "n",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+        *[c for c in ("nd", "sy", "s1y", "s2y", "syy")],
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / nd
+    return solved.select(
+        F.col("n").alias("n_rows"),
+        F.round(b0, 6).alias("b_intercept"),
+        F.round(b1, 6).alias("b_quantity"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+OLS_NORMAL_SQL = """
+WITH li AS (
+  SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+         l_extendedprice::DOUBLE AS y
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*)::BIGINT AS n, COUNT(*)::DOUBLE AS nd,
+         SUM((x1)::DECIMAL(38,18))::DOUBLE AS s1,
+         SUM((x2)::DECIMAL(38,18))::DOUBLE AS s2,
+         SUM((x1 * x1)::DECIMAL(38,18))::DOUBLE AS s11,
+         SUM((x1 * x2)::DECIMAL(38,18))::DOUBLE AS s12,
+         SUM((x2 * x2)::DECIMAL(38,18))::DOUBLE AS s22,
+         SUM((y)::DECIMAL(38,18))::DOUBLE AS sy,
+         SUM((x1 * y)::DECIMAL(38,18))::DOUBLE AS s1y,
+         SUM((x2 * y)::DECIMAL(38,18))::DOUBLE AS s2y,
+         SUM((y * y)::DECIMAL(38,18))::DOUBLE AS syy
+  FROM li
+),
+d AS (
+  SELECT n, nd, sy, s1y, s2y, syy,
+    (sy * (s11 * s22 - s12 * s12)
+      - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y))
+    / (nd * (s11 * s22 - s12 * s12)
+      - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2)) AS b0,
+    (nd * (s1y * s22 - s12 * s2y)
+      - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2))
+    / (nd * (s11 * s22 - s12 * s12)
+      - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2)) AS b1,
+    (nd * (s11 * s2y - s1y * s12)
+      - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2))
+    / (nd * (s11 * s22 - s12 * s12)
+      - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2)) AS b2
+  FROM s
+)
+SELECT n AS n_rows,
+       ROUND(b0, 6) AS b_intercept,
+       ROUND(b1, 6) AS b_quantity,
+       ROUND(b2, 6) AS b_discount,
+       ROUND(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                   / (syy - sy * sy / nd), 6) AS r2
+FROM d
+"""
+
+
 def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train offline, score online: the trained classifier applied to
     ``documents`` replayed as a 4-file availableNow stream, with the
@@ -613,5 +747,6 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "quality_scores_stream_final", quality_scores_stream_final, QUALITY_SCORE_SQL
     )
+    register("ols_normal_equations", ols_normal_equations, OLS_NORMAL_SQL)
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
