@@ -289,11 +289,17 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "dim_idx INT, mu DOUBLE, loading DOUBLE, eigval DOUBLE"
     if fit["n"] == 0:  # empty corpus: empty report, not 64 fabricated rows
         return spark.createDataFrame([], schema)
+    # round via F.round (HALF_UP, matching SQL ROUND), not Python's
+    # banker's round — a half-even/half-away tie would hash-diverge
     rows = [
-        (j + 1, round(fit["mu"][j], 6), round(fit["v"][j], 6), round(fit["eigval"], 6))
-        for j in range(_DIM)
+        (j + 1, fit["mu"][j], fit["v"][j], fit["eigval"]) for j in range(_DIM)
     ]
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema).select(
+        "dim_idx",
+        F.round("mu", 6).alias("mu"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigval", 6).alias("eigval"),
+    )
 
 
 def _pca_chain(iters: int) -> str:
