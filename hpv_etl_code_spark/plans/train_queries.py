@@ -741,7 +741,12 @@ ORDER BY bucket
 
 
 def register_entries(register) -> None:  # noqa: ANN001
-    register("quality_classifier_train", quality_classifier_train, QUALITY_TRAIN_SQL)
+    register(
+        "quality_classifier_train",
+        quality_classifier_train,
+        QUALITY_TRAIN_SQL,
+        headline=True,
+    )
     register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
     register("classifier_gated_corpus", classifier_gated_corpus, CLASSIFIER_GATE_SQL)
     register(
@@ -753,6 +758,8 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "quality_scores_stream_final", quality_scores_stream_final, QUALITY_SCORE_SQL
     )
-    register("ols_normal_equations", ols_normal_equations, OLS_NORMAL_SQL)
+    register(
+        "ols_normal_equations", ols_normal_equations, OLS_NORMAL_SQL, headline=True
+    )
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
