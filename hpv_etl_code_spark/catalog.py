@@ -226,6 +226,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "lang_classifier_confusion",
     "quality_scores_stream_final",
     "ols_normal_equations",
+    "ridge_normal_equations",
     "pca_top_component",
     "pca_projection_hist",
     "kmeans_cluster_profile",

@@ -374,6 +374,26 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,18)'s 20 integer digits around 10²⁰ — center/scale
     features first at extreme row counts (the sf10 sweep is ~10¹⁷).
     """
+    return _normal_eq_fit(spark, sf_dir, lam=None)
+
+
+#: Ridge penalty for the regularized twin — large enough that the
+#: discount coefficient visibly shrinks toward 0 at the gate scale.
+_RIDGE_LAM = 1000.0
+
+
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression in closed form: the SAME one-scan sufficient
+    statistics as :func:`ols_normal_equations`, with λ added to the
+    feature diagonal of the normal matrix before the Cramer solve
+    (intercept unpenalized, the standard convention). Demonstrates that
+    regularized fits are a pure post-aggregation algebra change — zero
+    extra passes over the data.
+    """
+    return _normal_eq_fit(spark, sf_dir, lam=_RIDGE_LAM)
+
+
+def _normal_eq_fit(spark: SparkSession, sf_dir: str, lam: float | None) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("x1"),
         F.col("l_discount").cast("double").alias("x2"),
@@ -398,8 +418,15 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(y * y).alias("syy"),
     )
     nd, s1, s2 = F.col("nd"), F.col("s1"), F.col("s2")
-    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s12 = F.col("s12")
     sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    # ridge adds lam to the feature diagonal; same association as the
+    # SQL twin's (s11 + lam) text
+    if lam is None:
+        s11, s22 = F.col("s11"), F.col("s22")
+    else:
+        s11 = F.col("s11") + F.lit(lam)
+        s22 = F.col("s22") + F.lit(lam)
     # Cramer expansions — SAME text/association as the SQL twin below
     det = (
         nd * (s11 * s22 - s12 * s12)
@@ -440,7 +467,10 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OLS_NORMAL_SQL = """
+def _normal_eq_sql(lam: float | None) -> str:
+    s11 = "s11" if lam is None else f"(s11 + {lam!r})"
+    s22 = "s22" if lam is None else f"(s22 + {lam!r})"
+    return f"""
 WITH li AS (
   SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
          l_extendedprice::DOUBLE AS y
@@ -461,24 +491,24 @@ s AS (
 ),
 d AS (
   SELECT n, nd, sy, s1y, s2y, syy,
-    (sy * (s11 * s22 - s12 * s12)
-      - s1 * (s1y * s22 - s12 * s2y)
-      + s2 * (s1y * s12 - s11 * s2y))
-    / (nd * (s11 * s22 - s12 * s12)
-      - s1 * (s1 * s22 - s12 * s2)
-      + s2 * (s1 * s12 - s11 * s2)) AS b0,
-    (nd * (s1y * s22 - s12 * s2y)
-      - sy * (s1 * s22 - s12 * s2)
+    (sy * ({s11} * {s22} - s12 * s12)
+      - s1 * (s1y * {s22} - s12 * s2y)
+      + s2 * (s1y * s12 - {s11} * s2y))
+    / (nd * ({s11} * {s22} - s12 * s12)
+      - s1 * (s1 * {s22} - s12 * s2)
+      + s2 * (s1 * s12 - {s11} * s2)) AS b0,
+    (nd * (s1y * {s22} - s12 * s2y)
+      - sy * (s1 * {s22} - s12 * s2)
       + s2 * (s1 * s2y - s1y * s2))
-    / (nd * (s11 * s22 - s12 * s12)
-      - s1 * (s1 * s22 - s12 * s2)
-      + s2 * (s1 * s12 - s11 * s2)) AS b1,
-    (nd * (s11 * s2y - s1y * s12)
+    / (nd * ({s11} * {s22} - s12 * s12)
+      - s1 * (s1 * {s22} - s12 * s2)
+      + s2 * (s1 * s12 - {s11} * s2)) AS b1,
+    (nd * ({s11} * s2y - s1y * s12)
       - s1 * (s1 * s2y - s1y * s2)
-      + sy * (s1 * s12 - s11 * s2))
-    / (nd * (s11 * s22 - s12 * s12)
-      - s1 * (s1 * s22 - s12 * s2)
-      + s2 * (s1 * s12 - s11 * s2)) AS b2
+      + sy * (s1 * s12 - {s11} * s2))
+    / (nd * ({s11} * {s22} - s12 * s12)
+      - s1 * (s1 * {s22} - s12 * s2)
+      + s2 * (s1 * s12 - {s11} * s2)) AS b2
   FROM s
 )
 SELECT n AS n_rows,
@@ -489,6 +519,10 @@ SELECT n AS n_rows,
                    / (syy - sy * sy / nd), 6) AS r2
 FROM d
 """
+
+
+OLS_NORMAL_SQL = _normal_eq_sql(None)
+RIDGE_NORMAL_SQL = _normal_eq_sql(_RIDGE_LAM)
 
 
 def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,5 +795,6 @@ def register_entries(register) -> None:  # noqa: ANN001
     register(
         "ols_normal_equations", ols_normal_equations, OLS_NORMAL_SQL, headline=True
     )
+    register("ridge_normal_equations", ridge_normal_equations, RIDGE_NORMAL_SQL)
     register("pca_top_component", pca_top_component, PCA_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)
