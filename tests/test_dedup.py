@@ -329,9 +329,15 @@ def test_incremental_rejects_narrower_index_than_banding(spark, sf_dir, tmp_path
     """ADVICE r8: banding with num_hashes WIDER than the persisted
     index's signature must raise at runtime, not silently truncate band
     keys (degraded recall). Narrower-than-index banding stays exact via
-    the prefix property (covered by the round-trip test above)."""
+    the prefix property (covered by the round-trip test above).
+
+    Matches on the MESSAGE, not the exception class: when AQE
+    materializes several stages concurrently the raise_error surfaces
+    wrapped in STAGE_MATERIALIZATION_MULTIPLE_FAILURES (a Py4JJavaError)
+    instead of SparkRuntimeException — which failure count wins is
+    scheduling-dependent, and pinning the class made this test flaky
+    under load."""
     import pytest
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
     from pyspark.sql import functions as F
 
     from hpv_etl_code_spark.operators.dedup import (
@@ -347,7 +353,7 @@ def test_incremental_rejects_narrower_index_than_banding(spark, sf_dir, tmp_path
     batch = docs.filter(F.col("doc_id") % 5 == 0)
 
     narrow = build_corpus_index(corpus, "doc_id", "text", num_hashes=8)
-    with pytest.raises(SparkRuntimeException, match="signature width"):
+    with pytest.raises(Exception, match="signature width"):
         dedup_incremental_survivors(
             batch, None, "doc_id", "text",
             num_hashes=16, bands=4, corpus_index=narrow,
@@ -376,7 +382,7 @@ def test_incremental_rejects_narrower_index_than_banding(spark, sf_dir, tmp_path
             )
         ))).alias("gkey"),
     )
-    with pytest.raises(SparkRuntimeException, match="signature width"):
+    with pytest.raises(Exception, match="signature width"):
         incremental_survivors_grouped(
             new_docs, bg, corpus.select(F.md5("text").alias("fp")), cg,
             num_hashes=16, bands=4,
