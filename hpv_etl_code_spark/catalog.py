@@ -228,6 +228,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "ols_normal_equations",
     "ridge_normal_equations",
     "pca_top_component",
+    "pca_top2_components",
     "pca_projection_hist",
     "kmeans_cluster_profile",
     "bpe_train_merges",

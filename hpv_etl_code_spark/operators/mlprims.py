@@ -43,6 +43,7 @@ __all__ = [
     "logreg_train_multi",
     "logreg_score",
     "pca_power_iteration",
+    "pca_two_components",
 ]
 
 
@@ -224,8 +225,6 @@ def pca_power_iteration(
     if n_rows == 0 or any(m is None for m in mu):
         return {"mu": [0.0] * dim, "v": [0.0] * dim, "eigval": 0.0, "n": n_rows}
 
-    v = [1.0 / math.sqrt(dim)] * dim
-    eigval = 0.0
     # Two plan-cost guards (measured at dim=64, sf0.1):
     # 1. Name the centered coordinates and the dot product as projection
     #    columns instead of inlining — re-inlining the dim-term dot
@@ -240,47 +239,96 @@ def pca_power_iteration(
     #    element_at reads the exact stored value.
     # The centered frame is iteration-invariant (mu is fixed), so
     # persist it for the duration of the power loop.
-    spark = df.sparkSession
     centered = df.select(
         *[(x[j] - F.lit(mu[j])).alias(f"c{j}") for j in range(dim)]
     ).persist()
     try:
-        for _ in range(iterations):
-            vrow = spark.createDataFrame([(list(v),)], "__v array<double>")
-            d_expr = F.col("c0") * F.element_at("__v", 1)
-            for j in range(1, dim):
-                d_expr = d_expr + F.col(f"c{j}") * F.element_at("__v", j + 1)
-            row = (
-                centered.crossJoin(F.broadcast(vrow))
-                .withColumn("d", d_expr)
-                .drop("__v")
-                .agg(
-                    *[
-                        (
-                            F.sum(
-                                (F.col(f"c{j}") * F.col("d")).cast(
-                                    "decimal(38,18)"
-                                )
-                            ).cast("double")
-                            / F.count(F.lit(1))
-                        ).alias(f"u{j}")
-                        for j in range(dim)
-                    ]
-                )
-                .collect()[0]
-            )
-            u = [row[f"u{j}"] for j in range(dim)]
-            if any(x is None for x in u):  # all-null vectors: keep direction
-                break
-            sq = 0.0
-            for j in range(dim):
-                sq = sq + u[j] * u[j]
-            norm = math.sqrt(sq)
-            if norm == 0.0:  # degenerate (constant column): keep direction
-                eigval = 0.0
-                break
-            v = [u[j] / norm for j in range(dim)]
-            eigval = norm
+        v, eigval = _power_loop(centered, dim, iterations)
     finally:
         centered.unpersist()
     return {"mu": mu, "v": v, "eigval": eigval, "n": n_rows}
+
+
+def _power_loop(
+    frame: DataFrame, dim: int, iterations: int
+) -> tuple[list[float], float]:
+    """Power iteration over a persisted frame with columns c0..c{dim-1}
+    (see the codegen-cache notes in :func:`pca_power_iteration`).
+    Returns (unit vector, ||u|| of the final round)."""
+    spark = frame.sparkSession
+    v = [1.0 / math.sqrt(dim)] * dim
+    eigval = 0.0
+    for _ in range(iterations):
+        vrow = spark.createDataFrame([(list(v),)], "__v array<double>")
+        d_expr = F.col("c0") * F.element_at("__v", 1)
+        for j in range(1, dim):
+            d_expr = d_expr + F.col(f"c{j}") * F.element_at("__v", j + 1)
+        row = (
+            frame.crossJoin(F.broadcast(vrow))
+            .withColumn("d", d_expr)
+            .drop("__v")
+            .agg(
+                *[
+                    (
+                        F.sum(
+                            (F.col(f"c{j}") * F.col("d")).cast("decimal(38,18)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"u{j}")
+                    for j in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        u = [row[f"u{j}"] for j in range(dim)]
+        if any(e is None for e in u):  # all-null vectors: keep direction
+            break
+        sq = 0.0
+        for j in range(dim):
+            sq = sq + u[j] * u[j]
+        norm = math.sqrt(sq)
+        if norm == 0.0:  # degenerate (constant column): keep direction
+            eigval = 0.0
+            break
+        v = [u[j] / norm for j in range(dim)]
+        eigval = norm
+    return v, eigval
+
+
+def pca_two_components(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    iterations: int = 3,
+) -> dict:
+    """Top TWO principal components by power iteration + deflation:
+    fit v1 on the centered frame, project it out
+    (``r = c - (c·v1)·v1``), and power-iterate again on the residual.
+    The residual frame is v1-invariant, so it persists across the
+    second loop exactly like the centered frame does for the first —
+    2·iterations + 2 scans total, still no d×d covariance.
+
+    Same determinism contract as :func:`pca_power_iteration`; an
+    unrolled SQL twin replays both phases.
+    """
+    fit1 = pca_power_iteration(df, vec_col, dim, iterations)
+    if fit1["n"] == 0 or fit1["eigval"] == 0.0:
+        return {**fit1, "v2": [0.0] * dim, "eigval2": 0.0}
+    mu, v1 = fit1["mu"], fit1["v"]
+    x = [F.element_at(F.col(vec_col), j + 1).cast("double") for j in range(dim)]
+    c = [(x[j] - F.lit(mu[j])).alias(f"c{j}") for j in range(dim)]
+    centered = df.select(*c)
+    d1 = F.col("c0") * F.lit(v1[0])
+    for j in range(1, dim):
+        d1 = d1 + F.col(f"c{j}") * F.lit(v1[j])
+    residual = centered.withColumn("d", d1).select(
+        *[
+            (F.col(f"c{j}") - F.col("d") * F.lit(v1[j])).alias(f"c{j}")
+            for j in range(dim)
+        ]
+    ).persist()
+    try:
+        v2, eigval2 = _power_loop(residual, dim, iterations)
+    finally:
+        residual.unpersist()
+    return {**fit1, "v2": v2, "eigval2": eigval2}

@@ -302,45 +302,133 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_chain(iters: int) -> str:
-    dims = range(_DIM)
-    mu_sums = ",\n         ".join(
-        f"SUM((embedding[{j + 1}])::DECIMAL(38,18))::DOUBLE / COUNT(*) AS mu{j}"
-        for j in dims
+def _centered_sql() -> str:
+    return ", ".join(
+        f"(embedding[{j + 1}])::DOUBLE - mu{j} AS c{j}" for j in range(_DIM)
     )
-    stages = [f"m AS (\n  SELECT {mu_sums}\n  FROM embeddings\n)"]
+
+
+def _power_stages(tag: str, src: str, iters: int) -> list[str]:
+    """CTE stages {tag}b{i}/{tag}u{i}/{tag}v{i} power-iterating over
+    ``src`` (a CTE name or parenthesized subquery yielding columns
+    c0..c{dim-1}) from the fixed 1/sqrt(dim) start — the SQL mirror of
+    operators/mlprims.py::_power_loop."""
+    dims = range(_DIM)
     d_expr = " + ".join(f"c{j} * vv{j}" for j in dims)
+    stages = []
     for i in range(1, iters + 1):
-        centered = ", ".join(
-            f"(embedding[{j + 1}])::DOUBLE - mu{j} AS c{j}" for j in dims
-        )
         if i == 1:
             vv = ", ".join(f"{_V0!r} AS vv{j}" for j in dims)
-            src = f"SELECT {centered}, {vv} FROM embeddings CROSS JOIN m"
+            rows = f"SELECT s.*, {vv} FROM {src} s"
         else:
-            src = (
-                f"SELECT {centered}, v{i - 1}.* FROM embeddings"
-                f" CROSS JOIN m CROSS JOIN v{i - 1}"
-            )
+            rows = f"SELECT s.*, v.* FROM {src} s CROSS JOIN {tag}v{i - 1} v"
         u_sums = ",\n         ".join(
             f"SUM((c{j} * d)::DECIMAL(38,18))::DOUBLE / COUNT(*) AS u{j}"
             for j in dims
         )
         norm = " + ".join(f"u{j} * u{j}" for j in dims)
         stages.append(
-            f"""b{i} AS (
-  SELECT *, ({d_expr}) AS d FROM ({src})
+            f"""{tag}b{i} AS (
+  SELECT *, ({d_expr}) AS d FROM ({rows})
 ),
-u{i} AS (
+{tag}u{i} AS (
   SELECT {u_sums}
-  FROM b{i}
+  FROM {tag}b{i}
 ),
-v{i} AS (
+{tag}v{i} AS (
   SELECT {", ".join(f"u{j} / nn AS vv{j}" for j in dims)}, nn
-  FROM u{i} CROSS JOIN (SELECT sqrt({norm}) AS nn FROM u{i})
+  FROM {tag}u{i} CROSS JOIN (SELECT sqrt({norm}) AS nn FROM {tag}u{i})
 )"""
         )
+    return stages
+
+
+def _pca_chain(iters: int) -> str:
+    mu_sums = ",\n         ".join(
+        f"SUM((embedding[{j + 1}])::DECIMAL(38,18))::DOUBLE / COUNT(*) AS mu{j}"
+        for j in range(_DIM)
+    )
+    stages = [f"m AS (\n  SELECT {mu_sums}\n  FROM embeddings\n)"]
+    src = f"(SELECT {_centered_sql()} FROM embeddings CROSS JOIN m)"
+    stages.extend(_power_stages("", src, iters))
     return ",\n".join(stages)
+
+
+def pca_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top two principal components (power iteration + deflation): the
+    second loop runs on the persisted residual ``c - (c·v1)·v1``, so
+    the cost is two phases of the same linear scans, never a d×d
+    covariance. Degenerate (rank-≤1) corpora keep v2 at the start
+    vector with eigval2 = 0 on the Spark side; the certified tables are
+    full-rank so the SQL twin never divides by a zero norm.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = mlprims.pca_two_components(emb, "embedding", _DIM, _PCA_ITERS)
+    schema = (
+        "dim_idx INT, loading1 DOUBLE, loading2 DOUBLE,"
+        " eigval1 DOUBLE, eigval2 DOUBLE"
+    )
+    if fit["n"] == 0:
+        return spark.createDataFrame([], schema)
+    rows = [
+        (j + 1, fit["v"][j], fit["v2"][j], fit["eigval"], fit["eigval2"])
+        for j in range(_DIM)
+    ]
+    return spark.createDataFrame(rows, schema).select(
+        "dim_idx",
+        F.round("loading1", 6).alias("loading1"),
+        F.round("loading2", 6).alias("loading2"),
+        F.round("eigval1", 6).alias("eigval1"),
+        F.round("eigval2", 6).alias("eigval2"),
+    )
+
+
+def _pca2_chain(iters: int) -> str:
+    """Like _pca_chain + a residual phase — but the centered and
+    residual frames are MATERIALIZED CTEs: default-inlined CTEs re-scan
+    embeddings.parquet once per power stage, and six stages' worth of
+    parallel parquet readers ran DuckDB out of file handles. Same rows,
+    same values — only the evaluation strategy is pinned (this mirrors
+    the Spark side's persist() of exactly these two frames)."""
+    dims = range(_DIM)
+    d_expr = " + ".join(f"c{j} * vv{j}" for j in dims)
+    resid = ", ".join(f"c{j} - d * vv{j} AS c{j}" for j in dims)
+    mu_sums = ",\n         ".join(
+        f"SUM((embedding[{j + 1}])::DECIMAL(38,18))::DOUBLE / COUNT(*) AS mu{j}"
+        for j in dims
+    )
+    stages = [
+        f"m AS (\n  SELECT {mu_sums}\n  FROM embeddings\n)",
+        f"c AS MATERIALIZED (\n  SELECT {_centered_sql()}"
+        "\n  FROM embeddings CROSS JOIN m\n)",
+    ]
+    stages.extend(_power_stages("", "c", iters))
+    stages.append(
+        f"""rb AS (
+  SELECT *, ({d_expr}) AS d
+  FROM (SELECT s.*, v.* FROM c s CROSS JOIN v{iters} v)
+),
+r AS MATERIALIZED (
+  SELECT {resid} FROM rb
+)"""
+    )
+    stages.extend(_power_stages("q", "r", iters))
+    return ",\n".join(stages)
+
+
+PCA2_SQL = (
+    "WITH "
+    + _pca2_chain(_PCA_ITERS)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {j + 1} AS dim_idx, ROUND(a.vv{j}, 6) AS loading1,"
+        f" ROUND(b.vv{j}, 6) AS loading2, ROUND(a.nn, 6) AS eigval1,"
+        f" ROUND(b.nn, 6) AS eigval2"
+        f" FROM v{_PCA_ITERS} a CROSS JOIN qv{_PCA_ITERS} b"
+        for j in range(_DIM)
+    )
+    + "\nORDER BY dim_idx"
+)
 
 
 PCA_SQL = (
@@ -797,4 +885,5 @@ def register_entries(register) -> None:  # noqa: ANN001
     )
     register("ridge_normal_equations", ridge_normal_equations, RIDGE_NORMAL_SQL)
     register("pca_top_component", pca_top_component, PCA_SQL)
+    register("pca_top2_components", pca_top2_components, PCA2_SQL)
     register("pca_projection_hist", pca_projection_hist, PCA_PROJ_SQL)

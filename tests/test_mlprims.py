@@ -102,6 +102,16 @@ def test_pca_finds_dominant_direction(spark):
     assert fit["eigval"] > 0
 
 
+def test_pca_two_components_orthogonal_and_ordered(spark):
+    df = _anisotropic(spark)
+    fit = mlprims.pca_two_components(df, "embedding", 4, iterations=12)
+    v1, v2 = fit["v"], fit["v2"]
+    dot = abs(sum(a * b for a, b in zip(v1, v2)))
+    assert dot < 1e-6, (v1, v2)  # deflation ⇒ orthogonal
+    assert fit["eigval"] >= fit["eigval2"] > 0
+    assert abs(math.sqrt(sum(x * x for x in v2)) - 1.0) < 1e-12
+
+
 def test_pca_partitioning_invariance_bitwise(spark):
     df = _anisotropic(spark, 200)
     f1 = mlprims.pca_power_iteration(df.repartition(1), "embedding", 4, 3)
