@@ -113,6 +113,14 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.mlprims",
             "pca_power_iteration",
         ),
+        "pca_two_components": (
+            "hpv_etl_code_spark.operators.mlprims",
+            "pca_two_components",
+        ),
+        "logreg_train_multi": (
+            "hpv_etl_code_spark.operators.mlprims",
+            "logreg_train_multi",
+        ),
         "resolve_dedup_method": (
             "hpv_etl_code_spark.operators.frontdoor",
             "resolve_dedup_method",

@@ -33,6 +33,7 @@ def test_all_flat_exports_resolve():
         "dedup", "resolve_dedup_method", "ivf_index_append_autorebuild",
         "bpe_train", "bpe_token_counts",
         "logreg_train", "logreg_score", "pca_power_iteration",
+        "logreg_train_multi", "pca_two_components",
     ]
     for name in surface_names:
         assert getattr(pkg, name) is not None, name
