@@ -15,7 +15,7 @@ CTE chain and land on the same doubles before the final ROUND(.., 6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import mlprims
@@ -54,7 +54,7 @@ _ITERS = 4
 _LR = 1.0
 
 
-def _occ_rate(sub: str) -> F.Column:
+def _occ_rate(sub: str) -> Column:
     """Occurrences of ``sub`` per 100 chars — mirrors the SQL text."""
     ln = F.length("text")
     return (
@@ -488,7 +488,7 @@ def _normal_eq_fit(spark: SparkSession, sf_dir: str, lam: float | None) -> DataF
         F.col("l_extendedprice").cast("double").alias("y"),
     )
 
-    def dsum(c: F.Column) -> F.Column:
+    def dsum(c: Column) -> Column:
         return F.sum(c.cast("decimal(38,18)")).cast("double")
 
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
