@@ -223,6 +223,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_score",
     "classifier_gated_corpus",
+    "quality_classifier_cv",
     "lang_classifier_confusion",
     "quality_scores_stream_final",
     "ols_normal_equations",

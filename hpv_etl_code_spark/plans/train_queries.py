@@ -68,6 +68,7 @@ def _occ_rate(sub: str) -> Column:
 def _features(docs: DataFrame) -> DataFrame:
     ln = F.length("text")
     return docs.select(
+        "doc_id",
         "lang",
         "source",
         _occ_rate(" the ").alias("x_the"),
@@ -85,26 +86,36 @@ def _sig_sql(z: str) -> str:
     return f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
 
 
-def _logreg_chain(iters: int) -> str:
-    """WITH-clause body: f (features+label) then ``iters`` gradient
-    stages. w{i} carries the weights after i updates."""
+def _f_cte() -> str:
     feat_sql = ",\n         ".join(f"{sql} AS {n}" for n, sql in _FEATS)
-    stages = [
-        f"""f AS (
-  SELECT lang,
+    return f"""f AS (
+  SELECT doc_id,
+         lang,
          source,
          {feat_sql},
          {_LABEL_SQL} AS y
   FROM documents
-)""",
-        "w0 AS (SELECT "
+)"""
+
+
+def _logreg_chain(iters: int, tag: str = "", train_where: str = "") -> str:
+    """WITH-clause body: f (features+label) then ``iters`` gradient
+    stages. {tag}w{i} carries the weights after i updates; an optional
+    ``train_where`` restricts the gradient rows (CV folds) without
+    touching the shared feature CTE."""
+    stages = []
+    if not tag:  # the shared feature CTE is emitted once, by the base chain
+        stages.append(_f_cte())
+    stages.append(
+        f"{tag}w0 AS (SELECT "
         + ", ".join(f"0.0 AS {w}" for w in _W_NAMES)
-        + ")",
-    ]
+        + ")"
+    )
     z_sql = " + ".join(
         ["w_bias"] + [f"{w} * {x}" for w, x in zip(_W_NAMES[1:], _FEAT_NAMES)]
     )
     resid = f"(y - {_sig_sql('z')})"
+    src = f"(SELECT * FROM f WHERE {train_where})" if train_where else "f"
     for i in range(1, iters + 1):
         grads = [
             f"SUM(({resid})::DECIMAL(38,18))::DOUBLE / COUNT(*) AS g0"
@@ -118,11 +129,11 @@ def _logreg_chain(iters: int) -> str:
         )
         grads_sql = ",\n         ".join(grads)
         stages.append(
-            f"""g{i} AS (
+            f"""{tag}g{i} AS (
   SELECT {grads_sql}
-  FROM (SELECT f.*, ({z_sql}) AS z FROM f CROSS JOIN w{i - 1})
+  FROM (SELECT s.*, ({z_sql}) AS z FROM {src} s CROSS JOIN {tag}w{i - 1})
 ),
-w{i} AS (SELECT {updates} FROM w{i - 1} CROSS JOIN g{i})"""
+{tag}w{i} AS (SELECT {updates} FROM {tag}w{i - 1} CROSS JOIN {tag}g{i})"""
         )
     return ",\n".join(stages)
 
@@ -613,6 +624,70 @@ OLS_NORMAL_SQL = _normal_eq_sql(None)
 RIDGE_NORMAL_SQL = _normal_eq_sql(_RIDGE_LAM)
 
 
+_CV_FOLDS = 3
+
+
+def quality_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free k-fold cross-validation of the trained filter:
+    deterministic folds (doc_id % k), one model per held-out fold,
+    accuracy measured ONLY on rows the model never saw. The honest
+    eval a trained-gate deployment decision needs — train_acc from
+    quality_classifier_train is optimistic by construction.
+
+    Cost: k × the training scans (each on (k-1)/k of the corpus) plus
+    one scoring pass per fold; everything else is the family's usual
+    exact-sum machinery, so the whole table hash-certifies.
+    """
+    feats = _features(load_table(spark, sf_dir, "documents"))
+    out = None
+    for k in range(_CV_FOLDS):
+        train = feats.filter((F.col("doc_id") % _CV_FOLDS) != k)
+        test = feats.filter((F.col("doc_id") % _CV_FOLDS) == k)
+        w = mlprims.logreg_train(train, _FEAT_NAMES, "y", _ITERS, _LR)
+        z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
+        fold_row = test.agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (z > F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("test_acc"),
+        ).select(F.lit(k).alias("fold"), "n_test", "test_acc")
+        out = fold_row if out is None else out.unionByName(fold_row)
+    return out.orderBy("fold")
+
+
+def _cv_sql(iters: int) -> str:
+    tags = [f"cv{k}_" for k in range(_CV_FOLDS)]
+    chains = [_f_cte()]
+    chains.extend(
+        _logreg_chain(
+            iters, tag=tags[k], train_where=f"doc_id % {_CV_FOLDS} <> {k}"
+        )
+        for k in range(_CV_FOLDS)
+    )
+    selects = []
+    for k in range(_CV_FOLDS):
+        selects.append(
+            f"""SELECT {k} AS fold, COUNT(*)::BIGINT AS n_test,
+       ROUND(AVG(CASE WHEN (z > 0.0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6)
+         AS test_acc
+FROM (SELECT s.*, ({_Z_FINAL}) AS z
+      FROM (SELECT * FROM f WHERE doc_id % {_CV_FOLDS} = {k}) s
+      CROSS JOIN {tags[k]}w{iters})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY fold"
+    )
+
+
 def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train offline, score online: the trained classifier applied to
     ``documents`` replayed as a 4-file availableNow stream, with the
@@ -636,7 +711,7 @@ def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _table_replay_stream(
         spark, sf_dir, "documents", ("doc_id", "text", "lang", "source"),
-        ("text", "lang", "source"),
+        ("doc_id", "text", "lang", "source"),
     )
     feats_s = _features(stream)
     scored = mlprims.logreg_score(feats_s, w, _FEAT_NAMES)
@@ -871,6 +946,7 @@ def register_entries(register) -> None:  # noqa: ANN001
     )
     register("quality_classifier_score", quality_classifier_score, QUALITY_SCORE_SQL)
     register("classifier_gated_corpus", classifier_gated_corpus, CLASSIFIER_GATE_SQL)
+    register("quality_classifier_cv", quality_classifier_cv, _cv_sql(_ITERS))
     register(
         "lang_classifier_confusion",
         lang_classifier_confusion,
