@@ -34,6 +34,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         robust_queries,
         search_queries,
         scale_queries,
+        selection_queries,
         simjoin_queries,
         stats_queries,
         stream_queries,
@@ -68,6 +69,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     profiling_queries.register_entries(register)
     scale_queries.register_entries(register)
     search_queries.register_entries(register)
+    selection_queries.register_entries(register)
     behavior_queries.register_entries(register)
     quality_queries.register_entries(register)
     image_queries.register_entries(register)
