@@ -31,6 +31,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
         profiling_queries,
         quality_queries,
         relational_queries,
+        passage_queries,
         robust_queries,
         search_queries,
         scale_queries,
@@ -69,6 +70,7 @@ def populate(register) -> None:  # noqa: ANN001 — see catalog.register
     profiling_queries.register_entries(register)
     scale_queries.register_entries(register)
     search_queries.register_entries(register)
+    passage_queries.register_entries(register)
     selection_queries.register_entries(register)
     behavior_queries.register_entries(register)
     quality_queries.register_entries(register)
