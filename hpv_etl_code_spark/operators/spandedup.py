@@ -125,6 +125,50 @@ def duplicated_windows(
     return dup.drop("n_occ", "rn")
 
 
+def batch_removable_windows(
+    batch_w: DataFrame, corpus_w: DataFrame, id_col: str
+) -> DataFrame:
+    """Removable windows of an ingest BATCH against a persisted corpus
+    window index — the steady-state shape of a growing corpus, where
+    each batch is passage-deduped against everything already ingested
+    WITHOUT rescanning it (the analog of
+    dedup.py::dedup_incremental_survivors at passage granularity).
+
+    A batch window is removable when (a) its hash exists anywhere in
+    the corpus index — the corpus copy is canonical by seniority — or
+    (b) it repeats WITHIN the batch and is not the batch's first
+    occurrence (keep-first on ``(id, pos)``).
+
+    Scale: the corpus index never shuffles — the batch's distinct
+    hashes BROADCAST into a map-side semi-join over the index, whose
+    output is batch-bounded (≤ one row per distinct batch hash); the
+    within-batch rank is a window over the batch only. Per-batch cost
+    is O(batch + corpus scan), with the corpus scan pruned further by
+    parquet min/max on ``h`` when the index is written sorted — at
+    100 TB the index is the parquet artifact beside the corpus, and
+    appending the batch's own windows to it keeps the invariant for
+    the next batch.
+    """
+    matched = (
+        corpus_w.select("h")
+        .join(F.broadcast(batch_w.select("h").distinct()), "h")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    by_hash = Window.partitionBy("h")
+    ranked = batch_w.withColumn(
+        "n_occ", F.count(F.lit(1)).over(by_hash)
+    ).withColumn(
+        "rn",
+        F.row_number().over(by_hash.orderBy(F.col(id_col), F.col("pos"))),
+    )
+    removable = ranked.join(F.broadcast(matched), "h", "left").filter(
+        F.col("in_corpus").isNotNull()
+        | ((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+    )
+    return removable.select(id_col, "pos")
+
+
 def merge_spans(
     dup_windows: DataFrame, id_col: str, k: int = K_TOKENS
 ) -> DataFrame:

@@ -17,6 +17,7 @@ finer, Lee-et-al.-2022 passage granularity those operators cannot see).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import spandedup
 from ..sources.registry import load_table
@@ -64,6 +65,26 @@ def corpus_strip_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     spans = _spans(spark, sf_dir, keep_first=True)
     return spandedup.strip_spans(docs, spans, "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def passage_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch passage dedup against the accumulated corpus: every
+    5th document plays the new batch (the dedup_incremental split), the
+    rest the persisted window index. Batch windows already present in
+    the corpus strip unconditionally (corpus seniority); within-batch
+    repeats strip keep-first. The corpus index never shuffles — the
+    batch's distinct hashes broadcast into a map-side semi-join
+    (operators/spandedup.py::batch_removable_windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bw = spandedup.window_hashes(batch, "text", "doc_id", K)
+    cw = spandedup.window_hashes(corpus, "text", "doc_id", K)
+    rem = spandedup.batch_removable_windows(bw, cw, "doc_id")
+    spans = spandedup.merge_spans(rem, "doc_id", K)
+    return spandedup.strip_spans(batch, spans, "text", "doc_id").orderBy(
         "doc_id"
     )
 
@@ -161,8 +182,74 @@ ORDER BY t.doc_id
 """
 
 
+STRIP_INCREMENTAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE doc_id % 5 = 0
+),
+tc AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE doc_id % 5 <> 0
+),
+w0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'h': md5(array_to_string(ts[i:i+{K - 1}], ' '))}}
+                 for i in range(1, greatest(len(ts) - {K - 2}, 1))]) AS u
+  FROM t
+),
+w AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM w0),
+cw0 AS (
+  SELECT unnest([md5(array_to_string(ts[i:i+{K - 1}], ' '))
+                 for i in range(1, greatest(len(ts) - {K - 2}, 1))]) AS h
+  FROM tc
+),
+corpus_h AS (SELECT DISTINCT h FROM cw0),
+r AS (
+  SELECT doc_id, pos, h,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+d AS (
+  SELECT doc_id, pos FROM r
+  WHERE h IN (SELECT h FROM corpus_h) OR (n_occ >= 2 AND rn >= 2)
+),
+{_ISLANDS},
+tokpos AS (
+  SELECT doc_id,
+         unnest([{{'tok': ts[i], 'p': i}}
+                 for i in range(1, len(ts) + 1)]) AS u
+  FROM t
+),
+kept AS (
+  SELECT tp.doc_id, (tp.u).tok AS tok, (tp.u).p AS p
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s
+    WHERE s.doc_id = tp.doc_id
+      AND (tp.u).p BETWEEN s.span_start AND s.span_end)
+),
+clean AS (
+  SELECT doc_id, COUNT(*) AS tok_after,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_sig
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.ts) AS tok_before,
+       COALESCE(clean.tok_after, 0)::BIGINT AS tok_after,
+       COALESCE(clean.clean_sig, md5('')) AS clean_sig
+FROM t LEFT JOIN clean USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dup_passage_spans", dup_passage_spans, DUP_SPANS_SQL)
+    register(
+        "passage_strip_incremental",
+        passage_strip_incremental,
+        STRIP_INCREMENTAL_SQL,
+    )
     register("dup_passage_doc_stats", dup_passage_doc_stats, DUP_DOC_STATS_SQL)
     register(
         "corpus_strip_duplicate_passages",

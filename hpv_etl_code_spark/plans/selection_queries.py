@@ -66,6 +66,40 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("gumbel_key"), "doc_id")
 
 
+#: per-stratum resample size for the stratified entry.
+K_PER_LANG = 20
+
+
+def dsir_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gumbel top-k — stratified selection with a fixed
+    budget per stratum, the shape used when the selected set must keep
+    a mixture contract regardless of where the importance mass lands
+    (DoReMi-style domain budgets meet DSIR weights). One shuffle to
+    attach the stratum key, one per-stratum sort for the row_number;
+    each stratum's winners are k rows, so the result stays broadcast-
+    sized downstream."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = _weights(spark, sf_dir).withColumn(
+        "key_micro", F.col("logw_micro") + dsir.gumbel_key_micro("doc_id")
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("key_micro"), "doc_id")
+    return (
+        keyed.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= K_PER_LANG)
+        .select(
+            "lang",
+            "doc_id",
+            F.round(F.col("logw_micro") / dsir.MICRO, 6).alias("logw"),
+            F.round(F.col("key_micro") / dsir.MICRO, 6).alias("gumbel_key"),
+            "rk",
+        )
+        .orderBy("lang", "rk")
+    )
+
+
 def dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Before/after language mixture of the selected set — DSIR's
     effect made observable. Honesty note: the synthetic corpus shares
@@ -190,7 +224,21 @@ ORDER BY r.lang
 """
 
 
+DSIR_STRATIFIED_SQL = f"""{_W_CTE}
+SELECT lang, doc_id, logw, gumbel_key, rk FROM (
+  SELECT lang, doc_id,
+         ROUND(logw_micro / 1000000.0, 6) AS logw,
+         ROUND(key_micro / 1000000.0, 6) AS gumbel_key,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY key_micro DESC, doc_id) AS rk
+  FROM g)
+WHERE rk <= {K_PER_LANG}
+ORDER BY lang, rk
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dsir_importance_weights", dsir_importance_weights, DSIR_WEIGHTS_SQL)
+    register("dsir_stratified_topk", dsir_stratified_topk, DSIR_STRATIFIED_SQL)
     register("dsir_resample_topk", dsir_resample_topk, DSIR_TOPK_SQL)
     register("dsir_mixture_shift", dsir_mixture_shift, DSIR_MIXTURE_SQL)

@@ -79,6 +79,14 @@ SCALE_CRITICAL = (
     "pca_top_component",
     "pca_projection_hist",
     "kmeans_cluster_profile",
+    # data selection (round 9: DSIR importance resampling — two corpus
+    # scans, a B-row broadcast between them; top-k is TakeOrdered)
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    # duplicated-passage dedup (round 9: token-scale window table,
+    # one hash exchange + one doc exchange; strip never explodes)
+    "dup_passage_spans",
+    "corpus_strip_duplicate_passages",
     # relational backbone
     "global_index_orders",
     "pricing_summary",

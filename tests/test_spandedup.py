@@ -128,6 +128,32 @@ def test_doc_stats_sum_matches_span_lengths(shared_passage):
     assert stats[3].dup_tokens == 0
 
 
+def test_incremental_strip_against_corpus_index(spark):
+    """Batch windows strip when the corpus already holds them (corpus
+    seniority), keep-first applies within the batch, and novel batch
+    passages survive untouched."""
+    corpus = _docs(spark, [(100, "c1 c2 p q r s c3 c4")])
+    batch = _docs(
+        spark,
+        [
+            (1, "p q r s b1 b2 b3 b4"),  # corpus passage → stripped
+            (2, "n1 n2 n3 n4 x1 n1 n2 n3 n4"),  # within-batch repeat
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),  # novel → untouched
+        ],
+    )
+    cw = spandedup.window_hashes(corpus, "text", "doc_id", K)
+    bw = spandedup.window_hashes(batch, "text", "doc_id", K)
+    rem = spandedup.batch_removable_windows(bw, cw, "doc_id")
+    spans = spandedup.merge_spans(rem, "doc_id", K)
+    out = {
+        r.doc_id: r
+        for r in spandedup.strip_spans(batch, spans, "text", "doc_id").collect()
+    }
+    assert out[1].tok_after == 4  # "b1 b2 b3 b4" survives
+    assert out[2].tok_after == 5  # first "n1 n2 n3 n4" + "x1" survive
+    assert out[3].tok_after == out[3].tok_before == 8
+
+
 def test_merged_spans_never_overlap(spark):
     """Island-merge invariant on a messier corpus: per doc, spans are
     disjoint with at least one token of gap between them."""
