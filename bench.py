@@ -6,8 +6,11 @@ Prints ONE JSON line:
 Methodology (round 6 — VERDICT r5 #1, matching BASELINE.md's
 "median of 3 runs, warm JVM"): each query runs once as a warm-up
 (JVM/codegen/scan cache) then SPARK_GRAFT_BENCH_RUNS (default 3) timed
-runs via full materialization (count of the result, so the whole plan
-executes). The recorded per-query figure — and the headline total — is
+runs via full materialization (executing the entry's OWN physical plan
+at the RDD level — ``df.count()`` is NOT full execution: Catalyst
+re-optimizes the count and prunes row-preserving subtrees, which
+hollowed out 21 entries' timings through round 9; see
+plans/profile.py::materialize and ADJUDICATED.md round-9). The recorded per-query figure — and the headline total — is
 the MEDIAN of the timed runs; the MIN is emitted alongside in
 ``queries_min`` as the transition-round legacy field (rounds 3-5
 recorded min-of-2, rounds 1-2 a single run; three straight rounds of
@@ -70,9 +73,14 @@ import statistics
 import sys
 import time
 
+# deferred: pyspark import is heavy and bench.py --help should be instant
+def materialize(df) -> int:
+    from hpv_etl_code_spark.plans.profile import materialize as _m
+    return _m(df)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_METHODOLOGY = "median-of-3-warm"
+_METHODOLOGY = "median-of-3-warm-materialized"
 
 
 def _n_runs() -> int:
@@ -84,11 +92,11 @@ def _time_one(spark, fn, sf_dir: str) -> tuple[float, float]:
     (median, min). The warm-up pays JVM/codegen/scan-cache AND any
     shared-cache artifact build, so timed runs measure the steady
     state."""
-    fn(spark, sf_dir).count()  # warm-up
+    materialize(fn(spark, sf_dir))  # warm-up
     runs: list[float] = []
     for _ in range(_n_runs()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        materialize(fn(spark, sf_dir))
         runs.append(time.perf_counter() - t0)
     return round(statistics.median(runs), 4), round(min(runs), 4)
 
@@ -97,9 +105,9 @@ def _probe_one(spark, fn, sf_dir: str) -> float:
     """Warm-up + ONE timed run — enough to decide whether the entry
     crosses the isolation threshold without paying the full
     median-of-N in a session whose numbers would then be discarded."""
-    fn(spark, sf_dir).count()  # warm-up
+    materialize(fn(spark, sf_dir))  # warm-up
     t0 = time.perf_counter()
-    fn(spark, sf_dir).count()
+    materialize(fn(spark, sf_dir))
     return time.perf_counter() - t0
 
 
@@ -228,7 +236,7 @@ def main() -> None:
                 runs = [probe]
                 for _ in range(_n_runs() - 1):
                     t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()
+                    materialize(fn(spark, sf_dir))
                     runs.append(time.perf_counter() - t0)
                 timings[name] = round(statistics.median(runs), 4)
                 timings_min[name] = round(min(runs), 4)

@@ -125,6 +125,14 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.frontdoor",
             "resolve_dedup_method",
         ),
+        "strip_duplicate_passages": (
+            "hpv_etl_code_spark.operators.frontdoor",
+            "strip_duplicate_passages",
+        ),
+        "dsir_select": (
+            "hpv_etl_code_spark.operators.dsir",
+            "dsir_select",
+        ),
         "video_codec_census": (
             "hpv_etl_code_spark.operators.video",
             "video_codec_census",

@@ -157,6 +157,32 @@ def gumbel_key_micro(id_col: Column | str) -> Column:
     return F.round(-F.log(-F.log(u)) * MICRO).cast("bigint")
 
 
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Front door: pick the ``k`` raw-corpus documents that look most
+    like the ``target`` sample — fit both bucket models (one combined
+    scan), score the raw pool (one more scan + a B-row broadcast), and
+    Gumbel-top-k resample. Returns ``(id, n_grams, logw_micro,
+    key_micro)`` for the selected rows; join back on ``id`` for the
+    payloads. ``target`` is typically tiny (a curated domain sample) —
+    it rides along the fit scan via a union, never a join."""
+    tagged = raw.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__t")
+    ).unionByName(
+        target.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("__t")
+        )
+    )
+    lam = importance_lambda(bucket_counts(tagged, text_col, F.col("__t")))
+    weights = doc_logweights(raw, text_col, id_col, lam)
+    return gumbel_topk(weights, id_col, k)
+
+
 def gumbel_topk(weights: DataFrame, id_col: str, k: int) -> DataFrame:
     """Gumbel top-k resampling: ``key = logw + Gumbel`` (micro-units,
     integer add — exact), take the k largest. Equivalent to sampling k

@@ -223,6 +223,45 @@ def _semantic_records(
     return _records_from_components(ids, comps)
 
 
+def strip_duplicate_passages(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Front door for PASSAGE-level dedup — the granularity
+    :func:`dedup` cannot see: two mostly distinct documents sharing one
+    verbatim paragraph both survive every doc-level method, yet the
+    shared paragraph is the memorization hazard (Lee et al., ACL 2022).
+
+    One call: k-token duplicated windows (corpus-wide occurrence ≥ 2)
+    → keep-first (the min ``(id, pos)`` occurrence survives) → island-
+    merged spans → token strip. Returns one row per input row:
+    ``(id, tok_before, tok_after, text_clean)`` — ``text_clean`` is the
+    document with every non-canonical duplicated passage removed, so
+    the frame is a drop-in replacement for the input corpus.
+
+    ``k`` defaults to :data:`~.spandedup.K_TOKENS`; larger k = stricter
+    (longer passages only). Plan shape and the 100 TB story live in
+    operators/spandedup.py. Certified at the driver gate as
+    ``corpus_strip_duplicate_passages`` (plans/passage_queries.py —
+    same composition, hash-narrow output).
+    """
+    from .spandedup import (
+        K_TOKENS,
+        duplicated_windows,
+        merge_spans,
+        strip_spans,
+        window_hashes,
+    )
+
+    kk = K_TOKENS if k is None else k
+    w = window_hashes(df, col, id_col, kk)
+    rem = duplicated_windows(w, id_col, keep_first=True)
+    spans = merge_spans(rem, id_col, kk)
+    return strip_spans(df, spans, col, id_col, emit_text=True)
+
+
 def dedup(
     df: DataFrame,
     col: str,

@@ -199,12 +199,19 @@ def merge_spans(
 
 
 def strip_spans(
-    docs: DataFrame, spans: DataFrame, text_col: str, id_col: str
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Remove the tokens of every span from each document's text —
     ``(id, tok_before, tok_after, clean_sig)`` where ``clean_sig`` is
     the md5 of the space-rejoined surviving tokens ('' when a doc is
-    stripped bare, md5-consistent across engines).
+    stripped bare, md5-consistent across engines). With
+    ``emit_text=True`` the surviving text itself is returned as
+    ``text_clean`` instead of its md5 (the front-door shape — catalog
+    entries keep the hash so the oracle compare stays narrow).
 
     The spans aggregate to ONE array per affected doc (duplicate-scale)
     and join back on the doc key; the drop itself is an array
@@ -225,11 +232,16 @@ def strip_spans(
             F.lit(False),
         ),
     )
+    tail = (
+        F.concat_ws(" ", keep).alias("text_clean")
+        if emit_text
+        else F.md5(F.concat_ws(" ", keep)).alias("clean_sig")
+    )
     return docs.join(spans_per_doc, id_col, "left").select(
         F.col(id_col),
         F.size(toks).alias("tok_before"),
         F.size(keep).alias("tok_after"),
-        F.md5(F.concat_ws(" ", keep)).alias("clean_sig"),
+        tail,
     )
 
 

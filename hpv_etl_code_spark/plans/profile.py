@@ -75,6 +75,24 @@ def _node_metrics(node) -> dict:
     return out
 
 
+def materialize(df: DataFrame) -> int:
+    """Fully execute ``df``'s OWN physical plan and return its row
+    count.
+
+    ``df.count()`` is NOT full execution: Catalyst re-optimizes the
+    count aggregate and prunes every row-preserving subtree — pure
+    projections collapse to a parquet-footer count, windows with no
+    downstream filter vanish, and unique-key left joins are eliminated
+    outright (round-9 audit: 21 catalog entries collapsed to a bare
+    source count under ``.count()``, including two bench headliners).
+    Executing the DataFrame's already-planned ``executedPlan`` at the
+    RDD level (the same seam :func:`execute_and_profile` uses) computes
+    every output column with zero re-optimization and no extra hashing
+    cost — the honest timing action for bench.py and the scale
+    rehearsal."""
+    return df._jdf.queryExecution().executedPlan().execute().count()
+
+
 def execute_and_profile(df: DataFrame) -> PlanProfile:
     """Force the DataFrame's OWN QueryExecution and aggregate its
     runtime metrics. Returns a :class:`PlanProfile`; ``nodes`` carries

@@ -136,8 +136,9 @@ def _run_isolated(name: str, sf_dir: str) -> tuple[float | None, int | None, str
         "from hpv_etl_code_spark.session import get_spark\n"
         "spark = get_spark(app_name='scale_leg')\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from hpv_etl_code_spark.plans.profile import materialize\n"
         "t0 = time.perf_counter()\n"
-        "rows = catalog.entries()[%r].fn(spark, %r).count()\n"
+        "rows = materialize(catalog.entries()[%r].fn(spark, %r))\n"
         "print('LEG_RESULT ' + json.dumps({'dt': time.perf_counter() - t0, 'rows': rows}))\n"
     ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name, sf_dir)
     proc = subprocess.run(
@@ -184,6 +185,7 @@ def main() -> int:
 
     from hpv_etl_code_spark import catalog
     from hpv_etl_code_spark.plans import artifacts, shared_cache
+    from hpv_etl_code_spark.plans.profile import materialize
     from hpv_etl_code_spark.session import get_spark
 
     spark = None
@@ -236,7 +238,7 @@ def main() -> int:
             spark = ensure_spark(spark)
             t0 = time.perf_counter()
             try:
-                rows = es[name].fn(spark, sf_dir).count()
+                rows = materialize(es[name].fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 results.setdefault(name, {})[label] = round(dt, 2)
                 results[name][f"{label}_rows"] = rows

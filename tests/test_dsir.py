@@ -36,6 +36,25 @@ def _py_logw_micro(text: str, lam: dict[int, int]) -> int:
     return sum(lam.get(_py_hash60("f|" + g) % dsir.N_BUCKETS, 0) for g in _py_grams(text))
 
 
+def test_dsir_select_front_door_matches_pipeline(spark):
+    """The one-call composition equals the staged fit→score→topk."""
+    rows = [(i, f"w{i % 7} common t{i % 3} x{i}", "en") for i in range(40)]
+    docs = _docs(spark, rows)
+    target = docs.filter(F.col("doc_id") % 4 == 0)
+    raw = docs.filter(F.col("doc_id") % 4 != 0)
+    got = dsir.dsir_select(raw, target, "text", "doc_id", 5).collect()
+    tagged = raw.select("doc_id", "text", F.lit(False).alias("t")).unionByName(
+        target.select("doc_id", "text", F.lit(True).alias("t"))
+    )
+    lam = dsir.importance_lambda(dsir.bucket_counts(tagged, "text", F.col("t")))
+    staged = dsir.gumbel_topk(
+        dsir.doc_logweights(raw, "text", "doc_id", lam), "doc_id", 5
+    ).collect()
+    key = lambda r: (r.doc_id, r.logw_micro, r.key_micro)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, staged))
+    assert len(got) == 5
+
+
 @pytest.fixture(scope="module")
 def signal_corpus(spark):
     """60 docs: 10 target (wiki-style tokens), 25 raw wiki-like,

@@ -154,6 +154,20 @@ def test_incremental_strip_against_corpus_index(spark):
     assert out[3].tok_after == out[3].tok_before == 8
 
 
+def test_front_door_strip_emits_clean_text(spark, shared_passage):
+    from hpv_etl_code_spark import strip_duplicate_passages
+
+    out = {
+        r.doc_id: r
+        for r in strip_duplicate_passages(
+            shared_passage, "text", id_col="doc_id", k=K
+        ).collect()
+    }
+    assert out[1].text_clean == "a b p q r s t u c d"  # canonical copy kept
+    assert out[2].text_clean == "x y z w"
+    assert out[3].tok_after == 10
+
+
 def test_merged_spans_never_overlap(spark):
     """Island-merge invariant on a messier corpus: per doc, spans are
     disjoint with at least one token of gap between them."""
