@@ -185,6 +185,95 @@ def merged_symbols(
     )
 
 
+def bpe_vocab(word_syms: DataFrame) -> DataFrame:
+    """``(subword, token_id)`` — dense 0-based ids over the distinct
+    subwords of a trained word→subwords map.
+
+    Ids are assigned in lexicographic subword order: a total order both
+    engines share bit-for-bit (real tokenizers order by merge rank;
+    rank is not reconstructible from the map alone, and id ASSIGNMENT
+    is arbitrary as long as it is stable — lexicographic is the
+    portable choice). The window is global but the frame is
+    vocabulary-sized (~10⁵ rows even at 100 TB), so the single-
+    partition sort is metadata-class work, same class as the merge
+    table itself."""
+    from pyspark.sql import Window
+
+    subs = word_syms.select(
+        F.explode(F.split(F.trim("sym"), "  ")).alias("subword")
+    ).distinct()
+    return subs.withColumn(
+        "token_id", F.row_number().over(Window.orderBy("subword")) - 1
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus to TOKEN-ID SEQUENCES:
+    ``(id, n_tokens, token_ids)`` with ``token_ids`` the space-joined
+    dense vocabulary ids in document order — the actual
+    training-data-prep output (bpe_token_counts stops at counts).
+
+    Scale shape: the word→ids map is assembled entirely at VOCABULARY
+    scale (subword explode, vocab join, per-word ordered re-agg — all
+    ≪ corpus), then the corpus makes ONE pass: posexplode to words,
+    broadcast-or-AQE join on word, and one per-doc ordered re-agg. The
+    corpus never explodes below word granularity, and the only
+    corpus-sized shuffle is the per-doc agg. Docs with no words (empty
+    text) are kept with ``n_tokens = 0`` — total output, one row per
+    input doc."""
+    word_syms = merged_symbols(docs, merges, text_col=text_col)
+    vocab = bpe_vocab(word_syms)
+    sub_pos = word_syms.select(
+        "word",
+        F.posexplode(F.split(F.trim("sym"), "  ")).alias("idx", "subword"),
+    )
+    wmap = (
+        sub_pos.join(vocab, "subword")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "wpos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    enc = (
+        words.join(wmap, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s["ids"],
+                ),
+            ).alias("token_ids"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(enc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("token_ids", F.lit("")).alias("token_ids"),
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -125,6 +125,70 @@ ORDER BY doc_id
 )
 
 
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID sequences under the trained N_MERGES-rule tokenizer:
+    (doc_id, n_tokens, token_ids) — token_ids space-joined dense vocab
+    ids in document order, '' for wordless docs (total output). The
+    word→ids map is vocabulary-sized; the corpus makes one pass
+    (operators/bpe.py::bpe_encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    learned = bpe.bpe_train(docs, num_merges=N_MERGES, strict=False).collect()
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(learned, key=lambda r: r["merge_rank"])
+    ]
+    return bpe.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+BPE_ENCODE_SQL = (
+    "WITH "
+    + _unrolled_chain(N_MERGES)
+    + f""",
+vocab AS (
+  SELECT subword, ROW_NUMBER() OVER (ORDER BY subword) - 1 AS token_id
+  FROM (
+    SELECT DISTINCT unnest(string_split(trim(sym), '  ')) AS subword
+    FROM w{N_MERGES}
+  )
+),
+wm AS (
+  SELECT word, COUNT(*) AS n_toks,
+         string_agg(token_id::VARCHAR, ' ' ORDER BY idx) AS ids
+  FROM (
+    SELECT word, (u).idx AS idx, (u).sub AS subword
+    FROM (
+      SELECT word,
+             unnest([{{'idx': i, 'sub': ts[i]}}
+                     for i in range(1, len(ts) + 1)]) AS u
+      FROM (SELECT word, string_split(trim(sym), '  ') AS ts FROM w{N_MERGES})
+    )
+  ) JOIN vocab USING (subword)
+  GROUP BY word
+),
+wp AS (
+  SELECT doc_id, (u).wpos AS wpos, (u).word AS word
+  FROM (
+    SELECT doc_id,
+           unnest([{{'wpos': i, 'word': ws[i]}}
+                   for i in range(1, len(ws) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+  WHERE (u).word <> ''
+),
+enc AS (
+  SELECT doc_id, SUM(n_toks)::BIGINT AS n_tokens,
+         string_agg(ids, ' ' ORDER BY wpos) AS token_ids
+  FROM wp JOIN wm USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(enc.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(enc.token_ids, '') AS token_ids
+FROM documents d LEFT JOIN enc USING (doc_id)
+ORDER BY d.doc_id
+"""
+)
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("bpe_train_merges", bpe_train_merges, BPE_TRAIN_SQL)
     register("bpe_token_counts", bpe_token_counts, BPE_TOKENIZE_SQL)
+    register("bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_SQL)

@@ -155,3 +155,37 @@ def test_token_counts_match_reference_and_shrink_monotonically(spark):
         }
         assert all(cur[d] <= prev[d] for d in cur)
         prev = cur
+
+
+def test_bpe_encode_round_trips_and_is_total(spark):
+    """Token-id sequences decode back to the original text: each word's
+    subwords concatenate to the word, so the whole id sequence mapped
+    through the inverse vocabulary and re-joined at word boundaries
+    reconstructs every document. Wordless docs stay present with
+    n_tokens = 0 (total output)."""
+    texts = ["the cat sat on the mat", "the cat", "", "mat mat the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    learned = bpe.bpe_train(docs, num_merges=3, strict=False).collect()
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(learned, key=lambda r: r["merge_rank"])
+    ]
+    enc = {r.doc_id: r for r in bpe.bpe_encode(docs, merges).collect()}
+    vocab = {
+        r.token_id: r.subword
+        for r in bpe.bpe_vocab(
+            bpe.merged_symbols(docs, merges)
+        ).collect()
+    }
+    assert len(enc) == len(texts)
+    assert enc[2].n_tokens == 0 and enc[2].token_ids == ""
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = [vocab[int(x)] for x in enc[i].token_ids.split(" ")]
+        assert "".join(toks) == t.replace(" ", "")
+        assert enc[i].n_tokens == len(toks)
+    # ids are dense 0..V-1
+    assert sorted(vocab) == list(range(len(vocab)))
