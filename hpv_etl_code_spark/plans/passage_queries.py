@@ -244,7 +244,7 @@ ORDER BY t.doc_id
 
 
 def register_entries(register) -> None:  # noqa: ANN001
-    register("dup_passage_spans", dup_passage_spans, DUP_SPANS_SQL)
+    register("dup_passage_spans", dup_passage_spans, DUP_SPANS_SQL, headline=True)
     register(
         "passage_strip_incremental",
         passage_strip_incremental,

@@ -240,5 +240,5 @@ ORDER BY lang, rk
 def register_entries(register) -> None:  # noqa: ANN001
     register("dsir_importance_weights", dsir_importance_weights, DSIR_WEIGHTS_SQL)
     register("dsir_stratified_topk", dsir_stratified_topk, DSIR_STRATIFIED_SQL)
-    register("dsir_resample_topk", dsir_resample_topk, DSIR_TOPK_SQL)
+    register("dsir_resample_topk", dsir_resample_topk, DSIR_TOPK_SQL, headline=True)
     register("dsir_mixture_shift", dsir_mixture_shift, DSIR_MIXTURE_SQL)

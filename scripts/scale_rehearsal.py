@@ -87,6 +87,7 @@ SCALE_CRITICAL = (
     # one hash exchange + one doc exchange; strip never explodes)
     "dup_passage_spans",
     "corpus_strip_duplicate_passages",
+    "passage_strip_incremental",
     # relational backbone
     "global_index_orders",
     "pricing_summary",
