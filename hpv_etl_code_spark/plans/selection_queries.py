@@ -137,6 +137,56 @@ def dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit offline, score online: the λ table is fitted on the batch
+    corpus, then ``documents`` replays as a 4-file availableNow stream
+    and the STREAMING ENGINE accumulates the per-language importance
+    mass — ``(lang, n_grams, sum_logw)`` with exact integer micro-unit
+    state, so the final result is bit-identical to the batch aggregate
+    of ``dsir_importance_weights`` and hash-certifies against the same
+    oracle chain. One stateful aggregate: per-gram λ contributions sum
+    straight to the language totals (Σ_docs logw = Σ_grams λ), so no
+    per-doc intermediate state is ever held. The λ side is a B-row
+    broadcast into a stream-static join — the steady-state ingest shape
+    where a frozen selection model scores arriving batches."""
+    import uuid
+
+    from ..streaming.stream import run_to_memory_sink
+    from .stream_queries import _table_replay_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    lam = dsir.importance_lambda(
+        dsir.bucket_counts(docs, "text", _is_target())
+    )
+    stream = _table_replay_stream(
+        spark, sf_dir, "documents", ("doc_id", "text", "lang", "source"),
+        ("doc_id", "text", "lang", "source"),
+    )
+    grams = stream.filter(~_is_target()).select(
+        "lang",
+        F.explode(
+            dsir.hashed_grams(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("bucket"),
+    )
+    agg = (
+        grams.join(F.broadcast(lam), "bucket")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(
+                F.sum("lam_micro").cast("bigint") / dsir.MICRO, 6
+            ).alias("sum_logw"),
+        )
+    )
+    sink = f"dsir_scores_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, sink, output_mode="complete")
+    return (
+        spark.table(sink)
+        .select("lang", "n_grams", "sum_logw")
+        .orderBy("lang")
+    )
+
+
 #: DuckDB bigram list for a split-text column ``ts`` (empty when the
 #: doc has a single token — same guard as textops.word_ngrams(n=2)).
 _D_BIGRAMS = "[ts[i]||'_'||ts[i+1] for i in range(1, greatest(len(ts), 1))]"
@@ -237,8 +287,16 @@ ORDER BY lang, rk
 """
 
 
+DSIR_STREAM_SQL = f"""{_W_CTE}
+SELECT lang, SUM(n_grams)::BIGINT AS n_grams,
+       ROUND(SUM(logw_micro) / 1000000.0, 6) AS sum_logw
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("dsir_importance_weights", dsir_importance_weights, DSIR_WEIGHTS_SQL)
     register("dsir_stratified_topk", dsir_stratified_topk, DSIR_STRATIFIED_SQL)
+    register("dsir_scores_stream_final", dsir_scores_stream_final, DSIR_STREAM_SQL)
     register("dsir_resample_topk", dsir_resample_topk, DSIR_TOPK_SQL, headline=True)
     register("dsir_mixture_shift", dsir_mixture_shift, DSIR_MIXTURE_SQL)
