@@ -169,10 +169,193 @@ FROM ed WHERE doc_id NOT IN (SELECT id_b FROM doomed)
 """
 
 
+#: resample budget for the selection tail of the v2 pipeline.
+_SELECT_K = 150
+
+
+def llm_corpus_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 end-to-end composition, ORACLE-CHECKED through every
+    stage: raw documents → quality gate → language gate → exact dedup →
+    portable-MinHash near-dup survivors → **duplicated-passage strip**
+    (keep-first, operators/spandedup.py) → **DSIR Gumbel top-k
+    selection** over the CLEANED text (operators/dsir.py) — the full
+    training-data-prep chain as ONE lazy plan.
+
+    Stage order is the scale order: narrow gates shrink the corpus
+    before any shuffle; doc-level dedup before passage work (fewer
+    windows); selection last (its TakeOrdered tail is k rows). The
+    passage strip feeds DSIR its ``text_clean``, so importance grams
+    are computed over deduplicated passages — boilerplate mass cannot
+    dominate the bucket models, which is the practical reason these
+    stages compose in this order in a real pipeline.
+
+    Certified end-to-end: every stage (including the Gumbel noise and
+    the integer micro-unit weight accumulation) is md5-derived, so the
+    DuckDB twin reproduces the selected set bit-for-bit."""
+    from ..operators import dsir, spandedup
+
+    g = _corpus_stages(spark, sf_dir)
+    pairs = minhash_lsh_pairs_portable(g, "doc_id", "text", threshold=0.9)
+    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = g.join(doomed, "doc_id", "left_anti")
+
+    w = spandedup.window_hashes(surv, "text", "doc_id", spandedup.K_TOKENS)
+    rem = spandedup.duplicated_windows(w, "doc_id", keep_first=True)
+    spans = spandedup.merge_spans(rem, "doc_id", spandedup.K_TOKENS)
+    clean = spandedup.strip_spans(surv, spans, "text", "doc_id", emit_text=True)
+    cdocs = clean.join(surv.select("doc_id", "lang"), "doc_id")
+
+    is_t = (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+    lam = dsir.importance_lambda(dsir.bucket_counts(cdocs, "text_clean", is_t))
+    wts = dsir.doc_logweights(
+        cdocs.filter(~is_t), "text_clean", "doc_id", lam
+    )
+    sel = dsir.gumbel_topk(wts, "doc_id", _SELECT_K)
+    return (
+        sel.join(cdocs.select("doc_id", "lang", "tok_after"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("tok_after").alias("tok_clean"),
+            F.round(F.col("logw_micro") / dsir.MICRO, 6).alias("logw"),
+            F.round(F.col("key_micro") / dsir.MICRO, 6).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+    )
+
+
+def _select_oracle_sql() -> str:
+    """The v2 chain: the portable-pipeline oracle through ``doomed``,
+    then the passage CTEs (k = spandedup.K_TOKENS) over the survivor
+    set, then the DSIR chain over the STRIPPED text."""
+    from ..operators.spandedup import K_TOKENS as K
+
+    base = _corpus_oracle_sql()
+    head = base[: base.index("\nSELECT doc_id, lang, source")]
+    return f"""{head},
+surv AS (
+  SELECT doc_id, lang, text FROM ed
+  WHERE doc_id NOT IN (SELECT id_b FROM doomed)
+),
+pt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM surv),
+pw0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'h': md5(array_to_string(ts[i:i+{K - 1}], ' '))}}
+                 for i in range(1, greatest(len(ts) - {K - 2}, 1))]) AS u
+  FROM pt
+),
+pw AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM pw0),
+pr AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM pw
+),
+pd AS (SELECT doc_id, pos FROM pr WHERE n_occ >= 2 AND rn >= 2),
+pg AS (
+  SELECT doc_id, pos,
+         MAX(pos + {K - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM pd
+),
+pisl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM pg
+),
+ps AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {K - 1} AS span_end
+  FROM pisl GROUP BY doc_id, island
+),
+ptok AS (
+  SELECT doc_id,
+         unnest([{{'tok': ts[i], 'p': i}}
+                 for i in range(1, len(ts) + 1)]) AS u
+  FROM pt
+),
+pkept AS (
+  SELECT tp.doc_id, (tp.u).tok AS tok, (tp.u).p AS p
+  FROM ptok tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ps
+    WHERE ps.doc_id = tp.doc_id
+      AND (tp.u).p BETWEEN ps.span_start AND ps.span_end)
+),
+pclean AS (
+  SELECT doc_id, COUNT(*) AS tok_after,
+         string_agg(tok, ' ' ORDER BY p) AS txt
+  FROM pkept GROUP BY doc_id
+),
+ct AS (
+  SELECT surv.doc_id, surv.lang,
+         COALESCE(pclean.tok_after, 0)::BIGINT AS tok_clean,
+         string_split(COALESCE(pclean.txt, ''), ' ') AS ts2
+  FROM surv LEFT JOIN pclean USING (doc_id)
+),
+dgrams AS (
+  SELECT doc_id, (lang = 'en' AND doc_id % 5 = 0) AS is_t,
+         unnest(ts2 || [ts2[i]||'_'||ts2[i+1]
+                        for i in range(1, greatest(len(ts2), 1))]) AS gram
+  FROM ct
+),
+db2 AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5('f|' || gram), 1, 15))::BIGINT % 64 AS bucket
+  FROM dgrams
+),
+dcnt AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct_t,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS ct_r
+  FROM db2 GROUP BY bucket
+),
+dtot AS (SELECT SUM(ct_t) AS tt, SUM(ct_r) AS tr FROM dcnt),
+dlam AS (
+  SELECT bucket,
+         CAST(ROUND((LN((ct_t + 1.0) / (tt + 64.0))
+                   - LN((ct_r + 1.0) / (tr + 64.0))) * 1000000) AS BIGINT)
+           AS lam_micro
+  FROM dcnt CROSS JOIN dtot
+),
+ddoc AS (
+  SELECT doc_id, bucket, COUNT(*) AS n
+  FROM db2 WHERE NOT is_t GROUP BY doc_id, bucket
+),
+dsc AS (
+  SELECT doc_id, SUM(n * lam_micro)::BIGINT AS logw_micro
+  FROM ddoc JOIN dlam USING (bucket) GROUP BY doc_id
+),
+dsel AS (
+  SELECT ct.doc_id, ct.lang, ct.tok_clean,
+         COALESCE(dsc.logw_micro, 0)::BIGINT AS logw_micro,
+         COALESCE(dsc.logw_micro, 0)::BIGINT
+           + CAST(ROUND(-LN(-LN(
+               (('0x' || substr(md5('u|' || ct.doc_id), 1, 15))::BIGINT + 0.5)
+                 / 1152921504606846976.0)) * 1000000) AS BIGINT) AS key_micro
+  FROM ct LEFT JOIN dsc USING (doc_id)
+  WHERE NOT (ct.lang = 'en' AND ct.doc_id % 5 = 0)
+)
+SELECT doc_id, lang, tok_clean,
+       ROUND(logw_micro / 1000000.0, 6) AS logw,
+       ROUND(key_micro / 1000000.0, 6) AS gumbel_key
+FROM dsel ORDER BY key_micro DESC, doc_id LIMIT {_SELECT_K}
+"""
+
+
 def register_entries(register) -> None:  # noqa: ANN001
     register("llm_corpus_pipeline", llm_corpus_pipeline, None, headline=True)
     register(
         "llm_corpus_pipeline_portable",
         llm_corpus_pipeline_portable,
         _corpus_oracle_sql(),
+    )
+    register(
+        "llm_corpus_pipeline_select",
+        llm_corpus_pipeline_select,
+        _select_oracle_sql(),
     )
