@@ -219,6 +219,19 @@ _ROTATION_POOL: tuple[str, ...] = (
     "corpus_ops_battery",
     "image_battery",
     # -- (2) newest granular entries --
+    # round 9, session 3 (DSIR selection, passage dedup, BPE encode,
+    # composed select pipeline — first-round-certify convention):
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    "dsir_stratified_topk",
+    "dsir_mixture_shift",
+    "dsir_scores_stream_final",
+    "dup_passage_spans",
+    "dup_passage_doc_stats",
+    "corpus_strip_duplicate_passages",
+    "passage_strip_incremental",
+    "bpe_encode_corpus",
+    "llm_corpus_pipeline_select",
     # round 9:
     "quality_classifier_train",
     "quality_classifier_score",

@@ -170,7 +170,12 @@ def dsir_select(
     Gumbel-top-k resample. Returns ``(id, n_grams, logw_micro,
     key_micro)`` for the selected rows; join back on ``id`` for the
     payloads. ``target`` is typically tiny (a curated domain sample) —
-    it rides along the fit scan via a union, never a join."""
+    it rides along the fit scan via a union, never a join. The two
+    frames must be DISJOINT row sets: rows present in both would count
+    twice in the raw model's denominator (pass
+    ``raw.join(target, id, 'left_anti')`` first when the target was
+    carved out of the pool, as the catalog entries do with their
+    ``doc_id % 5`` split)."""
     tagged = raw.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("__t")
     ).unionByName(
