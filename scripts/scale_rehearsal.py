@@ -88,6 +88,7 @@ SCALE_CRITICAL = (
     "dup_passage_spans",
     "corpus_strip_duplicate_passages",
     "passage_strip_incremental",
+    "llm_corpus_pipeline_select",
     # relational backbone
     "global_index_orders",
     "pricing_summary",
@@ -110,6 +111,15 @@ EXCLUDE = {
         "scaled_ann_params sizes nbits = ceil(log2(n/64)); measured "
         "sf10 exponent 0.89, in this sweep), same adjudication class "
         "as dedup_minhash_portable's (16, 4) pin below",
+    ("llm_corpus_pipeline_select", "sf10"):
+        "its near-dup stage is the flat PORTABLE md5 miner (the "
+        "oracle-certification regime, fixed (16, 4) banding) — the "
+        "same per-band full-signature materialization that disk-fails "
+        "dedup_minhash_portable at sf10 (below); the production-shape "
+        "scale path for every stage is measured separately "
+        "(llm_corpus_pipeline for gates+dedup, "
+        "corpus_strip_duplicate_passages for the passage stage, "
+        "dsir_resample_topk for selection — all in this sweep)",
     ("dedup_minhash_portable", "sf10"):
         "the CERTIFICATION twin materializes every per-band full-"
         "signature row for the DuckDB hash-compare (~n·bands wide rows "
