@@ -232,6 +232,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "passage_strip_incremental",
     "bpe_encode_corpus",
     "llm_corpus_pipeline_select",
+    "decontam_passage_scrub",
     # round 9:
     "quality_classifier_train",
     "quality_classifier_score",
