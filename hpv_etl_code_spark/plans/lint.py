@@ -57,11 +57,24 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             findings.append(Finding("row-python-udf", s[:200]))
 
     # BroadcastNestedLoopJoin: flag only when neither side looks like a
-    # metadata aggregate (the 1-row bounds/stats idiom)
+    # metadata aggregate (the 1-row bounds/stats idiom). The whitelist
+    # is textual: a grand-total build side shows up in the join's
+    # subtree as an ungrouped HashAggregate (keys=[]) under the
+    # BroadcastExchange — a data×data cross join has a scan there
+    # instead. (Round 9: this excusal was documented but unimplemented,
+    # flagging every `counts ⨯ broadcast(totals)` grand-total attach.)
     if "BroadcastNestedLoopJoin" in text:
-        for line in text.splitlines():
-            if "BroadcastNestedLoopJoin" in line and "Cross" in line:
-                findings.append(Finding("nested-loop-cross-join", line.strip()[:200]))
+        for m in re.finditer(r"BroadcastNestedLoopJoin.*Cross.*", text):
+            # the cross build side broadcasts with IdentityBroadcastMode;
+            # check what sits directly under that exchange (no window
+            # cap — the streamed subtree above it can be arbitrarily
+            # large, e.g. the composed pipeline's LSH chain)
+            subtree = text[m.end() :]
+            b = re.search(r"BroadcastExchange IdentityBroadcastMode", subtree)
+            build_head = subtree[b.end() : b.end() + 600] if b else ""
+            if re.search(r"HashAggregate\s*\(?keys=\[\]", build_head):
+                continue
+            findings.append(Finding("nested-loop-cross-join", m.group(0).strip()[:200]))
 
     # global single-partition exchange: SinglePartition is legitimate for
     # metadata-sized inputs (1-row aggregates, bucket counts); flag when
