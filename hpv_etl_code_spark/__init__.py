@@ -125,6 +125,10 @@ def __getattr__(name):  # lazy — operator modules need an active JVM only at u
             "hpv_etl_code_spark.operators.frontdoor",
             "resolve_dedup_method",
         ),
+        "write_training_shards": (
+            "hpv_etl_code_spark.sources.sinks",
+            "write_training_shards",
+        ),
         "strip_duplicate_passages": (
             "hpv_etl_code_spark.operators.frontdoor",
             "strip_duplicate_passages",

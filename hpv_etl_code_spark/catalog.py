@@ -233,6 +233,7 @@ _ROTATION_POOL: tuple[str, ...] = (
     "bpe_encode_corpus",
     "llm_corpus_pipeline_select",
     "decontam_passage_scrub",
+    "training_shard_plan",
     # round 9:
     "quality_classifier_train",
     "quality_classifier_score",

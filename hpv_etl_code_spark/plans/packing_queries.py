@@ -630,3 +630,84 @@ def register_entries(register) -> None:  # noqa: ANN001
         CORPUS_EPOCH_SHUFFLE_BUCKETED_SQL,
     )
     register("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_SQL)
+    register("training_shard_plan", training_shard_plan, TRAINING_SHARD_PLAN_SQL)
+
+
+#: token budget per training shard for the shard-plan entry — sized so
+#: the sf0.01 corpus (~27k tokens) yields a double-digit shard count.
+_SHARD_TOKENS = 2_000
+
+
+def assign_training_shards(
+    docs: DataFrame,
+    token_col: str,
+    target_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced shard assignment: docs in ``id_col`` order fill
+    shards of ~``target_tokens`` each — ``shard_id = ⌊exclusive-prefix
+    -sum(tokens) / target⌋``, so every shard's token sum lands in
+    ``[target − max_doc_tokens, target + max_doc_tokens)`` and the
+    assignment is a pure deterministic function of the corpus.
+
+    The prefix sum is operators/layout.py::global_prefix_sum — the
+    two-phase (per-bucket sums + broadcast offsets) form, NOT a
+    single-partition ``SUM OVER (ORDER BY ...)`` — so the plan scales
+    to any corpus the bucketing covers; no stage funnels the data
+    through one task."""
+    from ..operators.layout import global_prefix_sum
+
+    cum = global_prefix_sum(docs, id_col, token_col, cum_col="__cum")
+    return cum.withColumn(
+        "shard_id",
+        F.floor(
+            (F.col("__cum") - F.coalesce(F.col(token_col), F.lit(0)))
+            / F.lit(target_tokens)
+        ).cast("bigint"),
+    ).drop("__cum")
+
+
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the token-balanced export:
+    ``(shard_id, n_docs, shard_tokens, first_doc, last_doc)`` — the
+    plan a sharded-dataset writer (sources/sinks.py::
+    write_training_shards) materializes on disk. Shards are contiguous
+    doc-id ranges by construction, which is what makes resumable,
+    order-stable training-data delivery possible."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    assigned = assign_training_shards(docs, "n_tokens", _SHARD_TOKENS)
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+TRAINING_SHARD_PLAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         ((cum - n_tokens) // {_SHARD_TOKENS})::BIGINT AS shard_id
+  FROM c
+)
+SELECT shard_id, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS shard_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM s GROUP BY shard_id ORDER BY shard_id
+"""

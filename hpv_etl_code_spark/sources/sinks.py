@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def overwrite_parquet(
@@ -119,6 +120,65 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str,
+    target_tokens: int,
+    id_col: str = "doc_id",
+) -> dict:
+    """Token-balanced sharded export — the last mile of a training-data
+    pipeline: docs fill contiguous-``id_col``-range shards of
+    ~``target_tokens`` each (plans/packing_queries.py::
+    assign_training_shards — scalable two-phase prefix sum, never a
+    single-partition sort), written as one parquet directory per shard
+    (``shard_id=N/``) plus a ``_manifest.json`` with per-shard doc and
+    token counts.
+
+    The manifest is the resumability contract: a training loader reads
+    it to map shard → (first_doc, last_doc, tokens) without listing or
+    scanning the data files; the per-shard stats are a
+    shard-count-sized collect (metadata class). Returns the manifest
+    dict."""
+    import json
+    import os
+
+    from ..plans.packing_queries import assign_training_shards
+
+    assigned = assign_training_shards(df, token_col, target_tokens, id_col)
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    stats = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_col).cast("long").alias("tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "target_tokens": target_tokens,
+        "n_shards": len(stats),
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "total_tokens": int(sum(r["tokens"] for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "n_docs": int(r["n_docs"]),
+                "tokens": int(r["tokens"]),
+                "first_doc": int(r["first_doc"]),
+                "last_doc": int(r["last_doc"]),
+            }
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
 
 
 def compact_parquet(

@@ -354,3 +354,39 @@ def test_global_index_nan_keys_numbered_last(spark):
     finite = {k: idx for k, idx in got if k is not None and k == k}
     assert finite == {1.0: 2, 3.0: 3, 5.0: 4}
     assert sorted(idx for k, idx in got if k is not None and k != k) == [5, 6]
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    """Shards are contiguous id ranges whose token sums stay within one
+    max-doc of target; the manifest matches what's on disk; re-reading
+    the export reproduces the corpus exactly."""
+    from hpv_etl_code_spark.sources.sinks import write_training_shards
+
+    rows = [(i, f"doc {i} " + "tok " * (i % 17)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "text",
+    )
+    path = str(tmp_path / "shards")
+    man = write_training_shards(docs, path, "n_tokens", target_tokens=150)
+    assert man["n_shards"] >= 2
+    assert man["total_docs"] == 200
+    max_doc = max(len(t.split(" ")) for _, t in rows)
+    shards = man["shards"]
+    for s in shards:
+        assert s["tokens"] < 150 + max_doc
+    # contiguous, ordered, non-overlapping id ranges
+    for a, b in zip(shards, shards[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    # disk matches the manifest and the corpus round-trips
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    per = {
+        r["shard_id"]: (r["n"], r["t"])
+        for r in back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for s in shards:
+        assert per[s["shard_id"]] == (s["n_docs"], s["tokens"])
