@@ -98,19 +98,75 @@ def bucket_counts(docs: DataFrame, text_col: str, is_target: Column) -> DataFram
     )
 
 
+def doc_bucket_counts(
+    docs: DataFrame, text_col: str, id_col: str, is_target: Column
+) -> DataFrame:
+    """``(id, is_t, bucket, n)`` — gram counts per (document, bucket),
+    ONE explode+hash pass shared by BOTH the fit and the score side
+    (optimization round 9: the split fit/score paths each re-ran the
+    per-gram md5 chain — the engine's single most expensive expression
+    — so one query paid the hash three times: score scan, λ counts,
+    λ totals. Aggregating to (doc, bucket) first makes every consumer a
+    re-aggregation of this one exchange, which ReuseExchange
+    deduplicates into a single physical pass).
+
+    Equivalent inputs produce equivalent models: per-bucket totals are
+    ``Σ_docs n`` and per-doc gram counts are ``Σ_buckets n`` — exact
+    integer re-aggregations of the same explode this function's callers
+    used to run directly (the oracle's ``db`` CTE is literally this
+    table). Size: ≤ |docs| × B narrow rows before partial aggregation,
+    so the exchange carries strictly less than the raw gram stream.
+    """
+    e = docs.select(
+        F.col(id_col),
+        is_target.alias("is_t"),
+        F.explode(
+            hashed_grams(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("bucket"),
+    )
+    return e.groupBy(id_col, "is_t", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def bucket_counts_from(doc_counts: DataFrame) -> DataFrame:
+    """Fit-side re-aggregation of :func:`doc_bucket_counts` →
+    ``(bucket, ct_target, ct_raw)``, ≤ B rows — integer-exact, so the
+    fitted model is bit-identical to :func:`bucket_counts` on the same
+    corpus."""
+    return doc_counts.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("is_t"), F.col("n")).otherwise(F.lit(0))
+        ).alias("ct_target"),
+        F.sum(
+            F.when(F.col("is_t"), F.lit(0)).otherwise(F.col("n"))
+        ).alias("ct_raw"),
+    )
+
+
 def importance_lambda(counts: DataFrame) -> DataFrame:
     """Per-bucket importance log-ratio in micro-units:
     ``λ_micro[b] = round(1e6 · (ln p̂_t[b] − ln p̂_r[b]))`` with +1
     Laplace smoothing over ``N_BUCKETS`` buckets. ≤ B rows — always a
     broadcast side downstream."""
-    totals = counts.agg(
-        F.sum("ct_target").alias("tot_t"), F.sum("ct_raw").alias("tot_r")
-    )
+    # totals via an unbounded window over the ≤ B count rows rather than
+    # a crossJoin against a separate ``counts.agg(...)`` subtree: the
+    # agg variant duplicated the whole counts lineage (scan + explode +
+    # per-gram md5) into the totals branch, which Spark re-executed —
+    # the λ table cost two corpus passes instead of one (optimization
+    # round 9; plan-verified). The window runs on the already-aggregated
+    # ≤ B rows in a single tiny partition; the sums are exact integers,
+    # so λ is bit-identical.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    tot_t = F.sum("ct_target").over(w)
+    tot_r = F.sum("ct_raw").over(w)
     lam = (
-        F.log((F.col("ct_target") + 1.0) / (F.col("tot_t") + float(N_BUCKETS)))
-        - F.log((F.col("ct_raw") + 1.0) / (F.col("tot_r") + float(N_BUCKETS)))
+        F.log((F.col("ct_target") + 1.0) / (tot_t + float(N_BUCKETS)))
+        - F.log((F.col("ct_raw") + 1.0) / (tot_r + float(N_BUCKETS)))
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    return counts.select(
         "bucket",
         F.round(lam * MICRO).cast("bigint").alias("lam_micro"),
     )
@@ -143,6 +199,29 @@ def doc_logweights(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("lam_micro").cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
+def doc_logweights_from(
+    doc_counts: DataFrame, id_col: str, lam: DataFrame
+) -> DataFrame:
+    """Score-side re-aggregation of :func:`doc_bucket_counts`:
+    ``(id, n_grams, logw_micro)`` for the raw (non-target) pool via a
+    B-row broadcast λ join — ``n_grams = Σ n`` and
+    ``logw_micro = Σ n·λ_micro`` are exact integer re-associations of
+    the per-gram sums :func:`doc_logweights` computes, so the weights
+    are bit-identical while the corpus is scanned ZERO extra times
+    (the shared exchange is reused)."""
+    raw = doc_counts.filter(~F.col("is_t"))
+    return (
+        raw.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lam_micro"))
+            .cast("bigint")
+            .alias("logw_micro"),
         )
     )
 
@@ -183,8 +262,10 @@ def dsir_select(
             F.col(id_col), F.col(text_col), F.lit(True).alias("__t")
         )
     )
-    lam = importance_lambda(bucket_counts(tagged, text_col, F.col("__t")))
-    weights = doc_logweights(raw, text_col, id_col, lam)
+    # one explode+hash pass serves fit AND score (see doc_bucket_counts)
+    dc = doc_bucket_counts(tagged, text_col, id_col, F.col("__t"))
+    lam = importance_lambda(bucket_counts_from(dc))
+    weights = doc_logweights_from(dc, id_col, lam)
     return gumbel_topk(weights, id_col, k)
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dsir
 from ..sources.registry import load_table
+from .fanout import fan_out
 
 #: resample size for the top-k entries.
 K = 100
@@ -31,13 +32,28 @@ def _is_target():  # Column factory — lazy so import needs no JVM
 
 
 def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared head: fit both bucket models in one scan, score the raw
-    pool in a second — returns (doc_id, n_grams, logw_micro)."""
-    docs = load_table(spark, sf_dir, "documents")
-    counts = dsir.bucket_counts(docs, "text", _is_target())
-    lam = dsir.importance_lambda(counts)
-    corpus = docs.filter(~_is_target())
-    return dsir.doc_logweights(corpus, "text", "doc_id", lam)
+    """Shared head → (doc_id, n_grams, logw_micro).
+
+    Optimization round 9: fit and score now share ONE explode+md5 pass
+    through ``dsir.doc_bucket_counts`` — the old split head ran the
+    per-gram md5 chain three times per query (score scan, λ counts,
+    λ totals; plans/r09/dsir_resample_topk_before.txt shows the three
+    Generate subtrees). The shared (doc, bucket) exchange is reused by
+    both re-aggregations (ReuseExchange), and the scan is fanned out so
+    the hash chain uses every core instead of the single task a
+    one-row-group parquet scan yields (guide §2.5 input skew; the
+    repartition vanishes at production input sizes)."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        ),
+        sf_dir,
+        "documents",
+        key="doc_id",
+    )
+    dc = dsir.doc_bucket_counts(docs, "text", "doc_id", _is_target())
+    lam = dsir.importance_lambda(dsir.bucket_counts_from(dc))
+    return dsir.doc_logweights_from(dc, "doc_id", lam)
 
 
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

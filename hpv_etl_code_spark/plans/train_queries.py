@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import mlprims
 from ..sources.registry import load_table
+from .fanout import fan_out
 
 # ---------------------------------------------------------------------------
 # trained quality classifier: is-English from cheap surface features
@@ -80,6 +81,24 @@ def _features(docs: DataFrame) -> DataFrame:
         ).alias("x_space"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
+
+
+def _staged_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_features` with the extraction run ONCE per query.
+
+    Every classifier entry re-derives the surface features from text in
+    each of its 4 gradient jobs plus the final report pass — 5 scans of
+    the documents table per query, each re-running the length/replace
+    chains (optimization round 9; guide §5 "localCheckpoint is a
+    cheaper way to cut lineage" / §3.3 materialize intermediates). The
+    narrow ~60 B/row feature frame is locally checkpointed inside the
+    query, so the gradient loop and the report aggregate re-read
+    checkpointed scalars instead. At 100 TB this is the same call: one
+    corpus text scan + a feature-frame materialization beats five text
+    scans; nothing is shared across query invocations (each call
+    builds, uses, and abandons its own checkpoint — recomputed from
+    parquet every run)."""
+    return _features(load_table(spark, sf_dir, "documents")).localCheckpoint()
 
 
 def _sig_sql(z: str) -> str:
@@ -148,7 +167,7 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is a single metadata row per round. At 100 TB this is 4
     sequential scans and nothing else.
     """
-    feats = _features(load_table(spark, sf_dir, "documents"))
+    feats = _staged_features(spark, sf_dir)
     w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
     z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
     out = feats.agg(
@@ -198,7 +217,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language aggregate); the mean uses an exact decimal sum so the
     report is partitioning-independent.
     """
-    feats = _features(load_table(spark, sf_dir, "documents"))
+    feats = _staged_features(spark, sf_dir)
     w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
     scored = mlprims.logreg_score(feats, w, _FEAT_NAMES)
     z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
@@ -243,7 +262,7 @@ def classifier_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     training rounds; retention is exact-integer division so the report
     hashes identically everywhere.
     """
-    feats = _features(load_table(spark, sf_dir, "documents"))
+    feats = _staged_features(spark, sf_dir)
     w = mlprims.logreg_train(feats, _FEAT_NAMES, "y", _ITERS, _LR)
     z = mlprims.affine(w, [F.col(c) for c in _FEAT_NAMES])
     return (
@@ -493,11 +512,23 @@ def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normal_eq_fit(spark: SparkSession, sf_dir: str, lam: float | None) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x1"),
-        F.col("l_discount").cast("double").alias("x2"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    # The 11 exact-decimal sufficient statistics are pure map-side
+    # compute, but a one-row-group parquet scan runs as ONE task — fan
+    # the narrow (x1, x2, y) projection out across the cores before the
+    # decimal casts so the aggregation parallelizes (guide §2.5 input
+    # skew; exact sums are partitioning-independent, so the fit is
+    # bit-identical; the repartition vanishes at production scan sizes).
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("double").alias("x1"),
+            F.col("l_discount").cast("double").alias("x2"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+            F.col("l_orderkey").alias("__k"),
+        ),
+        sf_dir,
+        "lineitem",
+        key="__k",
+    ).drop("__k")
 
     def dsum(c: Column) -> Column:
         return F.sum(c.cast("decimal(38,18)")).cast("double")
@@ -638,7 +669,7 @@ def quality_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scoring pass per fold; everything else is the family's usual
     exact-sum machinery, so the whole table hash-certifies.
     """
-    feats = _features(load_table(spark, sf_dir, "documents"))
+    feats = _staged_features(spark, sf_dir)
     out = None
     for k in range(_CV_FOLDS):
         train = feats.filter((F.col("doc_id") % _CV_FOLDS) != k)
@@ -706,7 +737,7 @@ def quality_scores_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_to_memory_sink
     from .stream_queries import _table_replay_stream
 
-    feats_b = _features(load_table(spark, sf_dir, "documents"))
+    feats_b = _staged_features(spark, sf_dir)
     w = mlprims.logreg_train(feats_b, _FEAT_NAMES, "y", _ITERS, _LR)
 
     stream = _table_replay_stream(
@@ -828,7 +859,10 @@ def lang_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines (greatest + ordered CASE on
     bitwise-identical doubles).
     """
-    feats = _features_multi(load_table(spark, sf_dir, "documents"))
+    # same one-extraction-pass staging as _staged_features (the 4
+    # one-vs-rest gradient rounds + confusion pass re-read checkpointed
+    # scalars instead of re-deriving features from text 5×)
+    feats = _features_multi(load_table(spark, sf_dir, "documents")).localCheckpoint()
     ws = mlprims.logreg_train_multi(
         feats, _FEAT_NAMES, [f"y_{lang}" for lang in _LANGS], _ITERS, _LR
     )
