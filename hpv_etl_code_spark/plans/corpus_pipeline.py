@@ -38,7 +38,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus re-tokenization, and no stage moves signature bytes it
     doesn't band with.
     """
-    from ..operators.dedup import minhash_lsh_pairs_grouped
+    from ..operators.dedup import lsh_doomed_grouped
     from .shared_cache import (
         corpus_lsh_params,
         pipeline_exact_deduped,
@@ -56,15 +56,19 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted signature (for fixed r, bands≈t^-r shrinks as t grows),
     # so the prefix property lets it band off the shared sig column.
     nh, bands = corpus_lsh_params(spark, sf_dir, threshold=0.9)
-    pairs = minhash_lsh_pairs_grouped(
+    # optimization round 9: the survivor set only needs the DOOMED ids,
+    # so the quadratic member-pair expansion (m² rows per m-member
+    # identical cluster) is replaced by the group-minimum rule —
+    # output-equal by construction (operators/dedup.py::
+    # _doomed_from_rep_pairs), linear in members + refined rep pairs.
+    doomed = lsh_doomed_grouped(
         members,
         groups,
         threshold=0.9,
         num_hashes=nh,
         bands=bands,
         max_bucket=100_000,
-    )
-    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    ).select(F.col("id").alias("doc_id"))
     return exact_deduped.join(doomed, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "quality", "n_tokens", "fingerprint"
     )
@@ -104,13 +108,17 @@ def llm_corpus_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature chain per distinct surviving tokset; pair output is
     test-locked identical to the flat miner, so the end-to-end oracle
     is unchanged."""
-    from ..operators.dedup import minhash_lsh_pairs_portable_grouped
+    from ..operators.dedup import lsh_doomed_portable_grouped
     from .shared_cache import pipeline_exact_deduped, pipeline_portable_grouped
 
     ed = pipeline_exact_deduped(spark, sf_dir)
     members, pgroups = pipeline_portable_grouped(spark, sf_dir)
-    pairs = minhash_lsh_pairs_portable_grouped(members, pgroups, threshold=0.9)
-    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # round 9: doomed ids via the group-minimum rule instead of the
+    # quadratic member-pair expansion — output-equal (the end-to-end
+    # oracle hash is unchanged; see _doomed_from_rep_pairs)
+    doomed = lsh_doomed_portable_grouped(
+        members, pgroups, threshold=0.9
+    ).select(F.col("id").alias("doc_id"))
     return ed.join(doomed, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "quality", "n_tokens", "fingerprint"
     )
@@ -206,10 +214,12 @@ def llm_corpus_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdocs = clean.join(surv.select("doc_id", "lang"), "doc_id")
 
     is_t = (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
-    lam = dsir.importance_lambda(dsir.bucket_counts(cdocs, "text_clean", is_t))
-    wts = dsir.doc_logweights(
-        cdocs.filter(~is_t), "text_clean", "doc_id", lam
-    )
+    # round 9: fit and score share one explode+md5 pass (see
+    # operators/dsir.py::doc_bucket_counts) — bit-identical weights,
+    # one less full pass over the cleaned corpus
+    dc = dsir.doc_bucket_counts(cdocs, "text_clean", "doc_id", is_t)
+    lam = dsir.importance_lambda(dsir.bucket_counts_from(dc))
+    wts = dsir.doc_logweights_from(dc, "doc_id", lam)
     sel = dsir.gumbel_topk(wts, "doc_id", _SELECT_K)
     return (
         sel.join(cdocs.select("doc_id", "lang", "tok_after"), "doc_id")

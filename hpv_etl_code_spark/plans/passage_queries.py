@@ -21,13 +21,25 @@ from pyspark.sql import functions as F
 
 from ..operators import spandedup
 from ..sources.registry import load_table
+from .fanout import fan_out
 
 #: window width in tokens (see operators/spandedup.py::K_TOKENS).
 K = spandedup.K_TOKENS
 
 
 def _spans(spark: SparkSession, sf_dir: str, keep_first: bool) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the k-token window build (per-window md5 over every slice — the
+    # family's dominant map-side cost) runs on however many tasks the
+    # scan yields; a one-row-group parquet file yields ONE, so fan the
+    # (doc_id, text) projection out first (guide §2.5 input skew; no-op
+    # at production scan sizes, and window hashing is per-row, so the
+    # result is partitioning-independent)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+        key="doc_id",
+    )
     w = spandedup.window_hashes(docs, "text", "doc_id", K)
     dup = spandedup.duplicated_windows(w, "doc_id", keep_first=keep_first)
     return spandedup.merge_spans(dup, "doc_id", K)

@@ -635,3 +635,51 @@ def test_shingles_expression(spark):
     assert got[1] == ["a b c", "b c d"]
     assert got[2] == []
     assert got[3] == ["x y x", "y x y"]
+
+
+def test_doomed_equals_pair_listing(spark, sf_dir):
+    """lsh_doomed_grouped / lsh_doomed_portable_grouped (round 9) must
+    equal ``pairs.select('id_b').distinct()`` of the corresponding
+    grouped pair miners — the group-minimum rule replaces the quadratic
+    member-pair expansion output-identically, at several thresholds
+    (cross-group doom paths only engage at lower thresholds)."""
+    from hpv_etl_code_spark.operators.dedup import (
+        lsh_doomed_grouped,
+        lsh_doomed_portable_grouped,
+        minhash_lsh_pairs_grouped,
+        minhash_lsh_pairs_portable_grouped,
+        minhash_signature,
+        tokset_groups,
+        _portable_minhash_sig,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(distinct_tokens("text"), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    ).withColumn("sig", minhash_signature(F.col("toks"), 16))
+    members, groups = tokset_groups(base)
+    ids = lambda df, c: {r[0] for r in df.select(c).collect()}
+    for thr in (0.5, 0.8, 0.9):
+        pairs = minhash_lsh_pairs_grouped(
+            members, groups, threshold=thr, max_bucket=10_000_000
+        )
+        doomed = lsh_doomed_grouped(
+            members, groups, threshold=thr, max_bucket=10_000_000
+        )
+        expect = ids(pairs.select("id_b").distinct(), "id_b")
+        assert ids(doomed, "id") == expect and len(expect) > 0
+
+    pbase = d.select(
+        F.col("doc_id").alias("id"), distinct_tokens("text").alias("toks")
+    ).withColumn("sig", _portable_minhash_sig("toks", 16))
+    pmembers, pgroups = tokset_groups(pbase)
+    for thr in (0.5, 0.9):
+        ppairs = minhash_lsh_pairs_portable_grouped(
+            pmembers, pgroups, threshold=thr
+        )
+        pdoomed = lsh_doomed_portable_grouped(pmembers, pgroups, threshold=thr)
+        pexpect = ids(ppairs.select("id_b").distinct(), "id_b")
+        assert ids(pdoomed, "id") == pexpect and len(pexpect) > 0
