@@ -87,6 +87,22 @@ def _n_runs() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat, or None off-Linux.
+    The round-9 ledger showed whole-run wall inflations on identical
+    code with an idle guest; /proc/stat's steal counter is the direct
+    evidence of the hypervisor taking the CPU, so each record carries
+    the run's steal percentage — a loaded run self-adjudicates with
+    KERNEL data rather than only the query-ratio load_index."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _time_one(spark, fn, sf_dir: str) -> tuple[float, float]:
     """Warm-up + SPARK_GRAFT_BENCH_RUNS timed materializations →
     (median, min). The warm-up pays JVM/codegen/scan-cache AND any
@@ -204,6 +220,7 @@ def main() -> None:
                     sticky_iso.update(_rec.get("isolated") or [])
     except OSError:
         pass
+    steal0 = _steal_sample()
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     pending_iso: list[str] = []
@@ -247,6 +264,19 @@ def main() -> None:
             timings[name] = -1.0
             timings_min[name] = -1.0
 
+    # Round 9 (measurement fix, second pass): STOP the shared session
+    # before the isolation subprocesses run. The parent JVM — 8 g heap,
+    # 32 executor threads, every in-session entry's cached artifacts —
+    # sits idle but resident while each child times its runs, and that
+    # alone inflated child medians up to ~2× (measured:
+    # quality_classifier_train 2.16 s median standalone vs 3.93 s with
+    # a parent session holding the dedup caches; the round-9 ledger's
+    # 5–30 s outliers for isolated entries were this artifact, worst
+    # under residual box load). The parent only needs Spark for the
+    # in-session loop; the record write below is pure Python. A child
+    # failure now re-times in a FRESH session (same isolation property)
+    # instead of the old shared-session fallback.
+    spark.stop()
     isolated: list[str] = []
     unisolated: list[str] = []
     for name in pending_iso:
@@ -255,16 +285,18 @@ def main() -> None:
             timings[name], timings_min[name] = iso
             isolated.append(name)
         else:
-            # fallback figure is a shared-session run, NOT the
-            # advertised isolated median — label it and keep it out of
-            # the regression guard (ADVICE r8). History-selected
-            # entries have no probe figure yet (-1 placeholder), so
-            # time them in-session now.
+            # fallback: the advertised methodology is an isolated
+            # median, so retry in a fresh in-process session; if even
+            # that fails, record -1 and label unisolated (ADVICE r8 —
+            # fallback figures stay out of the regression guard).
             if timings.get(name, -1.0) < 0:
                 try:
+                    fresh = get_spark(app_name=f"bench_fallback_{name}")
+                    fresh.sparkContext.setLogLevel("ERROR")
                     timings[name], timings_min[name] = _time_one(
-                        spark, catalog.headline_queries()[name], sf_dir
+                        fresh, catalog.headline_queries()[name], sf_dir
                     )
+                    fresh.stop()
                 except Exception as exc:  # noqa: BLE001
                     print(f"bench: {name} fallback failed: {exc}", file=sys.stderr)
                     timings[name] = timings_min[name] = -1.0
@@ -282,7 +314,14 @@ def main() -> None:
         "methodology": _METHODOLOGY,
         "sf": sf,
     }
+    steal1 = _steal_sample()
     record = dict(line)
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        steal_pct = round(
+            100.0 * (steal1[0] - steal0[0]) / (steal1[1] - steal0[1]), 2
+        )
+        line["steal_pct"] = steal_pct
+        record["steal_pct"] = steal_pct
     record["queries_min"] = timings_min
     record["isolated"] = isolated
     record["unisolated"] = unisolated

@@ -47,6 +47,33 @@ __all__ = [
 ]
 
 
+def _one_row_array(spark, name: str, values: list[float]) -> DataFrame:
+    """One-row frame carrying ``values`` as an ``array<double>`` column,
+    built entirely JVM-side (optimization round 9, guide §4 "the
+    JVM↔Python boundary").
+
+    ``spark.createDataFrame([(values,)])`` parallelizes the Python list
+    into ``defaultParallelism`` slices — every gradient/power round paid
+    a 32-task stage of Python-worker launches just to ship ~10 doubles
+    (measured: those stages dominated quality_classifier_train's
+    runtime). ``spark.sql("SELECT 1")`` plans as a LocalRelation, and
+    projecting an array of foldable literals over it is collapsed back
+    into the LocalRelation by the optimizer — so the broadcast build
+    collects driver-side without launching a single task, and no Python
+    worker is involved.
+
+    The values still travel as DATA (a column read via ``element_at``),
+    NOT as literals embedded in the consumer's expressions — embedded
+    literals change every round and force a fresh whole-stage-codegen
+    compile of the heavy aggregate stage (the codegen-cache note in
+    :func:`pca_power_iteration`). ``F.lit(float(x))`` reproduces each
+    IEEE double exactly, so results are bit-identical to the
+    createDataFrame path."""
+    return spark.sql("SELECT 1").select(
+        F.array(*[F.lit(float(x)) for x in values]).alias(name)
+    )
+
+
 def rational_sigmoid(z: Column) -> Column:
     """``0.5 + z / (2*(1+|z|))`` — an exp-free sigmoid in [0, 1].
 
@@ -89,8 +116,9 @@ def logreg_train(
     for _ in range(iterations):
         # weights travel as a broadcast one-row column, not embedded
         # literals, so every round reuses the same generated code (see
-        # the codegen-cache note in pca_power_iteration)
-        wrow = spark.createDataFrame([(list(w),)], "__w array<double>")
+        # the codegen-cache note in pca_power_iteration); the row itself
+        # is a JVM LocalRelation — no Python-worker stage per round
+        wrow = _one_row_array(spark, "__w", list(w))
         z = F.element_at("__w", 1)
         for i, c in enumerate(feature_cols):
             z = z + F.element_at("__w", i + 2) * F.col(c)
@@ -141,7 +169,7 @@ def logreg_train_multi(
     spark = df.sparkSession
     for _ in range(iterations):
         flat = [x for row_ in w for x in row_]
-        wrow = spark.createDataFrame([(flat,)], "__w array<double>")
+        wrow = _one_row_array(spark, "__w", flat)
         aggs = []
         for c, label in enumerate(label_cols):
             z = F.element_at("__w", c * (d + 1) + 1)
@@ -259,7 +287,7 @@ def _power_loop(
     v = [1.0 / math.sqrt(dim)] * dim
     eigval = 0.0
     for _ in range(iterations):
-        vrow = spark.createDataFrame([(list(v),)], "__v array<double>")
+        vrow = _one_row_array(spark, "__v", list(v))
         d_expr = F.col("c0") * F.element_at("__v", 1)
         for j in range(1, dim):
             d_expr = d_expr + F.col(f"c{j}") * F.element_at("__v", j + 1)

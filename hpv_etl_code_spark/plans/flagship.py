@@ -17,11 +17,32 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import avg6, dsum
 from ..sources.registry import load_table
+from .fanout import fan_out
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (returnflag, linestatus): quantity/price sums, averages, count."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Per (returnflag, linestatus): quantity/price sums, averages, count.
+
+    The scan is fanned out before the aggregate (round 9, guide §2.5):
+    the bench corpus is one row group per table, so the partial decimal
+    sums — the expensive part by design — ran on a single task. Exact
+    decimal sums are partitioning-independent, so results are
+    bit-identical; the repartition node vanishes at production scan
+    sizes (plans/fanout.py)."""
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_orderkey",
+        ),
+        sf_dir,
+        "lineitem",
+        key="l_orderkey",
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (

@@ -225,14 +225,21 @@ def basket_rules_from(
     )
     # one broadcastable row carrying BOTH prefilter scalars (frequent
     # set + vocabulary size) — one item_counts evaluation, not two
+    # one broadcast row also carries the FREQUENT-item count map (round
+    # 9): n_a/n_b used to come from two more joins against item_counts,
+    # each re-running the basket-explode lineage — but every item of a
+    # SURVIVING pair is frequent (n_a ≥ n_ab ≥ n_orders/support floor),
+    # so a ≤1/floor-entry map can never miss, and the item_counts pass
+    # runs once instead of three times.
+    _is_freq = F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders")
     gate_frame = item_counts.crossJoin(F.broadcast(n_frame)).agg(
-        F.collect_list(
-            F.when(
-                F.col("n_item") * _MIN_SUPPORT_INV >= F.col("n_orders"),
-                F.col("item"),
-            )
-        ).alias("freq_items"),
+        F.collect_list(F.when(_is_freq, F.col("item"))).alias("freq_items"),
         F.count(F.lit(1)).alias("vocab_n"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(_is_freq, F.struct(F.col("item"), F.col("n_item")))
+            )
+        ).alias("freq_counts"),
     )
     pruned = baskets.crossJoin(F.broadcast(gate_frame)).select(
         "oid",
@@ -262,28 +269,34 @@ def basket_rules_from(
         .crossJoin(F.broadcast(n_frame))
         .filter(F.col("n_ab") * _MIN_SUPPORT_INV >= F.col("n_orders"))
     )
+    # round 9 (guide §2.4 remove shuffles/passes outright): the former
+    # union-mirror re-evaluated the whole pair-expansion lineage once
+    # per branch — the two expansion stages were the entry's top cost
+    # (stage-profiled; exchange reuse does not fire across the union's
+    # re-aliased branches). Exploding a two-element struct array mirrors
+    # each rule ROW-LOCALLY, so the expansion runs once per query.
     directed = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
         "n_ab",
         "n_orders",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            "n_ab",
-            "n_orders",
-        )
-    )
-    na = item_counts.select(
-        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
-    )
-    nb = item_counts.select(
-        F.col("item").alias("consequent"), F.col("n_item").alias("n_b")
-    )
+    ).select("r.antecedent", "r.consequent", "n_ab", "n_orders")
+    n_a = F.element_at("freq_counts", F.col("antecedent"))
+    n_b = F.element_at("freq_counts", F.col("consequent"))
     return (
-        directed.join(F.broadcast(na), "antecedent")
-        .join(F.broadcast(nb), "consequent")
+        directed.crossJoin(F.broadcast(gate_frame))
+        .withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
         .select(
             "antecedent",
             "consequent",
@@ -374,13 +387,25 @@ def itemsim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_ab",
-        )
-    )
+    # round 9 (guide §2.4): the union-mirror re-evaluated the whole
+    # pair-expansion lineage once per branch (exchange reuse does not
+    # fire across the re-aliased union branches); exploding a
+    # two-element struct array mirrors each pair ROW-LOCALLY instead.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_a"),
+                    F.col("item_b").alias("item_b"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                ),
+            )
+        ).alias("r"),
+        "n_ab",
+    ).select("r.item_a", "r.item_b", "n_ab")
     item_counts = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")

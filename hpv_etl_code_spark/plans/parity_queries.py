@@ -16,6 +16,7 @@ from ..operators.reshape import unpivot
 from ..operators.rollup import cube_rollup_labeled
 from ..sources.registry import load_table
 from . import hpv_fixture
+from .fanout import fan_out
 from .hpv_pipeline import run_pipeline
 
 
@@ -62,8 +63,20 @@ FROM lineitem GROUP BY l_returnflag
 def cube_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 as one grouping-sets pass: every (flag-level × status-level)
     combination with rollup labels — the reference's 3-scan/2-shuffle
-    copy-union pattern collapsed into one exchange."""
-    li = load_table(spark, sf_dir, "lineitem")
+    copy-union pattern collapsed into one exchange.
+
+    Round 9: the scan fans out first (guide §2.5 — one row group per
+    bench table means the Expand×4 + partial decimal sums ran on a
+    single task); exact sums are partitioning-independent, and the
+    repartition vanishes at production scan sizes (plans/fanout.py)."""
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+        ),
+        sf_dir,
+        "lineitem",
+        key="l_orderkey",
+    )
     return cube_rollup_labeled(
         li,
         fixed_dims=[],

@@ -97,8 +97,22 @@ def _staged_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text scan + a feature-frame materialization beats five text
     scans; nothing is shared across query invocations (each call
     builds, uses, and abandons its own checkpoint — recomputed from
-    parquet every run)."""
-    return _features(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    parquet every run).
+
+    The raw documents scan is fanned out first (round 9, guide §2.5
+    input skew): a single-row-group scan runs the length/replace chains
+    on ONE task and leaves the checkpoint single-partitioned, so every
+    gradient aggregate downstream was serial too. The repartition
+    vanishes at production scan sizes (plans/fanout.py)."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        sf_dir,
+        "documents",
+        key="doc_id",
+    )
+    return _features(docs).localCheckpoint()
 
 
 def _sig_sql(z: str) -> str:
