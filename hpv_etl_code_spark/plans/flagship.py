@@ -28,7 +28,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — the expensive part by design — ran on a single task. Exact
     decimal sums are partitioning-independent, so results are
     bit-identical; the repartition node vanishes at production scan
-    sizes (plans/fanout.py)."""
+    sizes (plans/fanout.py). The fan-out key is ``l_extendedprice`` —
+    high-cardinality (distinct values ≫ partitions, guide §2.5) and
+    already in the query's column set, so the scan stays pruned to
+    exactly the six columns the aggregate needs
+    (tests/test_physical_plans.py::test_flagship_scan_is_column_pruned;
+    keying on ``l_orderkey`` widened ReadSchema by a column)."""
     li = fan_out(
         load_table(spark, sf_dir, "lineitem").select(
             "l_returnflag",
@@ -37,11 +42,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
             "l_discount",
             "l_tax",
-            "l_orderkey",
         ),
         sf_dir,
         "lineitem",
-        key="l_orderkey",
+        key="l_extendedprice",
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
