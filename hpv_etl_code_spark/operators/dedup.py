@@ -67,6 +67,30 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter * 1.0 / F.greatest(union, F.lit(1))
 
 
+def _est_jaccard(sig_a: str, sig_b: str, num_hashes: int) -> Column:
+    """Estimated Jaccard from two MinHash signatures: the fraction of
+    matching positions over the first ``num_hashes`` entries.
+
+    UNROLLED into a scalar compare chain (optimization round 9, guide
+    §1.2 step 2 — per-task work): the former
+    ``size(filter(zip_with(slice, slice, ==), m → m))`` allocated four
+    intermediate arrays PER CANDIDATE PAIR inside the refine loop — the
+    single hottest expression of the dedup family (sf0.1: 1.4 M pairs ×
+    35 positions). ``sig[i] == sig[i]`` comparisons compile to primitive
+    codegen with zero allocations. Value-identical on every surviving
+    pair: signature entries are null only for EMPTY token sets (
+    ``array_min([])``). Such pairs now fail the est prefilter as null
+    where the old expression scored them 0.0 — either way they are
+    dropped before the output (0.0 fails any positive est floor, and
+    when the floor is 0 the exact-Jaccard gate kills them: J = 0 < t
+    for every valid threshold in (0, 1])."""
+    matched = None
+    for i in range(num_hashes):
+        cmp_i = (F.col(sig_a).getItem(i) == F.col(sig_b).getItem(i)).cast("int")
+        matched = cmp_i if matched is None else matched + cmp_i
+    return matched * 1.0 / F.lit(num_hashes)
+
+
 # ----------------------------------------------------- MinHash + LSH
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -404,18 +428,40 @@ def _doomed_from_rep_pairs(
         .filter(F.col("id") > F.col("gmin"))
         .select("id")
     )
-    partners = rep_pairs.select(
-        F.col(ga).alias("gkey"), F.col(gb).alias("partner")
-    ).unionByName(
-        rep_pairs.select(F.col(gb).alias("gkey"), F.col(ga).alias("partner"))
+    # Mirror each rep pair ROW-LOCALLY (optimization round 9, guide
+    # §2.4): the former ``rep_pairs.select(ga, gb) ∪ select(gb, ga)``
+    # union re-evaluated the ENTIRE rep-pair lineage — banding explode,
+    # candidate self-join, pair dedup, payload attach, est+jaccard
+    # refine — once per branch (exchange reuse does not fire across the
+    # re-aliased branches; measured at sf0.1: the two refine passes were
+    # ~150 s of the corpus pipeline's ~190 s total executor time).
+    # Joining the per-group minima onto the pairs first and exploding a
+    # 2-element struct array emits the same (gkey, partner-min) rows
+    # from ONE evaluation — bit-identical thr, half the plan.
+    both = (
+        rep_pairs.join(
+            gmin.select(F.col("gkey").alias(ga), F.col("gmin").alias("_min_a")),
+            ga,
+        )
+        .join(
+            gmin.select(F.col("gkey").alias(gb), F.col("gmin").alias("_min_b")),
+            gb,
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(ga).alias("gkey"), F.col("_min_b").alias("pmin")
+                    ),
+                    F.struct(
+                        F.col(gb).alias("gkey"), F.col("_min_a").alias("pmin")
+                    ),
+                )
+            ).alias("pm")
+        )
     )
     thr = (
-        partners.join(
-            gmin.select(
-                F.col("gkey").alias("partner"), F.col("gmin").alias("pmin")
-            ),
-            "partner",
-        )
+        both.select("pm.gkey", "pm.pmin")
         .groupBy("gkey")
         .agg(F.min("pmin").alias("thr"))
     )
@@ -604,24 +650,12 @@ def _lsh_pairs_uncollapsed(
     )
     joined = cand.join(pay_a, "id_a").join(pay_b, "id_b")
 
-    # slice to the first num_hashes entries: the seeded hash family has
+    # compare the first num_hashes entries: the seeded hash family has
     # the prefix property (seeds 0..k-1), so a persisted signature wider
     # than this banding's num_hashes serves it exactly — est must
-    # compare the same prefix it divides by
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.slice("sig_a", 1, num_hashes),
-                    F.slice("sig_b", 1, num_hashes),
-                    lambda x, y: x == y,
-                ),
-                lambda m: m,
-            )
-        )
-        * 1.0
-        / F.lit(num_hashes)
-    )
+    # compare the same prefix it divides by (unrolled scalar chain,
+    # see _est_jaccard)
+    est = _est_jaccard("sig_a", "sig_b", num_hashes)
     # cheap signature-based prefilter (16 long compares) before the exact
     # O(|toks|) intersect; the margin keeps sketch variance from dropping
     # true positives — final correctness comes from the exact filter.
@@ -1185,20 +1219,7 @@ def dedup_incremental_survivors(
         # signature prefilter (k long compares) before the O(|toks|)
         # exact intersect — same margin as minhash_lsh_pairs; the
         # portable path skips it so the oracle stays candidate-exact
-        est = (
-            F.size(
-                F.filter(
-                    F.zip_with(
-                        F.slice("sig_n", 1, num_hashes),
-                        F.slice("sig_c", 1, num_hashes),
-                        lambda x, y: x == y,
-                    ),
-                    lambda m: m,
-                )
-            )
-            * 1.0
-            / F.lit(num_hashes)
-        )
+        est = _est_jaccard("sig_n", "sig_c", num_hashes)
         scored = scored.filter(est >= max(threshold - 0.35, 0.0))
     near_dropped = scored.filter(
         jaccard(F.col("toks_n"), F.col("toks_c")) >= threshold
@@ -1313,20 +1334,7 @@ def incremental_survivors_grouped(
         ),
         "gkey_n",
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.slice("sig_n", 1, num_hashes),
-                    F.slice("sig_c", 1, num_hashes),
-                    lambda x, y: x == y,
-                ),
-                lambda m: m,
-            )
-        )
-        * 1.0
-        / F.lit(num_hashes)
-    )
+    est = _est_jaccard("sig_n", "sig_c", num_hashes)
     near_gkeys = (
         scored.filter(est >= max(threshold - 0.35, 0.0))
         .filter(jaccard(F.col("toks_n"), F.col("toks_c")) >= threshold)
