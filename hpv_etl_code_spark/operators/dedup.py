@@ -69,26 +69,36 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def _est_jaccard(sig_a: str, sig_b: str, num_hashes: int) -> Column:
     """Estimated Jaccard from two MinHash signatures: the fraction of
-    matching positions over the first ``num_hashes`` entries.
+    matching positions over the first ``num_hashes`` entries (the seeded
+    family has the prefix property, so a persisted signature wider than
+    the banding width serves it exactly — est must compare the same
+    prefix it divides by).
 
-    UNROLLED into a scalar compare chain (optimization round 9, guide
-    §1.2 step 2 — per-task work): the former
-    ``size(filter(zip_with(slice, slice, ==), m → m))`` allocated four
-    intermediate arrays PER CANDIDATE PAIR inside the refine loop — the
-    single hottest expression of the dedup family (sf0.1: 1.4 M pairs ×
-    35 positions). ``sig[i] == sig[i]`` comparisons compile to primitive
-    codegen with zero allocations. Value-identical on every surviving
-    pair: signature entries are null only for EMPTY token sets (
-    ``array_min([])``). Such pairs now fail the est prefilter as null
-    where the old expression scored them 0.0 — either way they are
-    dropped before the output (0.0 fails any positive est floor, and
-    when the floor is 0 the exact-Jaccard gate kills them: J = 0 < t
-    for every valid threshold in (0, 1])."""
-    matched = None
-    for i in range(num_hashes):
-        cmp_i = (F.col(sig_a).getItem(i) == F.col(sig_b).getItem(i)).cast("int")
-        matched = cmp_i if matched is None else matched + cmp_i
-    return matched * 1.0 / F.lit(num_hashes)
+    NEGATIVE RESULT pinned here (optimization round 9, guide §1.1 "a
+    fresh implementation of the ideal plan is usually slower because of
+    some gotcha"): unrolling this into a ``sig_a[0]==sig_b[0] + ... +
+    sig_a[k-1]==sig_b[k-1]`` scalar chain to avoid the four intermediate
+    array allocations looked strictly cheaper on paper but measured
+    dedup_minhash_lsh at sf0.1 4× SLOWER (isolated median 4.57 s →
+    19.2 s, same box, back-to-back): at k = 35 the inlined compare chain
+    bloats the fused refine stage's generated method past the JIT's
+    huge-method bytecode limit, so the whole refine pipeline drops to
+    interpreted execution — far worse than the allocations it saved.
+    The array formulation stays."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(sig_a, 1, num_hashes),
+                    F.slice(sig_b, 1, num_hashes),
+                    lambda x, y: x == y,
+                ),
+                lambda m: m,
+            )
+        )
+        * 1.0
+        / F.lit(num_hashes)
+    )
 
 
 # ----------------------------------------------------- MinHash + LSH
