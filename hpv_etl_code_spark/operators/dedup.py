@@ -421,6 +421,24 @@ def _doomed_from_rep_pairs(
       pair of a surviving rep pair passes the threshold — so no
       per-member jaccard is lost by deciding at group level.)
 
+    Both rules are "id exceeds a per-group floor", and a member is
+    doomed iff it exceeds EITHER floor ⇔ iff it exceeds their MINIMUM —
+    so the within-floor (own group min, nonempty groups only) and the
+    partner floors union into ONE per-group threshold aggregate, and
+    the doom decision is a single members join + filter. Member ids
+    are unique, so the filter output needs no distinct — the old
+    two-branch ``within ∪ cross → distinct`` shape paid a second
+    members join plus a dedup exchange for the same set.
+
+    Mirroring detail (guide §2.4): the partner floors come from joining
+    the per-group minima onto the rep pairs and exploding a 2-element
+    struct array — ROW-LOCAL. The earlier ``rep_pairs.select(ga, gb) ∪
+    select(gb, ga)`` union re-evaluated the ENTIRE rep-pair lineage
+    (banding explode, candidate self-join, pair dedup, payload attach,
+    est+jaccard refine) once per branch, since exchange reuse does not
+    fire across re-aliased branches — measured at sf0.1 as ~150 s of
+    the corpus pipeline's ~190 s total executor time.
+
     Output-equal to ``pairs.select(id_b).distinct()`` by the argument
     above (ids are unique across groups, so all comparisons are
     strict); pinned by tests/test_dedup.py::test_doomed_equals_pair_listing.
@@ -428,27 +446,13 @@ def _doomed_from_rep_pairs(
     sizes.
     """
     gmin = members.groupBy("gkey").agg(F.min("id").alias("gmin"))
-    within = (
-        members.join(
-            groups.filter(F.size("toks") > 0).select("gkey"),
-            "gkey",
-            "left_semi",
-        )
+    own_floor = (
+        groups.filter(F.size("toks") > 0)
+        .select("gkey")
         .join(gmin, "gkey")
-        .filter(F.col("id") > F.col("gmin"))
-        .select("id")
+        .select("gkey", F.col("gmin").alias("pmin"))
     )
-    # Mirror each rep pair ROW-LOCALLY (optimization round 9, guide
-    # §2.4): the former ``rep_pairs.select(ga, gb) ∪ select(gb, ga)``
-    # union re-evaluated the ENTIRE rep-pair lineage — banding explode,
-    # candidate self-join, pair dedup, payload attach, est+jaccard
-    # refine — once per branch (exchange reuse does not fire across the
-    # re-aliased branches; measured at sf0.1: the two refine passes were
-    # ~150 s of the corpus pipeline's ~190 s total executor time).
-    # Joining the per-group minima onto the pairs first and exploding a
-    # 2-element struct array emits the same (gkey, partner-min) rows
-    # from ONE evaluation — bit-identical thr, half the plan.
-    both = (
+    partner_floors = (
         rep_pairs.join(
             gmin.select(F.col("gkey").alias(ga), F.col("gmin").alias("_min_a")),
             ga,
@@ -469,18 +473,18 @@ def _doomed_from_rep_pairs(
                 )
             ).alias("pm")
         )
+        .select("pm.gkey", "pm.pmin")
     )
     thr = (
-        both.select("pm.gkey", "pm.pmin")
+        own_floor.unionByName(partner_floors)
         .groupBy("gkey")
         .agg(F.min("pmin").alias("thr"))
     )
-    cross = (
+    return (
         members.join(thr, "gkey")
         .filter(F.col("id") > F.col("thr"))
         .select("id")
     )
-    return within.unionByName(cross).distinct()
 
 
 def lsh_doomed_grouped(

@@ -2,14 +2,27 @@
 (VERDICT r5 #7).
 
 A DataFrame that feeds several plan branches must be materialized once
-or Spark recomputes its whole lineage per branch. Three materialization
+or Spark recomputes its whole lineage per branch. Four materialization
 strategies, selected per call or globally via
 ``SPARK_GRAFT_STAGE_STORAGE``:
 
-- ``memory`` (default) — ``persist()`` (MEMORY_AND_DISK). Cheap and
-  right for a single-tenant bench/driver session; on executor loss the
-  lineage silently recomputes (correct, just slow), and
-  ``localCheckpoint``-style truncation pitfalls are avoided entirely.
+- ``checkpoint`` (default since optimization round 9) —
+  ``localCheckpoint(eager=True)``: blocks live in the block manager
+  like a persist, AND the logical plan is truncated to a leaf
+  (``LogicalRDD``). The truncation is the point: the dedup/pipeline
+  plans reference these frames from many branches, and with ``memory``
+  every reference dragged the frame's FULL text-processing lineage
+  (35-lambda MinHash trees, quality-score expressions) through
+  analysis/optimization/canonicalization on every run — measured
+  1.7-3.9 s of pure DRIVER planning per heavy-entry execution at
+  sf0.1, ~40 % of wall (guide §3.3/§7.3: very large plans make
+  planning itself the bottleneck; materialise intermediates). On
+  executor loss the blocks are unrecoverable (no lineage) — a
+  single-JVM local run dies with its executor anyway; cluster runs
+  wanting durability use ``parquet``.
+- ``memory`` — plain ``persist()`` (MEMORY_AND_DISK), lineage kept: on
+  executor loss the frame silently recomputes. The pre-round-9
+  default, kept for callers that want recomputability over plan size.
 - ``parquet`` — write the frame to a per-session scratch directory and
   read it back: the lineage is TRUNCATED at a durable file, so a
   cluster run survives executor loss without recompute storms, and the
@@ -41,7 +54,7 @@ from pyspark.sql import DataFrame
 _STORAGE_ENV = "SPARK_GRAFT_STAGE_STORAGE"
 _DIR_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
 _REUSE_ENV = "SPARK_GRAFT_ARTIFACT_REUSE"
-_STRATEGIES = ("memory", "parquet", "none")
+_STRATEGIES = ("checkpoint", "memory", "parquet", "none")
 
 # (applicationId, name, fingerprint-or-content-key) → materialized frame
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
@@ -61,9 +74,10 @@ def _key_lock(key: tuple[str, str, str]) -> threading.Lock:
 
 def stage_storage() -> str:
     """The session-default strategy: ``$SPARK_GRAFT_STAGE_STORAGE`` or
-    ``memory``. Unknown values fail loudly — a typo silently degrading
-    to recompute-per-branch would be a 100 TB performance bug."""
-    s = os.environ.get(_STORAGE_ENV, "memory")
+    ``checkpoint``. Unknown values fail loudly — a typo silently
+    degrading to recompute-per-branch would be a 100 TB performance
+    bug."""
+    s = os.environ.get(_STORAGE_ENV, "checkpoint")
     if s not in _STRATEGIES:
         raise ValueError(
             f"{_STORAGE_ENV}={s!r}: expected one of {_STRATEGIES}"
@@ -103,6 +117,8 @@ def stage_artifact(
         _prune_dead_entries()
         if storage == "memory":
             out = df.persist()
+        elif storage == "checkpoint":
+            out = df.localCheckpoint(eager=True)
         else:  # parquet
             path = _artifact_path(spark, name, fp)
             if not (_reuse_enabled() and _is_complete(path)):
@@ -152,6 +168,8 @@ def stage_artifact_from(
             if not (_reuse_enabled() and _is_complete(path)):
                 builder().write.mode("overwrite").parquet(path)
             out = spark.read.parquet(path)
+        elif storage == "checkpoint":
+            out = builder().localCheckpoint(eager=True)
         else:  # memory — session-local by nature
             out = builder().persist()
         with _CACHE_MUTEX:

@@ -209,12 +209,13 @@ def basket_rules_from(
     # frequent/vocab scalars, pair expansion) — materialize it once or
     # the basket-build shuffle re-runs per branch (this was a +39%
     # bench regression when the prefilter branches landed un-persisted).
-    # VERDICT r5 #7: the former localCheckpoint(eager=True) pinned
+    # VERDICT r5 #7: an inline localCheckpoint(eager=True) here pinned
     # executor local disk and ran an eager action at PLAN BUILD time;
-    # the storage seam keeps the default session behavior (memory
-    # persist) and lets a cluster run select storage="parquet" — a
-    # durable artifact that survives executor loss (``artifact_name``
-    # must be unique per distinct basket frame within a session).
+    # the storage seam routes that decision through plans/artifacts.py
+    # instead (default: session-cached checkpoint built once per
+    # session; a cluster run selects storage="parquet" — a durable
+    # artifact that survives executor loss). ``artifact_name`` must be
+    # unique per distinct basket frame within a session.
     baskets = stage_artifact(baskets, artifact_name, storage=storage)
     n_frame = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
 

@@ -29,7 +29,20 @@ def test_strategies_are_result_equivalent(spark):
     base = _rows(stage_artifact(df, "eq_test", storage="none"))
     assert _rows(stage_artifact(df, "eq_test", storage="memory")) == base
     artifacts.clear_cache()
+    assert _rows(stage_artifact(df, "eq_test", storage="checkpoint")) == base
+    artifacts.clear_cache()
     assert _rows(stage_artifact(df, "eq_test", storage="parquet")) == base
+
+
+def test_checkpoint_truncates_lineage(spark):
+    """The round-9 default strategy must return a LEAF logical plan —
+    the whole point is that downstream references stop re-optimizing
+    the frame's full lineage (guide §3.3/§7.3)."""
+    df = spark.range(50).select("id", (F.col("id") * 2).alias("v"))
+    out = stage_artifact(df, "ckpt_lineage_test", storage="checkpoint")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert "Range" not in plan, f"lineage not truncated: {plan}"
 
 
 def test_parquet_truncates_lineage(spark):
@@ -98,7 +111,7 @@ def test_invalid_inputs_raise(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STAGE_STORAGE", "parquet")
     assert stage_storage() == "parquet"
     monkeypatch.delenv("SPARK_GRAFT_STAGE_STORAGE")
-    assert stage_storage() == "memory"
+    assert stage_storage() == "checkpoint"
 
 
 def test_basket_rules_storage_equivalence(spark, sf_dir):
