@@ -322,6 +322,7 @@ def minhash_lsh_pairs_grouped(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
+    fan_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH pair mining over an identical-tokset-collapsed corpus
     (see :func:`tokset_groups`): mine pairs over ONE representative per
@@ -359,6 +360,7 @@ def minhash_lsh_pairs_grouped(
         max_bucket=max_bucket,
         hot_bucket_mode="chunk",
         weight_col="_w",
+        fan_partitions=fan_partitions,
     )
     m_a = members.select(F.col("gkey").alias("id_a"), F.col("id").alias("ma"))
     m_b = members.select(F.col("gkey").alias("id_b"), F.col("id").alias("mb"))
@@ -494,6 +496,7 @@ def lsh_doomed_grouped(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
+    fan_partitions: int | None = None,
 ) -> DataFrame:
     """Greedy lowest-id-wins doomed set for the FAST (xxhash64) grouped
     family — ``minhash_lsh_pairs_grouped(...).select('id_b').distinct()``
@@ -509,6 +512,7 @@ def lsh_doomed_grouped(
         max_bucket=max_bucket,
         hot_bucket_mode="chunk",
         weight_col="_w",
+        fan_partitions=fan_partitions,
     )
     return _doomed_from_rep_pairs(
         members, groups, rep_pairs.select("id_a", "id_b"), "id_a", "id_b"
@@ -539,11 +543,24 @@ def _lsh_pairs_uncollapsed(
     max_bucket: int,
     hot_bucket_mode: str,
     weight_col: str | None = None,
+    fan_partitions: int | None = None,
 ) -> DataFrame:
     """Banding + candidate self-join + Jaccard refine over ``(id, toks,
     sig)``. ``weight_col`` (collapse path) weights the hot-bucket
     member counts so rep-level buckets are classified exactly as the
-    uncollapsed member-level buckets would be."""
+    uncollapsed member-level buckets would be.
+
+    ``fan_partitions`` (optimization round 9, guide §2.5): repartition
+    the exploded band rows by id before the candidate self-join. Set
+    by plan-layer callers ONLY when the backing corpus is too small to
+    fill the session's cores (``plans/fanout.py::fan_partitions``) —
+    the bench corpus leaves the banding/candidate/pair-dedup pipeline
+    on ONE task (1-block checkpointed artifact + AQE small-shuffle
+    coalescing), and the inserted exchange doubles as the reuse point
+    that stops the explode lineage re-evaluating once per consumer
+    branch (bucket counts, normal, hot). At production scan sizes the
+    caller passes None and the plan is unchanged — re-evaluating a
+    cheap explode per branch beats shuffling the exploded corpus."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -563,6 +580,8 @@ def _lsh_pairs_uncollapsed(
     exploded = base.select(
         "id", w.alias("_w"), F.explode(band_structs).alias("bs")
     ).select("id", "_w", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    if fan_partitions:
+        exploded = exploded.repartition(fan_partitions, "id")
 
     bucket_counts = exploded.groupBy("band", "bkey").agg(F.sum("_w").alias("bn"))
     hot_keys = bucket_counts.filter(F.col("bn") > max_bucket)

@@ -70,6 +70,24 @@ def scan_starved(df: DataFrame, sf_dir: str, *tables: str) -> bool:
     return _table_bytes(sf_dir, tables) < cores * max_split
 
 
+def fan_partitions(
+    df: DataFrame, sf_dir: str, *tables: str
+) -> int | None:
+    """The partition count an operator should fan a SERIAL intermediate
+    out to, or ``None`` when the backing tables are big enough that the
+    natural scan/shuffle parallelism already fills the cores (the
+    production case — callers then add no plan node at all). The
+    operator-level sibling of :func:`fan_out`, for stages that are not
+    directly downstream of the scan (e.g. a banding explode reading a
+    1-block checkpointed artifact, where AQE's small-shuffle coalescing
+    left every downstream stage serial)."""
+    if not tables:
+        tables = ("documents",)
+    if scan_starved(df, sf_dir, *tables):
+        return df.sparkSession.sparkContext.defaultParallelism
+    return None
+
+
 def fan_out(
     df: DataFrame, sf_dir: str, *tables: str, key: str | None = None
 ) -> DataFrame:

@@ -310,10 +310,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic corpus is pathologically dense (small shared vocab →
     # most pairs are similar); hot buckets are chunk-split across tasks
     # so output stays complete without a single-task pair explosion
+    from .fanout import fan_partitions
     from .shared_cache import corpus_lsh_params, grouped_corpus
 
     members, groups = grouped_corpus(spark, sf_dir)
     nh, bands = corpus_lsh_params(spark, sf_dir)
+    # fan the banding/candidate pipeline out iff the corpus scan cannot
+    # fill the cores (optimization round 9, guide §2.5) — at bench
+    # scale the 1-block group artifact left candidate generation on one
+    # task; at production the helper returns None and no node is added
     return minhash_lsh_pairs_grouped(
         members,
         groups,
@@ -321,6 +326,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=nh,
         bands=bands,
         max_bucket=100_000,
+        fan_partitions=fan_partitions(members, sf_dir, "documents"),
     )
 
 
