@@ -686,8 +686,9 @@ def _lsh_pairs_uncollapsed(
     # compare the first num_hashes entries: the seeded hash family has
     # the prefix property (seeds 0..k-1), so a persisted signature wider
     # than this banding's num_hashes serves it exactly — est must
-    # compare the same prefix it divides by (unrolled scalar chain,
-    # see _est_jaccard)
+    # compare the same prefix it divides by (shared array-compare
+    # helper, see _est_jaccard — the unrolled scalar chain is the
+    # pinned negative result its docstring rejects)
     est = _est_jaccard("sig_a", "sig_b", num_hashes)
     # cheap signature-based prefilter (16 long compares) before the exact
     # O(|toks|) intersect; the margin keeps sketch variance from dropping

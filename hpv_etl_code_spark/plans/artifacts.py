@@ -6,7 +6,9 @@ or Spark recomputes its whole lineage per branch. Four materialization
 strategies, selected per call or globally via
 ``SPARK_GRAFT_STAGE_STORAGE``:
 
-- ``checkpoint`` (default since optimization round 9) —
+- ``checkpoint`` (the LOCAL-master default since optimization round 9;
+  round 10 made the default deploy-mode-aware — a cluster master
+  defaults to ``parquet`` instead, see :func:`stage_storage`) —
   ``localCheckpoint(eager=True)``: blocks live in the block manager
   like a persist, AND the logical plan is truncated to a leaf
   (``LogicalRDD``). The truncation is the point: the dedup/pipeline
@@ -72,17 +74,34 @@ def _key_lock(key: tuple[str, str, str]) -> threading.Lock:
         return _KEY_LOCKS.setdefault(key, threading.Lock())
 
 
-def stage_storage() -> str:
-    """The session-default strategy: ``$SPARK_GRAFT_STAGE_STORAGE`` or
-    ``checkpoint``. Unknown values fail loudly — a typo silently
-    degrading to recompute-per-branch would be a 100 TB performance
-    bug."""
-    s = os.environ.get(_STORAGE_ENV, "checkpoint")
-    if s not in _STRATEGIES:
-        raise ValueError(
-            f"{_STORAGE_ENV}={s!r}: expected one of {_STRATEGIES}"
+def stage_storage(spark=None) -> str:
+    """The session-default strategy: ``$SPARK_GRAFT_STAGE_STORAGE`` if
+    set, else deploy-mode-aware (VERDICT r9 #5 / ADVICE r9): a
+    ``local[*]`` master defaults to ``checkpoint`` (the single JVM dies
+    with its executor anyway, so checkpoint's no-lineage blocks lose
+    nothing and the plan truncation is pure win), while a CLUSTER
+    master defaults to ``parquet`` — ``localCheckpoint`` blocks are
+    unrecoverable on executor loss, so a default that lands on a real
+    cluster must be the durable one. Unknown values fail loudly — a
+    typo silently degrading to recompute-per-branch would be a 100 TB
+    performance bug."""
+    s = os.environ.get(_STORAGE_ENV)
+    if s is not None:
+        if s not in _STRATEGIES:
+            raise ValueError(
+                f"{_STORAGE_ENV}={s!r}: expected one of {_STRATEGIES}"
+            )
+        return s
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession._instantiatedSession
         )
-    return s
+    if spark is not None and not spark.sparkContext.master.startswith("local"):
+        return "parquet"
+    return "checkpoint"
 
 
 def stage_artifact(
@@ -91,7 +110,7 @@ def stage_artifact(
     """Materialize ``df`` once under ``name`` and return the frame every
     downstream branch should read. ``storage=None`` uses
     :func:`stage_storage`; see the module docstring for strategies."""
-    storage = stage_storage() if storage is None else storage
+    storage = stage_storage(df.sparkSession) if storage is None else storage
     if storage not in _STRATEGIES:
         raise ValueError(f"storage={storage!r}: expected one of {_STRATEGIES}")
     if storage == "none":
@@ -143,7 +162,7 @@ def stage_artifact_from(
     full build cost on every call just to discover the hit. Keyed on
     the caller-supplied ``content_key`` (e.g. the sf_dir) instead;
     ``builder()`` runs only on a miss."""
-    storage = stage_storage() if storage is None else storage
+    storage = stage_storage(spark) if storage is None else storage
     if storage == "none":
         return builder()
     key = (spark.sparkContext.applicationId, name, f"ck:{content_key}")
@@ -332,3 +351,17 @@ def clear_cache() -> None:
             df.unpersist()
         except Exception:  # noqa: BLE001 — read-back frames aren't persisted
             pass
+    # checkpoint-strategy frames: df.unpersist() is a deliberate no-op
+    # here (localCheckpoint persists the backing RDD outside the
+    # CacheManager — ADVICE r9). Their blocks are reclaimed by Python/
+    # JVM GC + ContextCleaner once the last reference drops. Eagerly
+    # unpersisting the LogicalRDD's RDD was tried in round 10 and
+    # REVERTED: a checkpoint frame has NO lineage, so destroying its
+    # blocks breaks every holder that survives this cache (e.g.
+    # plans/shared_cache.py keeps its own references to staged frames;
+    # a memory-persist consumer would transparently recompute, a
+    # checkpoint consumer fails the job) — reproduced by
+    # tests/test_graph_health.py::test_indexed_sizes_plan_reads_artifact_not_pairs
+    # in the full suite. GC ownership is the correct contract: the
+    # ContextCleaner frees the blocks exactly when no frame can read
+    # them anymore.

@@ -114,6 +114,47 @@ def test_invalid_inputs_raise(spark, monkeypatch):
     assert stage_storage() == "checkpoint"
 
 
+def test_default_storage_is_deploy_mode_aware(spark, monkeypatch):
+    """VERDICT r9 #5 / ADVICE r9: with no env override, a local master
+    defaults to checkpoint (single JVM — plan truncation is pure win),
+    a CLUSTER master to parquet (localCheckpoint blocks are
+    unrecoverable on executor loss, so the default that lands on a real
+    cluster must be the durable one). The env override wins always."""
+
+    class _Ctx:
+        def __init__(self, master):
+            self.master = master
+
+    class _Stub:
+        def __init__(self, master):
+            self.sparkContext = _Ctx(master)
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_STORAGE", raising=False)
+    assert stage_storage(_Stub("local[32]")) == "checkpoint"
+    assert stage_storage(_Stub("local[*]")) == "checkpoint"
+    assert stage_storage(_Stub("spark://host:7077")) == "parquet"
+    assert stage_storage(_Stub("yarn")) == "parquet"
+    assert stage_storage(_Stub("k8s://https://host:443")) == "parquet"
+    assert stage_storage(spark) == "checkpoint"  # the test session is local
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_STORAGE", "memory")
+    assert stage_storage(_Stub("yarn")) == "memory"
+
+
+def test_clear_cache_keeps_checkpoint_blocks_alive_for_holders(spark):
+    """ADVICE r9 follow-up, resolved the OTHER way in round 10:
+    clear_cache must NOT eagerly destroy checkpoint blocks — a
+    checkpoint frame has no lineage, so any surviving holder (e.g.
+    plans/shared_cache.py's own cache) would fail its next job instead
+    of recomputing. Reclamation belongs to GC + ContextCleaner, which
+    free the blocks exactly when no frame can read them."""
+    df = spark.range(1000).select("id", (F.col("id") * 2).alias("v"))
+    out = stage_artifact(df, "ckpt_free_test", storage="checkpoint")
+    n = out.count()
+    artifacts.clear_cache()
+    # the surviving holder must still be fully readable
+    assert out.count() == n
+
+
 def test_basket_rules_storage_equivalence(spark, sf_dir):
     """VERDICT r5 #7 done-criterion: the durable-parquet form of the
     basket stage produces byte-identical rules to the in-memory form

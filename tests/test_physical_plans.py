@@ -240,15 +240,24 @@ def test_weighted_sample_uses_take_ordered(spark, sf_dir):
 
 def test_corpus_entries_read_from_shared_cache(spark, sf_dir):
     """The three heavy corpus entries must run from the session-cached
-    enriched frame (plans/shared_cache.py), not re-tokenize documents:
-    their plans read InMemoryTableScan. (The explain text still PRINTS
-    the cached relation's origin file scan inside the InMemoryRelation
-    block — execution reads cache blocks, not the file.)"""
+    enriched frame (plans/shared_cache.py), not re-tokenize documents.
+    The artifact leaf is strategy-dependent (plans/artifacts.py):
+    ``checkpoint`` truncates the lineage to a LogicalRDD (plans read
+    ``Scan ExistingRDD``), ``memory`` persists (plans read
+    ``InMemoryTableScan``). Either way the tokenization lineage — the
+    35-lambda MinHash signature build — must NOT appear in the plan."""
+    from hpv_etl_code_spark.plans.artifacts import stage_storage
     from hpv_etl_code_spark.plans.shared_cache import enriched_documents
 
     enriched_documents(spark, sf_dir).count()  # materialize the cache
+    leaf = {
+        "checkpoint": "Scan ExistingRDD",
+        "memory": "InMemoryTableScan",
+        "parquet": "Scan parquet",
+    }.get(stage_storage(spark))
+    assert leaf is not None, "tests expect a materializing artifact strategy"
     for name in ("dedup_minhash_lsh", "llm_corpus_pipeline", "dedup_incremental_fast"):
-        assert "InMemoryTableScan" in _plan(spark, sf_dir, name), name
+        assert leaf in _plan(spark, sf_dir, name), name
 
 
 # ----- round-3 temporal/graph/sketch entries -----
